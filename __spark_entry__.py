@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` declares
+one named DataFrame pipeline per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing).  Double-typed aggregates whose value
+depends on floating-point summation order (sum/avg/stddev/median over
+many rows) are rounded to a safe number of decimals ON BOTH SIDES so
+bitwise comparison is deterministic; min/max/counts stay exact.
 """
 
 from __future__ import annotations
@@ -13,26 +17,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from currency_market_pulse_spark.queries import QUERIES, ORACLES
+from currency_market_pulse_spark.operators.trends import trends
+from currency_market_pulse_spark.sources.catalog import events_as_trades
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's trends aggregation (10-minute tumbling
+    min/max/mean/median of rate for one currency pair over a closed time
+    range — trends/listing/service.go:47-62) on sf0.001."""
+    trades = events_as_trades(spark, "/root/testdata/sf0.001")
+    return trends(
+        trades,
+        date_from="2024-01-01 00:00:00", date_to="2024-01-31 00:00:00",
+        currency_from="PUR", currency_to="USD",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,67 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full plan runs,
+no driver-side collect bottleneck).  A warmup pass on sf0.001 triggers
+JVM/codegen warmup so timings reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from currency_market_pulse_spark.session import get_spark
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="cmp-bench")
+    queries = entrymod.queries()
+
+    # warmup at the smallest SF (codegen + JIT), not timed
+    warm_dir = "/root/testdata/sf0.001"
+    for fn in queries.values():
+        try:
+            run_query(fn, spark, warm_dir)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        try:
+            timings[name] = round(run_query(fn, spark, sf_dir), 3)
+        except Exception as e:
+            print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

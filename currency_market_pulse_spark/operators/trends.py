@@ -1,0 +1,79 @@
+"""The reference's one analytical query, Spark-first.
+
+Reference SQL (trends/listing/service.go:47-62):
+
+    SELECT toStartOfInterval(toDateTime(t.time_placed), INTERVAL 10 minute) AS time_window,
+           min(t.rate), max(t.rate), avg(t.rate), median(t.rate)
+    FROM cmp.trades t
+    WHERE t.time_placed >= ? AND t.time_placed <= ?
+      AND t.currency_from = ? AND t.currency_to = ?
+    GROUP BY time_window ORDER BY time_window
+
+Semantics pinned (SURVEY.md §4):
+- both time bounds INCLUSIVE (service.go:55-56)
+- tumbling 10-minute windows assigned by flooring event time
+- median is EXACT (Spark ``median`` == DuckDB ``median``; ClickHouse's
+  approximate quantile is an implementation detail, not a semantic)
+- rate NULL on division by zero (Spark/SQL behavior; Go produced ±Inf)
+
+Physical plan at scale: parquet scan with the pair-equality and
+time-range predicates pushed down (PushedFilters) and columns pruned to
+(time_placed, rate, currency_from, currency_to); partial HashAggregate
+map-side; one shuffle on the window bucket; final HashAggregate; sort.
+With date-partitioned storage the time filter also prunes partitions, so
+the scan cost is proportional to the queried range, mirroring the
+reference's MergeTree primary-index range scan (init.sql:15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: aggregate spec shared by trends() and its tests: output column name ->
+#: aggregate expression over ``rate``.
+AGGS = ("min", "max", "mean", "median")
+
+
+def tumbling_window(ts: Column, width: str = "10 minutes") -> Column:
+    """Floor an event-time column to the start of its tumbling window.
+
+    Equivalent to ClickHouse toStartOfInterval (listing/service.go:49).
+    ``window(...).start`` keeps the plan in native Catalyst expressions
+    (whole-stage codegen; no UDF).
+    """
+    return F.window(ts, width).start
+
+
+def trends(trades: DataFrame,
+           date_from=None, date_to=None,
+           currency_from: str | None = None,
+           currency_to: str | None = None,
+           window_width: str = "10 minutes",
+           value_col: str = "rate",
+           time_col: str = "time_placed") -> DataFrame:
+    """Windowed min/max/mean/median of ``value_col`` per tumbling window.
+
+    All filters optional (None skips them), matching the reference API
+    where all four params are required at the HTTP layer
+    (trends/http/rest/api.go:43-62) but the engine core is generic.
+    """
+    df = trades
+    if date_from is not None:
+        df = df.filter(F.col(time_col) >= F.lit(date_from))
+    if date_to is not None:
+        df = df.filter(F.col(time_col) <= F.lit(date_to))
+    if currency_from is not None:
+        df = df.filter(F.col("currency_from") == currency_from)
+    if currency_to is not None:
+        df = df.filter(F.col("currency_to") == currency_to)
+    v = F.col(value_col)
+    return (
+        df.groupBy(tumbling_window(F.col(time_col), window_width).alias("time_window"))
+        .agg(
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.avg(v).alias("mean"),
+            F.median(v).alias("median"),
+        )
+        .orderBy("time_window")
+    )

@@ -1,0 +1,7 @@
+"""Import every query module so registration side effects run."""
+
+from currency_market_pulse_spark.queries.registry import QUERIES, ORACLES, query
+
+from currency_market_pulse_spark.queries import trades  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

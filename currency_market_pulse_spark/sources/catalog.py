@@ -1,0 +1,123 @@
+"""Table catalog over the driver fixtures (and any parquet layout).
+
+Centralizes two normalizations so every operator sees clean types:
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
+  a long (nanosAsLong) and we convert to TimestampType truncated to
+  MILLISECOND precision.  Millisecond truncation is deliberate: the
+  reference stores event time as DateTime64(3,'UTC')
+  (db/clickhouse/init.sql:12), i.e. ms precision, and ms-floor agrees
+  bit-for-bit between Spark (``unix_millis``) and the DuckDB oracle
+  (``epoch_ms``) so differential tests can't be tripped by sub-ms noise.
+- all other tables load as-is with their declared schemas.
+
+At 100 TB the fact tables (lineitem/orders/events/trades) would be laid
+out date-partitioned + sorted by event time (mirroring the reference's
+MergeTree ORDER BY time_placed); the loader reads whatever layout the
+path holds — partition pruning and parquet predicate pushdown then come
+for free from the declarative plans built on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the session confs the engine's semantics depend on.
+
+    Callers (the correctness driver included) may hand us a session
+    built without our factory (session.py), so set them here too — both
+    are runtime-settable SQLConf entries, and both are required for
+    correct results, not tuning: nanosAsLong to read the ns-precision
+    events fixture at all, UTC so timestamp literals/windows agree with
+    the reference's DateTime64(3,'UTC') storage and the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes event-time to ms-precision
+    TimestampType (see module docstring)."""
+    ensure_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-epoch long -> floor to ms -> TimestampType.  Integer `div`,
+        # NOT `/`: ns epochs (~1.7e18) exceed double's 53-bit mantissa,
+        # so float division silently corrupts the low digits.  Truncate,
+        # don't round — the reference truncates when narrowing time
+        # (api.go:72 UnixMilli; importer/importing/service.go:150).
+        df = df.withColumn(
+            "ts", F.timestamp_millis(F.expr("ts div 1000000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_as_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-cast the ``events`` fixture as the reference's ``trades`` table
+    (db/clickhouse/init.sql:3-15) so trades-semantics operators run on
+    driver data.  Deterministic mapping (documented in FIXTURES.md):
+
+    - user_id        <- cast(user_id as string)
+    - currency_from  <- upper(substr(event_type,1,3))  (low-cardinality)
+    - currency_to    <- 'USD'
+    - amount_sell_micros <- trunc(value * 1e6)          (api.go:83-85 truncates)
+    - amount_buy_micros  <- trunc(value * (100+k) / 100 * 1e6), k = props.k
+    - rate           <- buy_micros / sell_micros, NULL when sell==0
+                        (importing/service.go:150; NULL-guard per SURVEY §4.2)
+    - originating_country <- 'C' || (user_id % 30)
+    - time_placed    <- ts (already ms precision)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    sell = (F.col("value") * 1_000_000).cast("long")
+    buy = (F.col("value") * (F.lit(100) + k) / F.lit(100) * 1_000_000).cast("long")
+    return ev.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.upper(F.substring("event_type", 1, 3)).alias("currency_from"),
+        F.lit("USD").alias("currency_to"),
+        sell.alias("amount_sell_micros"),
+        buy.alias("amount_buy_micros"),
+        F.when(sell != 0, buy.cast("double") / sell.cast("double"))
+         .alias("rate"),
+        F.concat(F.lit("C"), (F.col("user_id") % 30).cast("string"))
+         .alias("originating_country"),
+        F.col("ts").alias("time_placed"),
+    )
+
+
+# DuckDB-oracle CTE prefixes: the oracle sees the raw parquet views, so
+# every oracle query that touches events first applies the same ms-floor
+# normalization.  Kept here so __spark_entry__.oracle_sql() and tests
+# share one definition.
+ORACLE_EVENTS_CTE = (
+    "events_n AS (SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+ORACLE_TRADES_CTE = (
+    "trades_n AS (SELECT CAST(user_id AS VARCHAR) AS user_id, "
+    "upper(substr(event_type, 1, 3)) AS currency_from, "
+    "'USD' AS currency_to, "
+    "CAST(trunc(value * 1000000) AS BIGINT) AS amount_sell_micros, "
+    "CAST(trunc(value * (100 + CAST(props->>'$.k' AS BIGINT)) / 100 * 1000000) AS BIGINT) AS amount_buy_micros, "
+    "CASE WHEN CAST(trunc(value * 1000000) AS BIGINT) <> 0 THEN "
+    "CAST(trunc(value * (100 + CAST(props->>'$.k' AS BIGINT)) / 100 * 1000000) AS BIGINT) "
+    "/ CAST(trunc(value * 1000000) AS DOUBLE) END AS rate, "
+    "'C' || CAST(user_id % 30 AS VARCHAR) AS originating_country, "
+    "make_timestamp(epoch_ms(ts) * 1000) AS time_placed FROM events)"
+)
