@@ -3,5 +3,6 @@
 from currency_market_pulse_spark.queries.registry import QUERIES, ORACLES, query
 
 from currency_market_pulse_spark.queries import trades  # noqa: E402,F401
+from currency_market_pulse_spark.queries import relational  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
