@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- exact: one hash-shuffle on the dedup key; at 100 TB group on
+  md5(text) (fixed 32-byte key) instead of the full text to keep
+  shuffle rows small.
+- n-gram Jaccard: exact pairwise similarity but only over pairs that
+  share >=1 shingle (the shingle self-join IS the candidate generator).
+  Cost is sum over shingles of df^2 — usable when shingle frequencies
+  are bounded; document-frequency caps handle stopword-shingle skew.
+- MinHash+LSH: replaces the pairwise join with band-bucket grouping:
+  K min-hashes per doc (one shuffle), b bands, pairs only within equal
+  band signatures.  Collision probability 1-(1-j^r)^b — tune (K, b) per
+  target threshold.  This is THE 100 TB near-dup workhorse.
+- SimHash: one 16-bit signature per doc; identical-signature buckets are
+  near-dup candidates.  Cheapest, coarsest.
+- embedding cosine: semantic near-dup; brute pairwise here, LSH-bucketed
+  in similarity.py for the scale path.
+
+Every hash is from the portable md5 family (functions/text.py) so the
+DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from currency_market_pulse_spark.functions.text import (
+    hex_hash64, seeded_md5, shingles, tokens,
+)
+from currency_market_pulse_spark.functions.vectors import cosine
+
+# MinHash configuration: 12 hashes in 4 bands of 3. For jaccard j the
+# candidate probability is 1-(1-j^3)^4: ~0.06 at j=0.25, ~0.99 at j=0.9.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(df: DataFrame, key: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct key: the kept (minimum) id and copy count.
+    Grouping on md5(key) — constant-width shuffle key at any text size;
+    md5 collisions are negligible (and would only merge groups)."""
+    return (
+        df.groupBy(F.md5(F.col(key)).alias("key_hash"))
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def dedup_keep_first(df: DataFrame, key_cols: list[str],
+                     order_col: str) -> DataFrame:
+    """Keep the first row per key (row_number == 1) — the streaming-
+    friendly exact dedup that preserves full rows."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _doc_shingles(docs: DataFrame, n: int,
+                  id_col: str, text_col: str) -> DataFrame:
+    """(id, n_sh, shingle) — one exploded row per DISTINCT shingle,
+    with the doc's distinct-shingle count computed BEFORE the explode.
+
+    Built as staged projections on purpose: composing
+    explode(size(array_distinct(shingles(tokens(text))))) in one select
+    inlines the full tokenize+shingle expression into the post-Generate
+    projection, re-evaluating it once per EXPLODED ROW (O(tokens^2) per
+    doc — measured 30x slowdown).  Staging materializes the token array
+    and shingle array once per doc; the explode then touches only bound
+    columns."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    arr = toks.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col("_t"), n)).alias("_sharr"))
+    pre = arr.select(F.col(id_col), F.size("_sharr").alias("n_sh"),
+                     F.col("_sharr"))
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(...)>0 scan filter with the WHOLE shingle expression inlined
+    # (re-splitting the text per element — O(tokens^2) per doc, measured
+    # 4x wall on this op).  Outer explode skips that rule; the NULL rows
+    # it emits for empty arrays never match an equality join.
+    sh = pre.select(F.col(id_col), "n_sh",
+                    F.explode_outer("_sharr").alias("sh"))
+    return sh.filter(F.col("sh").isNotNull())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing a shingle.
+
+    Plan: explode distinct shingles (set size piggybacked on each row)
+    -> self-join on shingle (one shuffle; AQE handles hot-shingle skew)
+    -> per-pair common count -> jaccard.  |A∩B| comes from the join,
+    |A|/|B| ride along as grouping keys — no size-lookup joins.
+    """
+    sh = _doc_shingles(docs, n, id_col, text_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a.n_sh").alias("n_a"),
+                 F.col("b.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("n_common"))
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """K min-hash values per doc: sig_i = min over shingles of
+    md5('i|'||shingle) (lexicographic min of hex == deterministic
+    min-hash; portable across engines)."""
+    sh = _doc_shingles(docs, 3, id_col, text_col)
+    aggs = [F.min(seeded_md5(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band are candidate
+    near-dup pairs.  One shuffle to build signatures, one per-band
+    group; never a full pairwise join."""
+    sigs = minhash_signatures(docs, MINHASH_K, id_col, text_col)
+    # one band row per (doc, band) via a single explode — NOT a
+    # per-band union, which would re-evaluate the signature aggregation
+    # once per band.
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws("|", *[
+                f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            ]).alias("band_sig"))
+        for band in range(MINHASH_BANDS)])
+    exploded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+                .select(id_col, "bs.band", "bs.band_sig"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
+            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit j of the signature is 1
+    iff sum over tokens of (+1 if bit j of hash(token) else -1) > 0.
+
+    Computed relationally (explode tokens x bits -> two aggregations)
+    so it is oracle-reproducible; at scale the same math collapses into
+    one aggregate over packed longs.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    hashed = toks.withColumn("h", hex_hash64(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft via expr: the python wrappers require a
+    # literal shift amount, the SQL functions accept a column.
+    votes = (
+        hashed.select(F.col(id_col), "h", bit)
+        .withColumn("vote", F.when(
+            F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(F.sum(
+            F.when(F.col("v") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .otherwise(F.lit(0).cast("long"))).alias("simhash"))
+    )
+
+
+def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Docs with identical SimHash signatures (hamming distance 0
+    buckets).  Near-dup candidates at sketch cost O(1) per doc."""
+    s = simhash(docs, SIMHASH_BITS, id_col, text_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("simhash"))
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Semantic near-dup: pairs with cosine >= threshold.
+
+    Block-nested-loop with BLAS: each Arrow batch of rows is matmul'd
+    against the full (collected, broadcast-by-closure) normalized
+    matrix, emitting only pairs (id_a < id_b) above threshold.  ~100x
+    the per-pair higher-order-function formulation.  Brute all-pairs is
+    inherently O(n^2): at 100 TB bucket first (minhash_lsh_candidates /
+    similarity.lsh_buckets) and run this kernel within buckets only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf  # zero vectors match nothing (NULL cosine)
+    unit = mat / norms
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy()
+            b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
+            b_norms[b_norms == 0] = np.inf
+            sims = np.round((b_mat / b_norms) @ unit.T, 6)
+            bi, ci = np.nonzero((sims >= threshold)
+                                & (b_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": b_ids[bi], "id_b": ids[ci],
+                "cos_sim": sims[bi, ci],
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, out_schema)

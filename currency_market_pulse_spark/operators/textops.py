@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data curation: quality
+scoring, language ID, token counting, document fingerprinting.
+
+All JVM-side Catalyst expressions (split / higher-order array functions
+/ regexp) — no Python in the hot path; a 100 TB corpus scan stays in
+whole-stage codegen end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from currency_market_pulse_spark.functions.text import (
+    STOPWORDS, seeded_md5, shingles, tokens,
+)
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single other
+#: non-space symbols — a deterministic proxy for subword token counts.
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token counts, type-token ratio,
+    mean token length, stopword ratio, char count."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    sum_len = F.aggregate(F.transform(t, lambda x: F.length(x)),
+                          F.lit(0), lambda acc, v: acc + v)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(en_stop, x)))
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct.cast("double") / n_tok, 6).alias("type_token_ratio"),
+        F.round(sum_len.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def langid_scores(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  label_col: str = "lang") -> DataFrame:
+    """Stopword-hit language ID: count hits against each language's
+    stopword list; predict the argmax (first language in STOPWORDS
+    order wins ties; 'und' when all zero)."""
+    t = tokens(F.col(text_col))
+    hit_cols = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    langs = list(STOPWORDS)
+    best = F.greatest(*[hit_cols[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs override on tie
+        pred = F.when(hit_cols[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        *[hit_cols[lg].alias(f"hits_{lg}") for lg in langs],
+        pred.alias("predicted_lang"),
+        F.col(label_col).alias("labeled_lang"),
+        (pred == F.col(label_col)).alias("is_match"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish token counts + chars — the budget columns
+    a training-data pipeline filters and bins on."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_ws_tokens"),
+        F.regexp_count(F.lower(text_col), F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Content fingerprints: full-text md5 (exact identity) and the
+    minimum shingle hash (winnowing-style robust fingerprint — equal
+    for documents sharing their rarest-hashed shingle)."""
+    # staged projections: materialize the token array before the
+    # shingle transform references it 3x per element (inlining the
+    # split into each element_at makes the projection O(tokens^2) per
+    # doc — see operators/dedup.py:_doc_shingles).
+    staged = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("_t"))
+    min_sh = F.array_min(
+        F.transform(shingles(F.col("_t"), 3), lambda s: seeded_md5("fp", s)))
+    return staged.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        min_sh.alias("shingle_fingerprint"),
+    )

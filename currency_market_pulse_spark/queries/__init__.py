@@ -4,5 +4,10 @@ from currency_market_pulse_spark.queries.registry import QUERIES, ORACLES, query
 
 from currency_market_pulse_spark.queries import trades  # noqa: E402,F401
 from currency_market_pulse_spark.queries import relational  # noqa: E402,F401
+from currency_market_pulse_spark.queries import dedup  # noqa: E402,F401
+from currency_market_pulse_spark.queries import similarity  # noqa: E402,F401
+from currency_market_pulse_spark.queries import text  # noqa: E402,F401
+from currency_market_pulse_spark.queries import multimodal  # noqa: E402,F401
+from currency_market_pulse_spark.queries import sessions  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

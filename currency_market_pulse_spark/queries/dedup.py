@@ -1,0 +1,131 @@
+"""Deduplication queries over the ``documents`` / ``embeddings``
+fixtures — each variant from operators/dedup.py declared with a DuckDB
+oracle that reproduces the identical (md5-family) hash math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.operators import dedup as D
+from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.sources.catalog import load_table
+from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
+
+# shared oracle CTEs (DuckDB) — twins of functions/text.py primitives
+_TOKS = r"toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)"
+_DTOK = "dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)"
+_SH3 = ("sh3 AS (SELECT doc_id, unnest(list_distinct("
+        "list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh FROM toks)")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) (constant-width shuffle
+    key), keep min doc_id.  sf0.1 has real duplicate texts."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_TOKS}, {_SH3},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.5 via shingle self-join.
+
+    3-grams, not tokens: the shingle vocabulary is diverse enough that
+    per-shingle document frequency stays bounded, so the candidate
+    self-join stays near-linear instead of quadratic (token-level
+    jaccard on a small vocabulary degenerates to all-pairs)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(D.MINHASH_K))
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
+            b=b, sig=" || '|' || ".join(
+                f"mh{b * D.MINHASH_ROWS + r}" for r in range(D.MINHASH_ROWS)))
+        for b in range(D.MINHASH_BANDS))
+    return f"""
+WITH {_TOKS}, {_SH3},
+sig AS (SELECT doc_id, {mins} FROM sh3 GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 12 seeded min-md5 hashes over 3-gram
+    shingles, 4 bands x 3 rows, pairs agreeing on any full band."""
+    return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_TOKS}, {_DTOK},
+hashed AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dtok),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS bit) bits
+  GROUP BY doc_id, bit),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
+FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets: identical 16-bit signatures pair up."""
+    return D.simhash_bucket_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {ORACLE_EMB_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cos_sim
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4), brute pairwise
+    baseline (the LSH-bucketed variant is the 100 TB path)."""
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4)

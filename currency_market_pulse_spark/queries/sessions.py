@@ -1,0 +1,65 @@
+"""Sessionization + rate-limit-replay queries over ``events``
+(operators/sessions.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from currency_market_pulse_spark.operators import sessions as S
+from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.sources.catalog import ORACLE_EVENTS_CTE, load_table
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+WITH {ORACLE_EVENTS_CTE},
+seq AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events_n),
+flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM seq),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap)."""
+    return S.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query(
+    "rate_limit_replay",
+    oracle=f"""
+WITH {ORACLE_EVENTS_CTE},
+framed AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         count(*) OVER w AS n_in_window,
+         min(epoch_ms(ts)) OVER w AS oldest_ms
+  FROM events_n
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts_ms, n_in_window,
+       n_in_window <= 3 AS admitted,
+       CASE WHEN n_in_window > 3
+            THEN oldest_ms + 86400000 - ts_ms END AS retry_after_ms
+FROM framed ORDER BY event_id
+""",
+)
+def rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the reference's sliding-window rate limiter
+    (consumer/ratelimit/ratelimit.go:38-62): 24 h window, limit 3,
+    retry-after = oldest + window - now for rejected requests."""
+    return S.sliding_window_admission(
+        load_table(spark, sf_dir, "events"),
+        window_ms=86_400_000, limit=3)

@@ -1,0 +1,80 @@
+"""Similarity-search queries over the ``embeddings`` fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
+from currency_market_pulse_spark.operators import similarity as S
+from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.sources.catalog import load_table
+
+_COS = ("list_dot_product(q.embedding, c.embedding) / "
+        "(sqrt(list_dot_product(q.embedding, q.embedding)) * "
+        "sqrt(list_dot_product(c.embedding, c.embedding)))")
+
+_TOPK_ORACLE = f"""
+WITH {ORACLE_EMB_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cos_sim
+  FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+@query("sim_topk_bruteforce", oracle=_TOPK_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for queries vec_id < 10 (broadcast
+    queries x full candidate scan, JVM-side scoring)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_bruteforce(emb, F.col("vec_id") < 10, k=5)
+
+
+@query("sim_topk_numpy", oracle=_TOPK_ORACLE)
+def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-5 semantics through the Arrow/numpy BLAS path
+    (mapInPandas matmul) — shares the bruteforce oracle, proving the
+    two implementations agree bit-for-bit after rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_numpy(emb, F.col("vec_id") < 10, k=5)
+
+
+def _bucket_oracle() -> str:
+    # the 8 hyperplanes as DOUBLE list literals — same integers the
+    # Spark side embeds (derived from md5, see operators/similarity.py)
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    return f"""
+WITH {ORACLE_EMB_CTE},
+dots AS (SELECT vec_id, {plane_sql} FROM emb)
+SELECT CAST({bucket} AS INT) AS bucket, count(*) AS n_vecs
+FROM dots GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("sim_lsh_bucket_sizes", oracle=_bucket_oracle())
+def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram: the partitioning an ANN index
+    would use (bucket = shuffle/storage partition key at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (S.lsh_buckets(emb).groupBy("bucket")
+            .agg(F.count("*").alias("n_vecs")).orderBy("bucket"))
+
+
+@query("sim_ann_lsh_topk")  # rows-only: approximate by design
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within the query's LSH bucket — the reduced-recall,
+    reduced-cost variant (recall vs sim_topk_bruteforce is asserted in
+    tests, not by the oracle, since approximation is the point)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)

@@ -1,0 +1,70 @@
+"""Dedup operator semantics on hand-built micro-fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from currency_market_pulse_spark.operators import dedup as D
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_exact_dedup_groups(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z", "a b c"])
+    rows = {r.keeper_id: r.n_copies
+            for r in D.exact_dedup_groups(docs).collect()}
+    assert rows == {0: 3, 2: 1}
+
+
+def test_dedup_keep_first(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z"])
+    kept = sorted(r.doc_id for r in
+                  D.dedup_keep_first(docs, ["text"], "doc_id").collect())
+    assert kept == [0, 2]
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    docs = _docs(spark, [
+        "one two three four five",
+        "one two three four five",   # identical -> jaccard 1.0
+        "alpha beta gamma delta x",  # disjoint
+    ])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_minhash_lsh_catches_identical_docs(spark):
+    docs = _docs(spark, [
+        "one two three four five six seven",
+        "one two three four five six seven",
+        "totally different words here now ok yes",
+    ])
+    cand = {(r.id_a, r.id_b)
+            for r in D.minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cand
+    assert (0, 2) not in cand and (1, 2) not in cand
+
+
+def test_simhash_same_tokenset_same_signature(spark):
+    # SimHash is over the distinct-token SET: word order must not matter
+    docs = _docs(spark, ["a b c d e", "e d c b a", "p q r s t"])
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_embedding_near_dup_threshold(spark):
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[1.0, 0.01]),   # ~parallel
+        Row(vec_id=2, embedding=[0.0, 1.0]),    # orthogonal
+    ])
+    emb = emb.withColumn("embedding",
+                         F.col("embedding").cast("array<float>"))
+    pairs = {(r.id_a, r.id_b)
+             for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,38 @@
+"""Similarity search: numpy path agrees with the Catalyst path; ANN
+results are a subset of exact results' candidate space."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from currency_market_pulse_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    from currency_market_pulse_spark.sources.catalog import load_table
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_numpy_matches_catalyst(spark):
+    emb = _emb(spark)
+    flt = F.col("vec_id") < 5
+    a = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_bruteforce(emb, flt, k=5).collect()]
+    b = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_numpy(emb, flt, k=5).collect()]
+    assert a == b
+
+
+def test_ann_results_share_query_bucket(spark):
+    emb = _emb(spark)
+    ann = S.ann_lsh_topk(emb, F.col("vec_id") < 5, k=3).collect()
+    buckets = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
+    for r in ann:
+        assert buckets[r.query_id] == buckets[r.neighbor_id] == r.bucket
+
+
+def test_plane_weights_deterministic():
+    w1, w2 = S.plane_weights(), S.plane_weights()
+    assert w1 == w2
+    assert all(-500 <= x <= 500 for row in w1 for x in row)
