@@ -1,0 +1,54 @@
+"""Streaming ingest: the reference's consumer service re-expressed as a
+Structured Streaming source stage.
+
+Reference pipeline (consumer/http/rest/api.go:40-81 ->
+consumer/consuming/service.go:28-36): HTTP JSON -> validate -> normalize
+(micros, epoch-ms) -> protobuf -> Kafka topic 'currency-trades'.
+
+Engine mapping: Kafka is the front door (the HTTP shim is out of engine
+scope — SURVEY §2.1 S1).  ``read_trades_stream`` builds the Kafka
+source when the connector is on the classpath; ``read_trades_files``
+is the connector-free equivalent (file source, same schema, same
+downstream semantics) used by tests and available for file-drop ingest.
+Both feed the SAME normalization chain (functions/normalize.py) — the
+transformation logic is source-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from currency_market_pulse_spark.functions.normalize import (
+    INGEST_SCHEMA, normalize_trades, parse_ingest_json,
+)
+
+KAFKA_TOPIC = "currency-trades"  # consumer/cmd/main.go:73
+
+
+def read_trades_stream(spark: SparkSession,
+                       bootstrap_servers: str,
+                       topic: str = KAFKA_TOPIC,
+                       starting_offsets: str = "latest") -> DataFrame:
+    """Kafka -> normalized trades stream.
+
+    startingOffsets='latest' mirrors OffsetNewest (importer/cmd/main.go:24).
+    Requires the spark-sql-kafka connector on the classpath; raises a
+    clear error otherwise (the test path uses read_trades_files).
+    """
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return normalize_trades(parse_ingest_json(raw, "value"))
+
+
+def read_trades_files(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source twin of read_trades_stream: JSON-lines files with the
+    ingest schema (consumer/http/rest/api.go:16-25), same normalization."""
+    raw = (spark.readStream
+           .schema(INGEST_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .json(path))
+    return normalize_trades(raw)

@@ -1,0 +1,99 @@
+"""Stateful sliding-window rate limiter — the streaming twin of
+operators/sessions.py:sliding_window_admission, and the engine's one
+genuinely stateful custom operator (SURVEY §2.4 T3).
+
+Reference (consumer/ratelimit/ratelimit.go:38-62): per user, a Redis
+ZSET of request timestamps; each request atomically trims entries older
+than now-duration, adds itself, counts, and rejects with
+retry-after = oldest + duration - now when count > limit.  State expiry
+mirrors Expire(duration) (ratelimit.go:46).
+
+Spark mapping: applyInPandasWithState keyed by user_id; state = the
+in-window timestamp list (exactly the ZSET contents); a processing-time
+timeout drops idle users' state like Redis key expiry.  Partitioning by
+user_id spreads hot keys across executors; state size is bounded by the
+per-user request rate inside one window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_WINDOW_MS = 1_000  # --ratelimit.duration 1s (compose.yml:6)
+DEFAULT_LIMIT = 100        # --ratelimit.limit 100  (compose.yml:6)
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("n_in_window", T.IntegerType()),
+    T.StructField("admitted", T.BooleanType()),
+    T.StructField("retry_after_ms", T.LongType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("recent_ms", T.ArrayType(T.LongType())),
+])
+
+
+def admit_fold(recent: list[int], ts_ms: int, window_ms: int,
+               limit: int) -> tuple[list[int], int, bool, int | None]:
+    """One request through the limiter: trim -> add -> count -> decide.
+    Pure function = unit-testable without Spark; identical math to
+    ratelimit.go:43-60."""
+    floor = ts_ms - window_ms
+    recent = [t for t in recent if t >= floor]   # ZRemRangeByScore
+    recent.append(ts_ms)                         # ZAdd
+    n = len(recent)                              # ZRangeWithScores count
+    if n <= limit:
+        return recent, n, True, None
+    return recent, n, False, recent[0] + window_ms - ts_ms
+
+
+def _make_fold(window_ms: int, limit: int):
+    def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (recent,) = state.get if state.exists else ([],)
+        recent = list(recent)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
+        out = {"user_id": [], "event_id": [], "ts_ms": [],
+               "n_in_window": [], "admitted": [], "retry_after_ms": []}
+        for r in rows.itertuples():
+            recent, n, ok, retry = admit_fold(
+                recent, int(r.ts_ms), window_ms, limit)
+            out["user_id"].append(key[0])
+            out["event_id"].append(int(r.event_id))
+            out["ts_ms"].append(int(r.ts_ms))
+            out["n_in_window"].append(n)
+            out["admitted"].append(ok)
+            out["retry_after_ms"].append(retry)
+        state.update((recent,))
+        state.setTimeoutDuration(window_ms)  # Redis Expire(duration)
+        yield pd.DataFrame(out)
+
+    return fold
+
+
+def rate_limit_stream(events: DataFrame,
+                      window_ms: int = DEFAULT_WINDOW_MS,
+                      limit: int = DEFAULT_LIMIT) -> DataFrame:
+    """Apply the limiter to a stream with columns
+    (user_id string, event_id long, ts_ms long).  Emits one admission
+    decision per event."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                _make_fold(window_ms, limit),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -1,0 +1,67 @@
+"""Stateful rate limiter: the pure fold math, plus the
+applyInPandasWithState operator end-to-end on a real stream."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from currency_market_pulse_spark.streaming.ratelimiter import (
+    admit_fold, rate_limit_stream,
+)
+
+
+def test_admit_fold_matches_reference_semantics():
+    # ratelimit.go with duration=1000ms limit=2
+    recent, n, ok, retry = admit_fold([], 1000, 1000, 2)
+    assert (n, ok, retry) == (1, True, None)
+    recent, n, ok, retry = admit_fold(recent, 1100, 1000, 2)
+    assert (n, ok, retry) == (2, True, None)
+    recent, n, ok, retry = admit_fold(recent, 1200, 1000, 2)
+    # 3rd within window: reject; retry = oldest(1000) + 1000 - 1200
+    assert (n, ok, retry) == (3, False, 800)
+    # window slides: at 2150 the ts=1000,1100 entries expire
+    recent, n, ok, retry = admit_fold(recent, 2150, 1000, 2)
+    assert (n, ok) == (2, True)
+
+
+def test_admit_fold_boundary_inclusive():
+    # entry exactly at now-window stays in the window (ZRemRangeByScore
+    # removes strictly-older scores)
+    recent, n, ok, _ = admit_fold([1000], 2000, 1000, 1)
+    assert n == 2 and not ok
+
+
+def test_rate_limit_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    events = (
+        [{"user_id": "hot", "event_id": i, "ts_ms": 1000 + i * 10}
+         for i in range(5)]
+        + [{"user_id": "cold", "event_id": 100, "ts_ms": 1000}])
+    with open(src / "f1.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    stream = (spark.readStream
+              .schema("user_id string, event_id long, ts_ms long")
+              .json(str(src)))
+    out = rate_limit_stream(stream, window_ms=1000, limit=3)
+    q = (out.writeStream.format("memory").queryName("rl_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("rl_out").count() >= 6:
+                break
+            time.sleep(0.5)
+        rows = {r.event_id: r for r in spark.table("rl_out").collect()}
+    finally:
+        q.stop()
+
+    assert len(rows) == 6
+    # hot user: first 3 admitted, then rejected with reference retry-after
+    assert [rows[i].admitted for i in range(5)] == [True] * 3 + [False] * 2
+    assert rows[3].retry_after_ms == 1000 + 1000 - 1030
+    assert rows[100].admitted  # cold user unaffected

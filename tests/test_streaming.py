@@ -1,0 +1,85 @@
+"""Streaming import pipeline: file source -> 1 s micro-batches ->
+idempotent parquet sink; replay must not duplicate rows."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from currency_market_pulse_spark.streaming.importer import (
+    ParquetTradesSink, run_import,
+)
+from currency_market_pulse_spark.streaming.ingest import read_trades_files
+
+
+def _write_ingest_file(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _trade(i, ts="24-JAN-18 10:27:44", sell=1000.0, buy=747.1):
+    return {"userId": str(i), "currencyFrom": "EUR", "currencyTo": "GBP",
+            "amountSell": sell, "amountBuy": buy, "rate": 0.747,
+            "timePlaced": ts, "originatingCountry": "FR"}
+
+
+def _run_until(query, predicate, timeout_s=60):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_import_pipeline_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    _write_ingest_file(src / "f1.json",
+                       [_trade(i) for i in range(10)]
+                       + [_trade(99, ts="not-a-timestamp")])  # dead-letter
+
+    stream = read_trades_files(spark, str(src))
+    q = run_import(stream, ParquetTradesSink(str(out)), str(ckpt))
+    try:
+        def count_rows():
+            # reads race the sink's staged writes — treat transient
+            # read failures as "not there yet"
+            try:
+                return spark.read.parquet(str(out)).count()
+            except Exception:
+                return -1
+
+        assert _run_until(q, lambda: count_rows() >= 10)
+        # second file arrives mid-stream
+        _write_ingest_file(src / "f2.json", [_trade(i + 100) for i in range(5)])
+        assert _run_until(q, lambda: count_rows() == 15)
+    finally:
+        q.stop()
+
+    df = spark.read.parquet(str(out))
+    assert df.count() == 15  # invalid-timestamp row dropped (400 path)
+    row = df.filter(df.user_id == "0").collect()[0]
+    assert row.amount_sell_micros == 1_000_000_000
+    assert abs(row.rate - 0.7471) < 1e-12
+    assert row.trade_date is not None and row.batch_id is not None
+
+
+def test_replay_same_batch_is_idempotent(spark, tmp_path):
+    out = tmp_path / "out"
+    from pyspark.sql import Row
+    import datetime as dt
+    batch = spark.createDataFrame([Row(
+        user_id="1", currency_from="EUR", currency_to="GBP",
+        amount_sell_micros=10, amount_buy_micros=20, rate=2.0,
+        originating_country="FR",
+        time_placed=dt.datetime(2024, 1, 1, 12, 0, 0))])
+    sink = ParquetTradesSink(str(out))
+    sink.write(batch, batch_id=7)
+    sink.write(batch, batch_id=7)  # crash-replay of the same batch
+    assert spark.read.parquet(str(out)).count() == 1  # no duplicates
+    sink.write(batch, batch_id=8)  # a NEW batch appends
+    assert spark.read.parquet(str(out)).count() == 2
