@@ -1,0 +1,191 @@
+"""Second analytics wave: GROUPING SETS, exact percentiles, pivot /
+unpivot, statistical aggregates, hopping windows, regexp extraction.
+Rounds out the operator inventory beyond queries/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.sources.catalog import (
+    ORACLE_TRADES_CTE, events_as_trades, load_table,
+)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube) through
+    the SQL surface — the engine accepts SQL as well as DataFrames."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+    """)
+
+
+@query(
+    "acctbal_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+       round(min(c_acctbal), 6) AS lo,
+       round(max(c_acctbal), 6) AS hi
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont) — the distributed sort-based exact path; swap to
+    approx_percentile sketches for interactive 100 TB scans."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.percentile("c_acctbal", 0.25), 6).alias("p25"),
+             F.round(F.percentile("c_acctbal", 0.50), 6).alias("p50"),
+             F.round(F.percentile("c_acctbal", 0.75), 6).alias("p75"),
+             F.round(F.min("c_acctbal"), 6).alias("lo"),
+             F.round(F.max("c_acctbal"), 6).alias("hi"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "user_event_pivot",
+    oracle=f"""
+SELECT user_id,
+       {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+                  for t in EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type (fixed value list keeps the
+    schema static — mandatory at scale; never let pivot scan for
+    distinct values over 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "orders_unpivot",
+    oracle="""
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+FROM orders WHERE o_orderkey % 500 = 0
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+FROM orders WHERE o_orderkey % 500 = 0
+ORDER BY o_orderkey, metric
+""",
+)
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide -> long."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").alias("totalprice"),
+                 F.col("o_custkey").cast("double").alias("custkey"))
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+@query(
+    "nation_balance_stats",
+    oracle="""
+SELECT c_nationkey,
+       round(stddev_samp(c_acctbal), 4) AS sd_acctbal,
+       round(var_samp(c_acctbal), 4) AS var_acctbal,
+       round(avg(c_acctbal), 6) AS mean_acctbal,
+       count(*) AS n
+FROM customer GROUP BY c_nationkey HAVING count(*) > 1 ORDER BY c_nationkey
+""",
+)
+def nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_acctbal"),
+             F.round(F.var_samp("c_acctbal"), 4).alias("var_acctbal"),
+             F.round(F.avg("c_acctbal"), 6).alias("mean_acctbal"),
+             F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "trades_sliding_window",
+    oracle=f"""
+WITH {ORACLE_TRADES_CTE},
+assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', time_placed) AS w, rate
+  FROM trades_n WHERE currency_from = 'PUR'
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', time_placed) - INTERVAL '5 minutes' AS w, rate
+  FROM trades_n WHERE currency_from = 'PUR')
+SELECT w AS window_start, count(*) AS n_trades, round(avg(rate), 6) AS mean_rate
+FROM assigned GROUP BY w ORDER BY w
+""",
+)
+def trades_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window: 10-minute windows sliding every 5 (each event in
+    exactly 2 windows).  window(ts, '10 minutes', '5 minutes') expands
+    rows JVM-side; the oracle mirrors it with two shifted buckets."""
+    t = events_as_trades(spark, sf_dir).filter(F.col("currency_from") == "PUR")
+    return (
+        t.groupBy(F.window("time_placed", "10 minutes", "5 minutes")
+                  .start.alias("window_start"))
+        .agg(F.count("*").alias("n_trades"),
+             F.round(F.avg("rate"), 6).alias("mean_rate"))
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "part_regexp_extract",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_type, '^([a-z]+)', 1) AS type_first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a_pos,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       trim(upper(p_brand)) AS brand_norm
+FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey
+""",
+)
+def part_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar coverage: extract / global replace / position /
+    padding."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.instr(F.col("p_name"), "a").alias("first_a_pos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.trim(F.upper("p_brand")).alias("brand_norm"),
+    ).orderBy("p_partkey")

@@ -1,0 +1,110 @@
+"""Physical-plan audit: assert the scale-critical plan properties the
+engine's docstrings claim.
+
+Checks per query (where applicable):
+- predicate pushdown reached the parquet scan (PushedFilters)
+- column pruning (ReadSchema column count vs table width)
+- dimension joins are broadcast, fact-fact joins are not
+- top-k compiles to TakeOrderedAndProject (no global sort)
+- whole-stage codegen covers the plan (no interpreted hot path)
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from currency_market_pulse_spark.session import get_spark
+
+#: query -> list of (description, regex that must match the plan)
+EXPECTATIONS = {
+    "events_filter_project": [
+        ("filters pushed to scan",
+         r"PushedFilters: \[.*(In\(event_type|GreaterThan\(value).*\]"),
+        ("schema pruned (no props col)", r"ReadSchema: (?!.*props)"),
+    ],
+    "trends_10min": [
+        # currency_from is DERIVED from event_type in the events-proxy
+        # view, so parquet pushdown is impossible by construction; the
+        # requirement is that the filter still runs scan-adjacent
+        # (pre-shuffle).  On real trades storage (streaming/importer.py
+        # sink) the pair columns are physical and do push down.
+        ("pair filter pre-shuffle", r"Filter.*PUR"),
+        ("partial+final agg", r"HashAggregate.*\n(.|\n)*HashAggregate"),
+    ],
+    "q1_pricing_summary": [
+        ("shipdate pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate.*\]"),
+        ("two-phase agg", r"partial_sum"),
+    ],
+    "q3_top_unshipped_revenue": [
+        ("customer broadcast", r"BroadcastHashJoin"),
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+        ("segment filter pushed", r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING\).*\]"),
+    ],
+    "region_customer_rollup": [
+        ("dims broadcast", r"BroadcastHashJoin"),
+        ("rollup via expand", r"Expand"),
+    ],
+    "customers_without_orders": [
+        ("anti join", r"BroadcastHashJoin LeftAnti|SortMergeJoin LeftAnti"),
+    ],
+    "top10_parts_by_price": [
+        ("top-k", r"TakeOrderedAndProject"),
+    ],
+    "top3_orders_per_customer": [
+        ("single shuffle for window", r"Exchange hashpartitioning\(o_custkey"),
+        ("rank-limit pushdown", r"WindowGroupLimit"),
+    ],
+    "shipments_within_60d": [
+        ("equi join on orderkey (band as filter, no cartesian)",
+         r"(SortMergeJoin|BroadcastHashJoin).*l_orderkey"),
+    ],
+    "asof_last_click_before_purchase": [
+        ("no join at all (union+window)", r"^(?!.*Join)(.|\n)*$"),
+        ("type filter pushed", r"PushedFilters: \[.*In\(event_type"),
+    ],
+    "dedup_exact": [
+        ("partial agg before shuffle", r"partial_min|partial_count"),
+    ],
+    "sim_topk_bruteforce": [
+        ("queries broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(shuffle_partitions=8)
+    queries = entrymod.queries()
+    failures = 0
+    for name, checks in EXPECTATIONS.items():
+        import io
+        from contextlib import redirect_stdout
+
+        df = queries[name](spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")   # scans: PushedFilters / ReadSchema
+        full = qe.executedPlan().toString() + "\n" + buf.getvalue()
+        for desc, rx in checks:
+            if re.search(rx, full):
+                print(f"ok    {name}: {desc}")
+            else:
+                print(f"FAIL  {name}: {desc}  (pattern {rx!r} not found)")
+                failures += 1
+        # codegen spans: '*(n)' markers in simple mode (AQE initial plan)
+        wsc = len(set(re.findall(r"\*\((\d+)\)", qe.simpleString())))
+        print(f"      {name}: WholeStageCodegen spans={wsc}")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
