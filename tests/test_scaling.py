@@ -1,0 +1,66 @@
+"""Scale techniques: salted join equivalence + bucketed co-located
+join eliminating the shuffle (plan-asserted)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from currency_market_pulse_spark.operators.scaling import (
+    salted_join, write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed left side: 900 rows of key=1, few others
+    left = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(900)]
+        + [Row(k=2, v=1), Row(k=3, v=2)])
+    right = spark.createDataFrame(
+        [Row(k=1, name="hot"), Row(k=2, name="warm"), Row(k=4, name="unmatched")])
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.name)
+              for r in salted_join(left, right, "k", n_salts=4).collect()}
+    assert salted == plain and len(plain) == 901
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([Row(k=1, v=1), Row(k=9, v=2)])
+    right = spark.createDataFrame([Row(k=1, name="x")])
+    out = {(r.k, r.v, r.name)
+           for r in salted_join(left, right, "k", n_salts=3, how="left").collect()}
+    assert out == {(1, 1, "x"), (9, 2, None)}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # uses the default spark-warehouse dir (gitignored); static conf
+    # spark.sql.warehouse.dir can't be changed on a live session
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    import shutil
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                   "orders_b", "k", n_buckets=4)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "k"),
+                   "lineitem_b", "k", n_buckets=4)
+    # force the sort-merge path (the tiny test tables would broadcast,
+    # which proves nothing about bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(spark.table("orders_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucketing replaced the shuffle
+        # and the join still computes the right thing
+        n = joined.count()
+        assert n == lineitem.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
