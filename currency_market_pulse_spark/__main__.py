@@ -1,0 +1,96 @@
+"""CLI for the engine — the user-facing surface mirroring the
+reference's two HTTP services plus the import pipeline.
+
+    python -m currency_market_pulse_spark trends \
+        --trades-path PATH --from 2024-01-01T00:00:00 \
+        --to 2024-01-31T00:00:00 --cur-from PUR --cur-to USD
+    python -m currency_market_pulse_spark import \
+        --source-dir DIR --sink-path PATH --checkpoint DIR [--once]
+    python -m currency_market_pulse_spark query NAME [--sf-dir DIR]
+
+``trends`` answers the reference's GET /api/trends; ``import`` runs the
+file-drop variant of the Kafka->store pipeline; ``query`` runs any
+registered inventory query and prints JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _parse_ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s.replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="currency_market_pulse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("trends", help="windowed min/max/mean/median for a pair")
+    t.add_argument("--trades-path", required=True,
+                   help="parquet path of normalized trades (importer output)")
+    t.add_argument("--from", dest="date_from", required=True, type=_parse_ts)
+    t.add_argument("--to", dest="date_to", required=True, type=_parse_ts)
+    t.add_argument("--cur-from", required=True)
+    t.add_argument("--cur-to", required=True)
+
+    i = sub.add_parser("import", help="file-drop ingest -> parquet store")
+    i.add_argument("--source-dir", required=True)
+    i.add_argument("--sink-path", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--once", action="store_true",
+                   help="process available files then exit")
+
+    q = sub.add_parser("query", help="run a registered inventory query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+
+    from currency_market_pulse_spark.session import get_spark
+    spark = get_spark(app_name=f"cmp-cli-{args.cmd}")
+    try:
+        if args.cmd == "trends":
+            from currency_market_pulse_spark.api import PulseEngine
+            trades = spark.read.parquet(args.trades_path)
+            eng = PulseEngine(spark, trades)
+            rows = eng.trends(args.date_from, args.date_to,
+                              args.cur_from, args.cur_to)
+            for r in rows:
+                print(json.dumps({"window": r.time_window.isoformat(),
+                                  "min": r.min, "max": r.max,
+                                  "mean": r.mean, "median": r.median}))
+        elif args.cmd == "import":
+            from currency_market_pulse_spark.streaming.importer import (
+                ParquetTradesSink, run_import)
+            from currency_market_pulse_spark.streaming.ingest import (
+                read_trades_files)
+            stream = read_trades_files(spark, args.source_dir)
+            query = run_import(stream, ParquetTradesSink(args.sink_path),
+                               args.checkpoint)
+            if args.once:
+                query.processAllAvailable()
+                query.stop()
+            else:
+                query.awaitTermination()
+        elif args.cmd == "query":
+            import __spark_entry__ as entrymod
+            fn = entrymod.queries().get(args.name)
+            if fn is None:
+                print(f"unknown query {args.name!r}; available: "
+                      f"{', '.join(sorted(entrymod.queries()))}",
+                      file=sys.stderr)
+                return 2
+            for r in fn(spark, args.sf_dir).limit(args.limit).collect():
+                print(json.dumps(r.asDict(), default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

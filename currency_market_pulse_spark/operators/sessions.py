@@ -58,7 +58,18 @@ def sliding_window_admission(events: DataFrame,
     - admitted: n_in_window <= limit (ratelimit.go:54: reject if >)
     - retry_after_ms: oldest-in-window + window - now, only when
       rejected (ratelimit.go:56-59)
+    - limit <= 0 or window <= 0 DISABLES limiting: everything admitted
+      with n_in_window echoing the window count=1 convention of a
+      no-op pass-through (ratelimit.go:15-19,27-30 — T4)
     """
+    if limit <= 0 or window_ms <= 0:
+        return (events
+                .select(id_col, user_col,
+                        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+                        F.lit(1).alias("n_in_window"),
+                        F.lit(True).alias("admitted"),
+                        F.lit(None).cast("long").alias("retry_after_ms"))
+                .orderBy(id_col))
     ms = F.unix_millis(F.col(ts_col))
     frame = (Window.partitionBy(user_col).orderBy(ms)
              .rangeBetween(-window_ms, 0))

@@ -89,7 +89,15 @@ def rate_limit_stream(events: DataFrame,
                       limit: int = DEFAULT_LIMIT) -> DataFrame:
     """Apply the limiter to a stream with columns
     (user_id string, event_id long, ts_ms long).  Emits one admission
-    decision per event."""
+    decision per event.  limit <= 0 or window <= 0 disables limiting
+    entirely (no state, pure pass-through — ratelimit.go:15-19 T4)."""
+    if limit <= 0 or window_ms <= 0:
+        from pyspark.sql import functions as F
+        return events.select(
+            "user_id", "event_id", "ts_ms",
+            F.lit(1).alias("n_in_window"),
+            F.lit(True).alias("admitted"),
+            F.lit(None).cast("long").alias("retry_after_ms"))
     return (events.groupBy("user_id")
             .applyInPandasWithState(
                 _make_fold(window_ms, limit),

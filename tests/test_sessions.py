@@ -41,6 +41,14 @@ def test_admission_per_user_isolation(spark):
     assert by_id == {0: True, 1: True, 2: False, 3: False}
 
 
+def test_noop_limiter(spark):
+    # limit <= 0 disables limiting entirely (ratelimit.go:15-19 — T4)
+    ev = _events(spark, [(1, 0), (1, 1), (1, 2)])
+    out = S.sliding_window_admission(ev, window_ms=1000, limit=0).collect()
+    assert all(r.admitted for r in out)
+    assert all(r.retry_after_ms is None for r in out)
+
+
 def test_sessionize_gap_splits(spark):
     ev = _events(spark, [
         (1, 0), (1, 60_000),           # session 1 (1 min apart)
