@@ -1,0 +1,93 @@
+"""IVF-style ANN search: coarse quantizer -> probe one cell -> exact
+rerank within the cell.  Completes the ANN family next to the
+hyperplane-LSH variant (queries/similarity.py).
+
+Cell representatives are the lowest-vec_id member per label (a medoid
+proxy — deterministic and FP-exact across engines; at scale you'd run
+k-means via pyspark.ml and store the centroid table).  Search:
+
+1. score each query against the (tiny, broadcast) representative table
+2. assign the query to its best cell (nprobe=1)
+3. exact cosine top-k among that cell's members only
+
+Cost per query drops from N to N/n_cells; recall depends on the
+quantizer quality exactly as in production IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from currency_market_pulse_spark.functions.vectors import (
+    ORACLE_EMB_CTE, cosine, oracle_cosine_sql,
+)
+from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.sources.catalog import load_table
+
+_REPS_CTE = """
+reps AS (
+  SELECT label AS cell, embedding AS rep FROM (
+    SELECT label, embedding,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM emb) t WHERE rn = 1)
+"""
+
+_ASSIGN = oracle_cosine_sql("q.embedding", "r.rep")
+_RERANK = oracle_cosine_sql("q.embedding", "c.embedding")
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH {ORACLE_EMB_CTE}, {_REPS_CTE},
+assigned AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, r.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round({_ASSIGN}, 6) DESC, r.cell) AS rn
+    FROM emb q CROSS JOIN reps r WHERE q.vec_id < 10) t
+  WHERE rn = 1),
+reranked AS (
+  SELECT a.query_id, a.cell, c.vec_id AS neighbor_id,
+         round({_RERANK}, 6) AS cos_sim
+  FROM assigned a
+  JOIN emb c ON c.label = a.cell
+  JOIN emb q ON q.vec_id = a.query_id
+  WHERE c.vec_id <> a.query_id)
+SELECT query_id, cell, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM reranked) t
+WHERE rn <= 3 ORDER BY query_id, rn
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nprobe=1 cell probe + exact in-cell rerank, top-3
+    neighbors for queries vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rn = Window.partitionBy("label").orderBy("vec_id")
+    reps = (emb.withColumn("_rn", F.row_number().over(rn))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("label").alias("cell"), F.col("embedding").alias("rep")))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    scored_cells = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "qvec", "cell",
+                F.round(cosine(F.col("qvec"), F.col("rep")), 6).alias("rep_sim")))
+    best = Window.partitionBy("query_id").orderBy(F.desc("rep_sim"), "cell")
+    assigned = (scored_cells.withColumn("_rn", F.row_number().over(best))
+                .filter(F.col("_rn") == 1)
+                .select("query_id", "qvec", "cell"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("cell"),
+                      F.col("embedding").alias("cvec"))
+    reranked = (
+        F.broadcast(assigned).join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "cell", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim")))
+    topk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (reranked.withColumn("rn", F.row_number().over(topk))
+            .filter(F.col("rn") <= 3)
+            .orderBy("query_id", "rn"))
