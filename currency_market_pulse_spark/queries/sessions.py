@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import sessions as S
 from currency_market_pulse_spark.queries.registry import query
@@ -36,6 +36,49 @@ ORDER BY user_id, session_seq
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-minute inactivity gap)."""
     return S.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query(
+    "events_session_window_native",
+    oracle=f"""
+WITH {ORACLE_EVENTS_CTE},
+seq AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events_n),
+flagged AS (
+  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM seq),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged)
+SELECT user_id, min(ms) AS session_start_ms,
+       max(ms) + 1800000 AS session_close_ms,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_start_ms
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (30-min gap), verified
+    against an INDEPENDENT formulation: the oracle derives sessions via
+    lag + cumulative-sum, so this differential-checks Spark's
+    session-window merge semantics themselves (window.end = last event
+    + gap).  In streaming mode the same expression works with a
+    watermark — the engine's session operator is mode-agnostic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id",
+                   F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("sw.end")).alias("session_close_ms"),
+                "n_events")
+        .orderBy("user_id", "session_start_ms")
+    )
 
 
 @query(
