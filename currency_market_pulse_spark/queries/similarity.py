@@ -71,6 +71,39 @@ def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_vecs")).orderBy("bucket"))
 
 
+@query(
+    "embedding_array_stats",
+    oracle=f"""
+WITH {ORACLE_EMB_CTE}
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm,
+       round(list_aggregate(embedding, 'min'), 6) AS min_val,
+       round(list_aggregate(embedding, 'max'), 6) AS max_val,
+       round(list_aggregate(embedding, 'sum') / len(embedding), 6) AS mean_val,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+FROM emb
+""",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function coverage: per-vector norm, extrema,
+    mean and sign census — pure codegen, no Python, no explode."""
+    from currency_market_pulse_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 @query("sim_ann_lsh_topk")  # rows-only: approximate by design
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 within the query's LSH bucket — the reduced-recall,

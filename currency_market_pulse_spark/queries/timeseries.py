@@ -134,14 +134,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of the (small) df table; ln() is IEEE-identical
     across engines for these magnitudes (rounded 6 regardless)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, one job — the corpus row count
+    # corpus size as a broadcast 1-row join, NOT docs.count(): keeps the
+    # whole pipeline lazy (no extra driver-side job per invocation)
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(
         F.split(F.lower("text"), r"\s+")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     scored = (tf.join(F.broadcast(df_), "tok")
+              .crossJoin(F.broadcast(n))
               .select("doc_id", "tok",
-                      F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                      F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
                               6).alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (scored.withColumn("rn", F.row_number().over(w))
