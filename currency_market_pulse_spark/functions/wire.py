@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 _STRING_FIELDS = {1: "user_id", 2: "currency_from", 3: "currency_to",

@@ -25,12 +25,11 @@ DuckDB oracles reproduce results exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from currency_market_pulse_spark.functions.text import (
     hex_hash64, seeded_md5, shingles, tokens,
 )
-from currency_market_pulse_spark.functions.vectors import cosine
 
 # MinHash configuration: 12 hashes in 4 bands of 3. For jaccard j the
 # candidate probability is 1-(1-j^3)^4: ~0.06 at j=0.25, ~0.99 at j=0.9.

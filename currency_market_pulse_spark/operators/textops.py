@@ -8,7 +8,7 @@ whole-stage codegen end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from currency_market_pulse_spark.functions.text import (
     STOPWORDS, seeded_md5, shingles, tokens,

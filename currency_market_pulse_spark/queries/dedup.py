@@ -5,7 +5,7 @@ oracle that reproduces the identical (md5-family) hash math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from currency_market_pulse_spark.operators import dedup as D
 from currency_market_pulse_spark.queries.registry import query

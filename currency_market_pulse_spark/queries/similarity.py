@@ -88,7 +88,7 @@ FROM emb
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function coverage: per-vector norm, extrema,
     mean and sign census — pure codegen, no Python, no explode."""
-    from currency_market_pulse_spark.functions.vectors import dot, norm
+    from currency_market_pulse_spark.functions.vectors import norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 
 def compact_date_partition(spark: SparkSession, sink_path: str,
