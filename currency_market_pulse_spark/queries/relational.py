@@ -479,6 +479,66 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_counts_outer",
+    oracle="""
+SELECT c.c_custkey, coalesce(t.n_orders, 0) AS n_orders,
+       round(coalesce(t.sum_spend, 0.0), 2) AS sum_spend
+FROM customer c
+LEFT OUTER JOIN (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS sum_spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY o_custkey) t
+ON t.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with zero-fill: customers keep a row even with
+    no 2001 orders (aggregate-then-join, so the outer side joins
+    against a pre-shrunk table — never the raw fact)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    agg = o.groupBy("o_custkey").agg(F.count("*").alias("n"),
+                                     F.sum("o_totalprice").alias("s"))
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left_outer")
+        .select("c_custkey",
+                F.coalesce("n", F.lit(0)).alias("n_orders"),
+                F.round(F.coalesce("s", F.lit(0.0)), 2).alias("sum_spend"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "nation_presence_full_outer",
+    oracle="""
+SELECT coalesce(c.k, s.k) AS n_nationkey,
+       c.n_customers, s.n_suppliers
+FROM (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+ON c.k = s.k
+ORDER BY n_nationkey
+""",
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with customers, suppliers, or both —
+    NULL counts mark the missing side."""
+    c = (load_table(spark, sf_dir, "customer")
+         .groupBy(F.col("c_nationkey").alias("k"))
+         .agg(F.count("*").alias("n_customers")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("k"))
+         .agg(F.count("*").alias("n_suppliers")))
+    return (
+        c.join(s, "k", "full_outer")
+        .select(F.col("k").alias("n_nationkey"), "n_customers", "n_suppliers")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "populous_nations_having",
     oracle="""
 SELECT c_nationkey, count(*) AS n_customers

@@ -1,0 +1,52 @@
+"""Catalog layer: session-conf bootstrapping, ns->ms conversion
+goldens, trades view derivation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from currency_market_pulse_spark.sources.catalog import (
+    TABLES, ensure_session_confs, events_as_trades, load_table,
+)
+from tests.conftest import SF_DIR
+
+
+def test_all_tables_load_with_declared_columns(spark):
+    expected_cols = {
+        "region": ["r_regionkey", "r_name"],
+        "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        "embeddings": ["vec_id", "embedding", "label"],
+    }
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        assert df.count() > 0, t
+        if t in expected_cols:
+            assert df.columns == expected_cols[t]
+
+
+def test_events_ts_is_ms_precision_timestamp(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # every value must be exactly ms-aligned (floor of the stored ns)
+    from pyspark.sql import functions as F
+    sub_ms = ev.select(
+        (F.unix_micros("ts") % 1000).alias("r")).filter("r != 0").count()
+    assert sub_ms == 0
+
+
+def test_ensure_session_confs_idempotent(spark):
+    ensure_session_confs(spark)
+    ensure_session_confs(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+def test_events_as_trades_derivation(spark):
+    t = events_as_trades(spark, SF_DIR)
+    row = t.filter(t.currency_from == "PUR").first()
+    assert row.currency_to == "USD"
+    assert row.rate is not None
+    # rate == buy/sell exactly, micros truncated toward zero
+    assert row.rate == row.amount_buy_micros / row.amount_sell_micros
+    assert isinstance(row.time_placed, dt.datetime)
+    assert row.originating_country.startswith("C")

