@@ -13,9 +13,17 @@ bitwise comparison is deterministic; min/max/counts stay exact.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may import this module from any working directory; make the
+# sibling package importable regardless
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from currency_market_pulse_spark.queries import QUERIES, ORACLES
 from currency_market_pulse_spark.operators.trends import trends
