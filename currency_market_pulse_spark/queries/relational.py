@@ -16,7 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from currency_market_pulse_spark.queries.registry import query
-from currency_market_pulse_spark.sources.catalog import ORACLE_EVENTS_CTE, load_table
+from currency_market_pulse_spark.sources.catalog import (
+    ORACLE_EVENTS_CTE, ORACLE_TRADES_CTE, events_as_trades, load_table,
+)
 
 
 @query(
@@ -221,6 +223,63 @@ def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     only = c.exceptAll(s).distinct().select(
         F.lit("customers_only").alias("presence"), "n_nationkey")
     return both.unionAll(only).orderBy("presence", "n_nationkey")
+
+
+@query(
+    "segment_multiset_ops",
+    oracle="""
+SELECT 'except_all' AS op, c_mktsegment FROM (
+  SELECT c_mktsegment FROM customer WHERE c_nationkey < 13
+  EXCEPT ALL
+  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13) t
+UNION ALL
+SELECT 'intersect_all' AS op, c_mktsegment FROM (
+  SELECT c_mktsegment FROM customer WHERE c_nationkey < 13
+  INTERSECT ALL
+  SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13) t
+ORDER BY op, c_mktsegment
+""",
+)
+def segment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL keep
+    duplicate multiplicities — the counting variant of the distinct set
+    ops in nation_presence_setops."""
+    c = load_table(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_nationkey") < 13).select("c_mktsegment")
+    hi = c.filter(F.col("c_nationkey") >= 13).select("c_mktsegment")
+    ex = lo.exceptAll(hi).select(F.lit("except_all").alias("op"), "c_mktsegment")
+    it = lo.intersectAll(hi).select(F.lit("intersect_all").alias("op"),
+                                    "c_mktsegment")
+    return ex.unionAll(it).orderBy("op", "c_mktsegment")
+
+
+@query(
+    "rate_nullsafe_join",
+    oracle=f"""
+WITH {{TRADES_CTE}},
+buckets AS (
+  SELECT round(rate, 0) AS rate_bucket, count(*) AS n
+  FROM trades_n GROUP BY 1)
+SELECT a.rate_bucket, a.n AS n_a, b.n AS n_b
+FROM buckets a JOIN buckets b
+  ON a.rate_bucket IS NOT DISTINCT FROM b.rate_bucket
+ORDER BY a.rate_bucket NULLS FIRST
+""".replace("{TRADES_CTE}", ORACLE_TRADES_CTE),
+)
+def rate_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    rate bucket (div-by-zero trades) joins itself instead of silently
+    dropping — exactly the semantics a dedup-on-nullable-key needs."""
+    t = events_as_trades(spark, sf_dir)
+    buckets = (t.groupBy(F.round("rate", 0).alias("rate_bucket"))
+               .agg(F.count("*").alias("n")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, F.col("a.rate_bucket").eqNullSafe(F.col("b.rate_bucket")))
+        .select(F.col("a.rate_bucket").alias("rate_bucket"),
+                F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
+        .orderBy(F.col("rate_bucket").asc_nulls_first())
+    )
 
 
 @query(
