@@ -118,14 +118,29 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     )
 
 
+#: each seeded md5 yields 128 bits = four independent 32-bit (8 hex
+#: char) hash values; 12 signatures cost 3 md5 calls per shingle
+#: instead of 12 (4x less hashing — md5 dominates this operator).
+MINHASH_SLICES = 4
+
+
+def minhash_hash_expr(i: int, sh_col):
+    """Portable min-hash function i: 8-hex-char slice i%4 of
+    md5('<i//4>|' || shingle).  DuckDB twin:
+    substr(md5('<i//4>|' || sh), <(i%4)*8+1>, 8)."""
+    return F.substring(seeded_md5(i // MINHASH_SLICES, sh_col),
+                       (i % MINHASH_SLICES) * 8 + 1, 8)
+
+
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """K min-hash values per doc: sig_i = min over shingles of
-    md5('i|'||shingle) (lexicographic min of hex == deterministic
-    min-hash; portable across engines)."""
+    """K min-hash values per doc: sig_i = min over shingles of hash_i
+    (lexicographic min of fixed-width hex == deterministic min-hash;
+    portable across engines)."""
     sh = _doc_shingles(docs, 3, id_col, text_col)
-    aggs = [F.min(seeded_md5(i, F.col("sh"))).alias(f"mh{i}") for i in range(k)]
+    aggs = [F.min(minhash_hash_expr(i, F.col("sh"))).alias(f"mh{i}")
+            for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -63,7 +63,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ", ".join(
-        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(D.MINHASH_K))
+        f"min(substr(md5('{i // D.MINHASH_SLICES}|' || sh), "
+        f"{(i % D.MINHASH_SLICES) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(D.MINHASH_K))
     bands = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
             b=b, sig=" || '|' || ".join(
