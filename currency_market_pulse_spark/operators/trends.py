@@ -62,6 +62,18 @@ def trends(trades: DataFrame,
         df = df.filter(F.col(time_col) >= F.lit(date_from))
     if date_to is not None:
         df = df.filter(F.col(time_col) <= F.lit(date_to))
+    # Partition-predicate derivation: the sink layout partitions by
+    # trade_date (streaming/importer.py) but queries filter the
+    # fine-grained time_placed — Catalyst cannot infer the implied
+    # date bounds on its own, and without them a time-range query scans
+    # EVERY date partition.  Deriving them here is what makes the scan
+    # cost proportional to the queried range at 100 TB
+    # (tests/test_storage_pushdown.py asserts the PartitionFilters).
+    if "trade_date" in df.columns:
+        if date_from is not None:
+            df = df.filter(F.col("trade_date") >= F.to_date(F.lit(date_from)))
+        if date_to is not None:
+            df = df.filter(F.col("trade_date") <= F.to_date(F.lit(date_to)))
     if currency_from is not None:
         df = df.filter(F.col("currency_from") == currency_from)
     if currency_to is not None:
