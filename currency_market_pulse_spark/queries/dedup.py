@@ -5,7 +5,7 @@ oracle that reproduces the identical (md5-family) hash math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import dedup as D
 from currency_market_pulse_spark.queries.registry import query
@@ -110,6 +110,48 @@ FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup buckets: identical 16-bit signatures pair up."""
     return D.simhash_bucket_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE
+{_TOKS}, {_SH3},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r)
+SELECT node AS doc_id, min(r) AS component_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the 3-gram-jaccard
+    pair graph via iterative min-label propagation
+    (operators/components.py).  The oracle computes the same transitive
+    closure with a recursive CTE — differential proof that the
+    distributed iteration converges to the exact components."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    from currency_market_pulse_spark.operators.components import (
+        connected_components,
+    )
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component_id"))
+            .orderBy("doc_id"))
 
 
 @query(
