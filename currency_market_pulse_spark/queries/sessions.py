@@ -82,6 +82,48 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_conversion_funnel",
+    oracle=f"""
+WITH {ORACLE_EVENTS_CTE},
+first_signup AS (
+  SELECT user_id, min(epoch_ms(ts)) AS fs_ms FROM events_n
+  WHERE event_type = 'signup' GROUP BY user_id),
+first_purchase AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS fp_ms
+  FROM events_n e JOIN first_signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.fs_ms
+  GROUP BY e.user_id)
+SELECT count(*) AS n_signed_up,
+       count(fp_ms) AS n_converted,
+       round(CAST(count(fp_ms) AS DOUBLE) / count(*), 6) AS conversion_rate,
+       round(avg((fp_ms - fs_ms) / 1000.0), 3) AS avg_seconds_to_convert
+FROM first_signup LEFT JOIN first_purchase USING (user_id)
+""",
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel: users who signed up, the subset that later
+    purchased, and mean time-to-convert — conditional sequential
+    aggregation (two aggregations + one join; no per-user iteration)."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    fs = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min(ms).alias("fs_ms")))
+    fp = (ev.filter(F.col("event_type") == "purchase")
+          .withColumn("ms", ms)
+          .join(fs, "user_id")
+          .filter(F.col("ms") >= F.col("fs_ms"))
+          .groupBy("user_id").agg(F.min("ms").alias("fp_ms")))
+    return (
+        fs.join(fp, "user_id", "left")
+        .agg(F.count("*").alias("n_signed_up"),
+             F.count("fp_ms").alias("n_converted"),
+             F.round(F.count("fp_ms") / F.count("*"), 6).alias("conversion_rate"),
+             F.round(F.avg((F.col("fp_ms") - F.col("fs_ms")) / 1000.0), 3)
+              .alias("avg_seconds_to_convert"))
+    )
+
+
+@query(
     "rate_limit_replay",
     oracle=f"""
 WITH {ORACLE_EVENTS_CTE},
