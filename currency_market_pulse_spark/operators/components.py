@@ -32,6 +32,7 @@ def connected_components(pairs: DataFrame,
     labels = (edges.select(F.col("u").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
+    persisted_prev = None
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
@@ -46,6 +47,11 @@ def connected_components(pairs: DataFrame,
                     (F.col("nmin") < F.col("comp")).alias("changed"))
         ).persist()
         n_changed = new_labels.filter(F.col("changed")).count()
+        # the count above materialized new_labels; the previous
+        # iteration's cache is no longer referenced — release it
+        if persisted_prev is not None:
+            persisted_prev.unpersist()
+        persisted_prev = new_labels
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
