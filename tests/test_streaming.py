@@ -68,6 +68,44 @@ def test_import_pipeline_end_to_end(spark, tmp_path):
     assert row.trade_date is not None and row.batch_id is not None
 
 
+def test_restart_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+    """Stop the import query, drop more data, restart with the SAME
+    checkpoint: recovery must pick up exactly where it left off —
+    nothing lost, nothing reprocessed (T6 end-to-end)."""
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def count_rows():
+        try:
+            return spark.read.parquet(str(out)).count()
+        except Exception:
+            return -1
+
+    _write_ingest_file(src / "f1.json", [_trade(i) for i in range(5)])
+    q1 = run_import(read_trades_files(spark, str(src)),
+                    ParquetTradesSink(str(out)), str(ckpt))
+    try:
+        assert _run_until(q1, lambda: count_rows() == 5)
+    finally:
+        q1.stop()
+
+    # new data arrives while the query is DOWN
+    _write_ingest_file(src / "f2.json", [_trade(i + 10) for i in range(3)])
+
+    q2 = run_import(read_trades_files(spark, str(src)),
+                    ParquetTradesSink(str(out)), str(ckpt))
+    try:
+        assert _run_until(q2, lambda: count_rows() == 8)
+    finally:
+        q2.stop()
+
+    df = spark.read.parquet(str(out))
+    assert df.count() == 8                      # no loss
+    assert df.select("user_id").distinct().count() == 8  # no duplicates
+
+
 def test_replay_same_batch_is_idempotent(spark, tmp_path):
     out = tmp_path / "out"
     from pyspark.sql import Row
