@@ -166,6 +166,65 @@ def trades_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_rolling_active_users",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+days AS (SELECT DISTINCT d FROM user_days)
+SELECT days.d AS day,
+       (SELECT count(*) FROM user_days u WHERE u.d = days.d) AS dau,
+       (SELECT count(DISTINCT u.user_id) FROM user_days u
+        WHERE u.d > days.d - INTERVAL 7 DAY AND u.d <= days.d) AS wau
+FROM days ORDER BY day
+""",
+)
+def daily_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU.  Window functions can't COUNT DISTINCT,
+    so WAU uses the standard pattern: dedup to (user, day), range-join
+    each day against its trailing week, count distinct — shuffle volume
+    is |user-days| x 7, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select("user_id",
+                          F.date_trunc("day", "ts").alias("d")).distinct()
+    days = user_days.select("d").distinct()
+    dau = user_days.groupBy(F.col("d").alias("day")).agg(
+        F.count("*").alias("dau"))
+    week = (days.join(
+        user_days.select(F.col("user_id"), F.col("d").alias("ud")),
+        (F.col("ud") > F.col("d") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("ud") <= F.col("d")))
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau")))
+    return dau.join(week, "day").orderBy("day")
+
+
+@query(
+    "supplier_balance_zscore",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       round((s_acctbal - avg(s_acctbal) OVER w)
+             / nullif(stddev_samp(s_acctbal) OVER w, 0), 4) AS balance_z
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey)
+ORDER BY s_suppkey
+""",
+)
+def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group standardization via unbounded window aggregates
+    (the feature-normalization primitive)."""
+    s = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+    w = Window.partitionBy("s_nationkey")
+    sd = F.stddev_samp("s_acctbal").over(w)
+    return (
+        s.select("s_suppkey", "s_nationkey",
+                 F.round((F.col("s_acctbal") - F.avg("s_acctbal").over(w))
+                         / F.when(sd != 0, sd), 4).alias("balance_z"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "part_regexp_extract",
     oracle="""
 SELECT p_partkey,
