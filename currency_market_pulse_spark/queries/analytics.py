@@ -199,6 +199,30 @@ def daily_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_weekly_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hod,
+       count(*) AS n_events,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_weekly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap.  Cross-engine trap
+    pinned here: Spark dayofweek is 1-based Sunday=1, DuckDB's is
+    0-based Sunday=0 — the oracle shifts by +1 to the Spark convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofweek("ts").alias("dow"),
+                   F.hour("ts").alias("hod"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 6).alias("mean_value"))
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
     "supplier_balance_zscore",
     oracle="""
 SELECT s_suppkey, s_nationkey,
