@@ -1,11 +1,19 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+short JSON line as the LAST line of stdout:
 
-Each query executes to completion through the noop sink (full plan runs,
-no driver-side collect bottleneck).  A warmup pass on sf0.001 triggers
-JVM/codegen warmup so timings reflect steady-state execution.
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {<10 slowest>}, "n_queries": K, "sf": ...}
+
+Round-1 lesson: the driver captures a bounded tail of stdout, and a
+single line carrying all per-query timings overflowed it ("parsed":
+null).  So the printed line stays small (only the 10 slowest queries
+inline) and the complete per-query dict is written to
+``BENCH_QUERIES.json`` next to this file.
+
+Each query executes to completion through the noop sink (full plan
+runs, no driver-side collect bottleneck).  A warmup pass on sf0.001
+triggers JVM/codegen warmup so timings reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -16,7 +24,8 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 import __spark_entry__ as entrymod
 from currency_market_pulse_spark.session import get_spark
@@ -53,11 +62,19 @@ def main() -> None:
                   file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+
+    with open(os.path.join(_HERE, "BENCH_QUERIES.json"), "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f,
+                  indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # the one-line driver contract object — keep it short, keep it last
     print(json.dumps({
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
         "sf": sf,
     }))
     spark.stop()

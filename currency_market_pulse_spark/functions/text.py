@@ -37,11 +37,22 @@ def tokens(text: Column) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>, built with higher-order
-    functions (1-indexed element_at matches DuckDB list indexing)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    functions (1-indexed element_at matches DuckDB list indexing).
+
+    Guarded for short docs: Spark ``sequence(1, 0)`` DESCENDS to
+    ``[1, 0]`` (unlike DuckDB's empty ``range``), and element_at(_, 0)
+    throws — so a doc with fewer than n tokens must short-circuit to an
+    empty array, mirroring the oracle's empty range.  NULL input stays
+    NULL on both sides."""
+    empty = F.array().cast("array<string>")
+    return (
+        F.when(F.size(toks) >= n, F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ))
+        .when(toks.isNotNull(), empty)
+        .otherwise(F.lit(None).cast("array<string>"))
     )
 
 

@@ -59,6 +59,9 @@ def topk_bruteforce(emb: DataFrame, query_filter, k: int = 5,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+        # zero-norm vectors have no defined cosine (cosine() -> NULL);
+        # exclude them so the BLAS twin can mirror the semantics exactly
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -66,18 +69,35 @@ def topk_bruteforce(emb: DataFrame, query_filter, k: int = 5,
             .orderBy("query_id", "rn"))
 
 
+#: Hard cap on the driver-side query-set collect in topk_numpy.  The
+#: "queries are few" contract is now enforced, not assumed: a bad
+#: query_filter fails fast instead of OOMing the driver (VERDICT r1).
+MAX_TOPK_QUERIES = 1024
+
+
 def topk_numpy(emb: DataFrame, query_filter, k: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Same result shape as topk_bruteforce via one numpy matmul per
-    Arrow batch (mapInPandas).  Queries are collected to the driver
-    (they are a small set by contract) and closed over; candidates
-    stream through executors in columnar batches."""
+    """Same result as topk_bruteforce via one numpy matmul per Arrow
+    batch (mapInPandas).  Queries are collected to the driver (bounded
+    by MAX_TOPK_QUERIES — enforced) and closed over; candidates stream
+    through executors in columnar batches.  Zero-norm vectors are
+    excluded on both sides, mirroring topk_bruteforce's NULL-cosine
+    filter."""
     import numpy as np
 
-    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    q_rows = (emb.filter(query_filter).select(id_col, vec_col)
+              .limit(MAX_TOPK_QUERIES + 1).collect())
+    if len(q_rows) > MAX_TOPK_QUERIES:
+        raise ValueError(
+            f"topk_numpy query_filter selected more than {MAX_TOPK_QUERIES} "
+            f"rows; the query set is collected to the driver by design — "
+            f"narrow the filter or use topk_bruteforce/ann_lsh_topk")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    keep_q = q_norms.ravel() > 0
+    q_ids, q_mat, q_norms = q_ids[keep_q], q_mat[keep_q], q_norms[keep_q]
+    q_norm = q_mat / q_norms
 
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
@@ -87,10 +107,13 @@ def topk_numpy(emb: DataFrame, query_filter, k: int = 5,
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
+            keep = norms.ravel() > 0  # exclude zero-norm candidates too
+            c_ids, c_mat, norms = c_ids[keep], c_mat[keep], norms[keep]
             sims = q_norm @ (c_mat / norms).T  # (n_q, batch)
             n_q, n_c = sims.shape
             yield pd.DataFrame({

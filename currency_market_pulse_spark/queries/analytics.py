@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import (
     ORACLE_TRADES_CTE, events_as_trades, load_table,
 )
@@ -71,7 +71,7 @@ def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_pivot",
     oracle=f"""
 SELECT user_id,
-       {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+       {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
                   for t in EVENT_TYPES)}
 FROM events GROUP BY user_id ORDER BY user_id
 """,
@@ -112,7 +112,7 @@ def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "nation_balance_stats",
     oracle="""
 SELECT c_nationkey,
@@ -137,7 +137,7 @@ def nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "trades_sliding_window",
     oracle=f"""
 WITH {ORACLE_TRADES_CTE},
@@ -198,7 +198,7 @@ def daily_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(week, "day").orderBy("day")
 
 
-@query(
+@extra_query(
     "events_weekly_heatmap",
     oracle="""
 SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
@@ -248,7 +248,7 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "part_regexp_extract",
     oracle="""
 SELECT p_partkey,

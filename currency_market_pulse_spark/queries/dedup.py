@@ -96,12 +96,14 @@ hashed AS (SELECT doc_id,
            CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dtok),
 votes AS (
   SELECT doc_id, bit,
-         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
   FROM hashed, (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS bit) bits
   GROUP BY doc_id, bit),
 sims AS (
+  -- DuckDB sum() over integers returns HUGEINT (int128); the driver
+  -- hashes that differently from Spark's int64 — cast back to BIGINT.
   SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
 FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id

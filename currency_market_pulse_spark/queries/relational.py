@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import (
     ORACLE_EVENTS_CTE, ORACLE_TRADES_CTE, events_as_trades, load_table,
 )
@@ -95,7 +95,7 @@ def q3_top_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "region_customer_rollup",
     oracle="""
 SELECT r.r_name, n.n_name,
@@ -177,7 +177,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "active_customer_balances",
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_customers,
@@ -225,7 +225,7 @@ def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only).orderBy("presence", "n_nationkey")
 
 
-@query(
+@extra_query(
     "segment_multiset_ops",
     oracle="""
 SELECT 'except_all' AS op, c_mktsegment FROM (
@@ -253,7 +253,7 @@ def segment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionAll(it).orderBy("op", "c_mktsegment")
 
 
-@query(
+@extra_query(
     "rate_nullsafe_join",
     oracle=f"""
 WITH {{TRADES_CTE}},
@@ -338,7 +338,7 @@ def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
+@extra_query(
     "top10_parts_by_price",
     oracle="""
 SELECT p_partkey, p_name, p_brand, p_retailprice
@@ -502,7 +502,7 @@ def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@query(
+@extra_query(
     "orders_date_functions",
     oracle="""
 SELECT o_orderkey,
@@ -597,7 +597,7 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "populous_nations_having",
     oracle="""
 SELECT c_nationkey, count(*) AS n_customers

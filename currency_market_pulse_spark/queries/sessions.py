@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import sessions as S
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import ORACLE_EVENTS_CTE, load_table
 
 
@@ -38,7 +38,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
-@query(
+@extra_query(
     "events_session_window_native",
     oracle=f"""
 WITH {ORACLE_EVENTS_CTE},

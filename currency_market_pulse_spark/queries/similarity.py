@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
 from currency_market_pulse_spark.operators import similarity as S
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 _COS = ("list_dot_product(q.embedding, c.embedding) / "
@@ -36,7 +36,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_bruteforce(emb, F.col("vec_id") < 10, k=5)
 
 
-@query("sim_topk_numpy", oracle=_TOPK_ORACLE)
+@extra_query("sim_topk_numpy", oracle=_TOPK_ORACLE)
 def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-5 semantics through the Arrow/numpy BLAS path
     (mapInPandas matmul) — shares the bruteforce oracle, proving the

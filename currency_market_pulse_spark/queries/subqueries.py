@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 
@@ -59,7 +59,7 @@ def orders_of_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@query(
+@extra_query(
     "lineitems_above_global_avg_qty",
     oracle="""
 SELECT l_returnflag, count(*) AS n_above
@@ -123,7 +123,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "q10_returned_revenue",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name,

@@ -64,7 +64,7 @@ def trades_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {ORACLE_TRADES_CTE}
 SELECT currency_from, time_bucket(INTERVAL '1 hour', time_placed) AS time_window,
        count(*) AS n_trades,
-       sum(amount_sell_micros) AS sum_sell_micros,
+       CAST(sum(amount_sell_micros) AS BIGINT) AS sum_sell_micros,
        round(avg(rate), 6) AS mean_rate
 FROM trades_n
 GROUP BY 1, 2 ORDER BY 1, 2

@@ -37,6 +37,32 @@ def test_jaccard_identical_and_disjoint(spark):
     assert pairs == {(0, 1): 1.0}
 
 
+def test_short_docs_do_not_crash_shingle_ops(spark):
+    """Docs with fewer than n tokens must yield empty shingle sets, not
+    an element_at(_, 0) crash (Spark sequence(1, 0) descends to [1, 0];
+    ADVICE r1 high).  Covers jaccard, minhash-LSH and fingerprints."""
+    from currency_market_pulse_spark.functions.text import shingles, tokens
+    docs = _docs(spark, ["", "one", "one two",
+                         "one two three four five",
+                         "one two three four five"])
+    sh = docs.select(F.size(shingles(tokens(F.col("text")), 3)).alias("n"))
+    assert [r.n for r in sh.orderBy(F.col("n")).collect()] == [0, 0, 0, 3, 3]
+    pairs = {(r.id_a, r.id_b)
+             for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs == {(3, 4)}
+    cand = {(r.id_a, r.id_b)
+            for r in D.minhash_lsh_candidates(docs).collect()}
+    assert (3, 4) in cand and all(p == (3, 4) for p in cand)
+
+
+def test_shingles_null_text_stays_null(spark):
+    from currency_market_pulse_spark.functions.text import shingles, tokens
+    df = spark.createDataFrame([Row(doc_id=0, text=None)],
+                               schema="doc_id long, text string")
+    [r] = df.select(shingles(tokens(F.col("text")), 3).alias("sh")).collect()
+    assert r.sh is None
+
+
 def test_minhash_lsh_catches_identical_docs(spark):
     docs = _docs(spark, [
         "one two three four five six seven",

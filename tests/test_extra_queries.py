@@ -1,0 +1,45 @@
+"""Differential gate for the library-tier queries.
+
+The driver's correctness window covers only the first 50 registered
+``queries()`` entries, so the registry is capped at 50 distinct
+operators (queries/registry.py:MAX_REGISTERED) and near-duplicate
+variants live in ``EXTRA_QUERIES``.  This test holds every one of them
+to the same DuckDB-differential standard the driver applies to the
+registered tier: row count + schema + order-insensitive values, with
+the strict Arrow dtype check (HUGEINT/uint64 oracles fail).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from currency_market_pulse_spark.oracle import check_against_oracle, duck_con
+from currency_market_pulse_spark.queries.registry import (
+    EXTRA_ORACLES, EXTRA_QUERIES, MAX_REGISTERED, ORACLES, QUERIES,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_registry_within_driver_window():
+    assert len(QUERIES) <= MAX_REGISTERED
+    assert not (set(QUERIES) & set(EXTRA_QUERIES))
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+def test_extra_query_matches_oracle(spark, con, name):
+    sql = EXTRA_ORACLES.get(name)
+    assert sql is not None, f"{name} demoted without an oracle"
+    verdict, n = check_against_oracle(
+        spark, con, EXTRA_QUERIES[name], sql, SF_DIR)
+    assert verdict in ("EXACT", "APPROX"), f"{name}: {verdict}"
+    assert n > 0, f"{name} returned no rows at {SF_DIR}"

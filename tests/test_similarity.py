@@ -50,6 +50,36 @@ def test_ann_variants_recall_floor(spark):
         assert approx  # produced candidates at all
 
 
+def test_topk_numpy_query_cap_fails_fast(spark, monkeypatch):
+    """An oversized query set must raise, not OOM the driver
+    (VERDICT r1 item 6)."""
+    import pytest
+    monkeypatch.setattr(S, "MAX_TOPK_QUERIES", 3)
+    with pytest.raises(ValueError, match="more than 3"):
+        S.topk_numpy(_emb(spark), F.lit(True), k=2)
+
+
+def test_zero_norm_vectors_excluded_on_both_paths(spark):
+    """Zero-norm vectors have undefined cosine: both the Catalyst and
+    BLAS paths must drop them, as queries and as candidates
+    (ADVICE r1)."""
+    from pyspark.sql import Row
+    emb = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),   # zero-norm
+        Row(vec_id=3, embedding=[-1.0, 0.2]),
+    ]).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    flt = F.col("vec_id").isin(0, 2)
+    a = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_bruteforce(emb, flt, k=4).collect()]
+    b = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_numpy(emb, flt, k=4).collect()]
+    assert a == b
+    assert all(q == 0 for q, *_ in a)          # zero-norm query dropped
+    assert all(n != 2 for _, n, *_ in a)       # zero-norm candidate dropped
+
+
 def test_plane_weights_deterministic():
     w1, w2 = S.plane_weights(), S.plane_weights()
     assert w1 == w2
