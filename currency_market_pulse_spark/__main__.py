@@ -22,7 +22,13 @@ import sys
 
 
 def _parse_ts(s: str) -> dt.datetime:
-    return dt.datetime.fromisoformat(s.replace("Z", "+00:00")).replace(tzinfo=None)
+    """RFC3339-ish -> naive UTC.  Offset-aware inputs are CONVERTED to
+    UTC before the tzinfo is dropped (stripping a +05:00 offset without
+    converting would shift the query window by 5 h; ADVICE r1)."""
+    d = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -28,6 +28,7 @@ proto3 canonical encoding notes honored here:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,6 +50,19 @@ DECODED_SCHEMA = T.StructType([
     T.StructField("time_placed_ms", T.LongType()),
     T.StructField("originating_country", T.StringType()),
 ])
+
+
+def _present(v) -> bool:
+    """proto3 presence test, null-tolerant: None and NaN (what a null
+    long column becomes in a pandas batch) encode as the proto3 default,
+    i.e. the field is omitted — same as zero/empty.  Decode returns
+    ''/0 for omitted fields, so null and default are indistinguishable
+    on the wire, for strings and ints symmetrically (ADVICE r1)."""
+    if v is None:
+        return False
+    if isinstance(v, float) and math.isnan(v):
+        return False
+    return bool(v)
 
 
 def _varint(n: int) -> bytes:
@@ -76,13 +90,13 @@ def encode_trade(user_id: str, currency_from: str, currency_to: str,
     out = bytearray()
     for tag in sorted(vals):
         v = vals[tag]
+        if not _present(v):  # proto3 omits defaults (and nulls/NaN)
+            continue
         if tag in _STRING_FIELDS:
-            if v:  # proto3 omits defaults
-                data = v.encode("utf-8")
-                out += _varint(tag << 3 | 2) + _varint(len(data)) + data
+            data = v.encode("utf-8")
+            out += _varint(tag << 3 | 2) + _varint(len(data)) + data
         else:
-            if v:
-                out += _varint(tag << 3 | 0) + _varint(int(v))
+            out += _varint(tag << 3 | 0) + _varint(int(v))
     return bytes(out)
 
 

@@ -90,18 +90,45 @@ def _doc_shingles(docs: DataFrame, n: int,
     return sh.filter(F.col("sh").isNotNull())
 
 
+#: Default ceiling on per-shingle document frequency in the jaccard
+#: candidate join.  A shingle shared by df docs contributes df^2 join
+#: rows; boilerplate/stopword shingles at corpus scale have df in the
+#: millions, which no AQE skew split survives.  Shingles above the cap
+#: carry ~no discrimination signal anyway (they are corpus-common), so
+#: dropping them barely moves jaccard for true near-dups.  512 bounds
+#: any one shingle's join output at ~262k rows while sitting far above
+#: the test fixtures' max df (25 at sf0.1), keeping the exact oracle
+#: green at test scale.
+DEFAULT_SHINGLE_DF_CAP = 512
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_shingle_df: int | None = DEFAULT_SHINGLE_DF_CAP,
+                        ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a shingle.
 
     Plan: explode distinct shingles (set size piggybacked on each row)
-    -> self-join on shingle (one shuffle; AQE handles hot-shingle skew)
-    -> per-pair common count -> jaccard.  |A∩B| comes from the join,
-    |A|/|B| ride along as grouping keys — no size-lookup joins.
+    -> drop shingles with document frequency > max_shingle_df (skew
+    guard; see DEFAULT_SHINGLE_DF_CAP) -> self-join on shingle (one
+    shuffle; AQE handles residual skew) -> per-pair common count ->
+    jaccard.  |A∩B| comes from the join, |A|/|B| ride along as grouping
+    keys — no size-lookup joins.
+
+    The df filter is a window count partitioned by shingle — the same
+    key the self-join shuffles on, so the exchange is computed once and
+    reused by both join sides.  Set sizes n_a/n_b are computed BEFORE
+    the cap, so with a finite cap the jaccard of pairs relying on
+    super-common shingles is understated (never overstated); pass
+    ``max_shingle_df=None`` for the exact-at-any-cost variant.
     """
     sh = _doc_shingles(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (sh.withColumn("_df", F.count("*").over(wdf))
+              .filter(F.col("_df") <= max_shingle_df).drop("_df"))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))

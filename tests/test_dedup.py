@@ -75,6 +75,25 @@ def test_minhash_lsh_catches_identical_docs(spark):
     assert (0, 2) not in cand and (1, 2) not in cand
 
 
+def test_shingle_df_cap_drops_hot_shingles(spark):
+    """Document-frequency cap (VERDICT r1 item 9): shingles shared by
+    more than max_shingle_df docs are excluded from candidate
+    generation, so one boilerplate shingle can never produce a df^2
+    join blowup.  Sizes stay pre-cap, so capped jaccard only ever
+    understates."""
+    docs = _docs(spark, ["a b c p q", "a b c r s"])  # share ONLY 'a b c'
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_df=None).collect()}
+    assert uncapped == {(0, 1): 0.2}  # 1 common of 3+3-1
+    capped = D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_df=1).collect()
+    assert capped == []  # the hot shingle was the only link
+    # default cap is far above any fixture df: identical result
+    default = {(r.id_a, r.id_b): r.jaccard
+               for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    assert default == uncapped
+
+
 def test_simhash_same_tokenset_same_signature(spark):
     # SimHash is over the distinct-token SET: word order must not matter
     docs = _docs(spark, ["a b c d e", "e d c b a", "p q r s t"])

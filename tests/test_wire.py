@@ -32,6 +32,31 @@ def test_proto3_default_omission():
     assert d["user_id"] == "" and d["amount_sell_micros"] == 0
 
 
+def test_null_and_nan_encode_as_proto3_default():
+    """A null long column reaches the pandas UDF as NaN; both None and
+    NaN must encode as the omitted proto3 default instead of crashing
+    _varint (ADVICE r1)."""
+    assert encode_trade(None, None, None, None, float("nan"), None, None) == b""
+    b = encode_trade("u1", "EUR", "GBP", float("nan"), 5, None, "FR")
+    d = decode_trade(b)
+    assert d["amount_sell_micros"] == 0 and d["time_placed_ms"] == 0
+    assert d["amount_buy_micros"] == 5 and d["user_id"] == "u1"
+
+
+def test_null_numeric_row_survives_spark_encode(spark):
+    """End-to-end: a null time_placed row must not fail the write stage
+    when drop_invalid=False feeds the sink path."""
+    df = spark.createDataFrame(
+        [Row(user_id="u", currency_from="EUR", currency_to="GBP",
+             amount_sell_micros=1, amount_buy_micros=2,
+             time_placed_ms=None, originating_country="FR")],
+        schema="user_id string, currency_from string, currency_to string,"
+               "amount_sell_micros long, amount_buy_micros long,"
+               "time_placed_ms long, originating_country string")
+    [r] = to_trade_proto(df).select("value").collect()
+    assert decode_trade(bytes(r.value))["time_placed_ms"] == 0
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     user_id=st.text(max_size=20),
