@@ -70,13 +70,51 @@ class ParquetTradesSink(Sink):
 class JdbcSink(Sink):
     """ClickHouse (or any JDBC) sink.  Exactly-once without sink-side
     transactions: tag rows with batch_id and delete-before-insert on
-    replay (ReplacingMergeTree with batch_id in the ordering key
-    achieves the same dedup natively on ClickHouse)."""
+    replay, so a crash between sink write and checkpoint commit never
+    yields duplicates (reference: importer/importing/service.go:156-171
+    inserts into ClickHouse; there, ReplacingMergeTree with batch_id in
+    the ordering key achieves the same dedup natively — pass
+    ``delete_sql=None`` to skip the DELETE in that setup).
+
+    Tested for real against embedded Derby (tests/test_jdbc_sink.py);
+    for ClickHouse use url=jdbc:clickhouse://... with the clickhouse-
+    jdbc driver on the classpath and delete_sql="ALTER TABLE {table}
+    DELETE WHERE batch_id = {batch_id}".
+    """
     url: str
     table: str
     driver: str = "com.clickhouse.jdbc.ClickHouseDriver"
+    #: str.format template executed before each insert; {table} and
+    #: {batch_id} are substituted.  None disables the pre-delete.
+    #: batch_id is ANSI-quoted: Spark's JDBC writer creates quoted
+    #: lowercase columns, which case-folding databases (Derby,
+    #: Postgres) would not match unquoted.
+    delete_sql: str | None = 'DELETE FROM {table} WHERE "batch_id" = {batch_id}'
+
+    def _delete_replayed(self, spark, batch_id: int) -> None:
+        """Best-effort pre-delete of a replayed batch through a plain
+        JDBC connection (driver-side; the statement touches only one
+        batch_id).  'Table missing' errors are ignored — first write
+        creates the table."""
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(self.delete_sql.format(
+                    table=self.table, batch_id=int(batch_id)))
+            except Exception as e:  # table not created yet
+                if "42X05" not in str(e) and "does not exist" not in str(e).lower():
+                    raise
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
 
     def write(self, batch: DataFrame, batch_id: int) -> None:
+        if self.delete_sql is not None:
+            self._delete_replayed(batch.sparkSession, batch_id)
         (batch.withColumn("batch_id", F.lit(batch_id))
          .write.format("jdbc")
          .option("url", self.url)

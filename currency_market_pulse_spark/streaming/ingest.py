@@ -24,6 +24,26 @@ from currency_market_pulse_spark.functions.normalize import (
 
 KAFKA_TOPIC = "currency-trades"  # consumer/cmd/main.go:73
 
+#: Maven coordinates of the Kafka connector matching this PySpark
+#: build (Spark 4.x is Scala 2.13).  Not bundled with pip pyspark —
+#: launch with:  spark-submit --packages $(python -c 'from
+#: currency_market_pulse_spark.streaming.ingest import KAFKA_PACKAGE;
+#: print(KAFKA_PACKAGE)') ...   or set spark.jars.packages on the
+#: session builder.  tests/test_kafka_integration.py exercises the
+#: real broker path when SPARK_KAFKA_TEST=1.
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the JVM classpath
+    (session-level check; cheap, no broker contact)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
 
 def read_trades_stream(spark: SparkSession,
                        bootstrap_servers: str,
