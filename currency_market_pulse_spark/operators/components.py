@@ -25,9 +25,15 @@ def connected_components(pairs: DataFrame,
                          max_iter: int = 20) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
     component = minimum node id reachable through the pair graph."""
+    # hash-partition the cached edges by the per-round join key: the
+    # cached partitioning satisfies the join's distribution requirement,
+    # so every iteration shuffles only the (much smaller) labels side —
+    # one extra exchange now buys one fewer exchange of the full edge
+    # relation per round.
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
+             .repartition("v")
              .persist())
     labels = (edges.select(F.col("u").alias("node"))
               .distinct()
