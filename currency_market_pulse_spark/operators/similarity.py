@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-from currency_market_pulse_spark.functions.vectors import cosine, dot
+from currency_market_pulse_spark.functions.vectors import cosine, dot, norm
 
 N_PLANES = 8
 DIM = 64
@@ -50,18 +50,21 @@ def topk_bruteforce(emb: DataFrame, query_filter, k: int = 5,
     """Exact cosine top-k: for every query row (query_filter on emb),
     the k nearest other vectors.  Scores rounded to 6 so ranking is
     reproducible across engines; ties broken by neighbor id."""
-    q = emb.filter(query_filter).select(
+    # zero-norm vectors have no defined cosine (cosine() -> NULL):
+    # exclude them PER ROW, before the join — filtering on cos_sim
+    # after the crossJoin would collapse into the projection and
+    # re-evaluate the three array folds per PAIR (the SCALE.md
+    # inlining trap, measured ~1.8x on this operator).
+    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    q = nz.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("cvec"))
+    c = nz.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("cvec"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
-        # zero-norm vectors have no defined cosine (cosine() -> NULL);
-        # exclude them so the BLAS twin can mirror the semantics exactly
-        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (scored.withColumn("rn", F.row_number().over(w))

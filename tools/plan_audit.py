@@ -74,13 +74,34 @@ EXPECTATIONS = {
     "sim_topk_bruteforce": [
         ("queries broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
     ],
+    "dedup_embedding_cosine": [
+        # round-2 de-collect: the BLAS kernel runs executor-side per
+        # block-pair group; nothing is materialized on the driver
+        ("kernel is grouped applyInPandas", r"FlatMapGroupsInPandas"),
+        ("block replication via explode", r"Generate explode"),
+    ],
+    "dedup_ngram_jaccard": [
+        ("df cap is a window count on the join key", r"Window \[count"),
+    ],
+}
+
+#: checks that must run against the POST-EXECUTION adaptive plan
+#: (AQE decides these at runtime)
+RUNTIME_EXPECTATIONS = {
+    # the df-cap window and both self-join sides shuffle on `sh`; AQE
+    # must reuse that exchange rather than computing it twice
+    "dedup_ngram_jaccard": [
+        ("shingle exchange reused across self-join", r"ReusedExchange"),
+    ],
 }
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(shuffle_partitions=8)
-    queries = entrymod.queries()
+    from currency_market_pulse_spark.queries.registry import EXTRA_QUERIES
+    queries = dict(entrymod.queries())
+    queries.update(EXTRA_QUERIES)  # library tier is plan-audited too
     failures = 0
     for name, checks in EXPECTATIONS.items():
         import io
@@ -101,6 +122,16 @@ def main() -> int:
         # codegen spans: '*(n)' markers in simple mode (AQE initial plan)
         wsc = len(set(re.findall(r"\*\((\d+)\)", qe.simpleString())))
         print(f"      {name}: WholeStageCodegen spans={wsc}")
+    for name, checks in RUNTIME_EXPECTATIONS.items():
+        df = queries[name](spark, sf_dir)
+        df.collect()  # drive AQE to the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for desc, rx in checks:
+            if re.search(rx, plan):
+                print(f"ok    {name} [runtime]: {desc}")
+            else:
+                print(f"FAIL  {name} [runtime]: {desc}  (pattern {rx!r} not found)")
+                failures += 1
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0
