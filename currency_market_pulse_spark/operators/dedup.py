@@ -249,10 +249,16 @@ def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: Target rows per block for the block self-join: keeps each
+#: block-pair's BLAS task at ~2*2048*dim*8 bytes of matrix (a few MB at
+#: dim<=1024) and its sims buffer at 2048^2*8 = 33 MB.
+EMBED_BLOCK_ROWS = 2048
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             n_blocks: int = 8) -> DataFrame:
+                             n_blocks: int | None = None) -> DataFrame:
     """Semantic near-dup: pairs with cosine >= threshold.  EXACT
     all-pairs, fully distributed (no driver materialization — the
     round-1 version collected the corpus to the driver; VERDICT r1).
@@ -268,12 +274,21 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     candidate generators (minhash_lsh_candidates / similarity
     .lsh_buckets) and run this kernel within buckets.
 
+    ``n_blocks=None`` auto-sizes B = ceil(n / EMBED_BLOCK_ROWS) from
+    one count() of the input — one cheap extra job that keeps tasks at
+    a constant memory footprint at every corpus size (B=1 collapses to
+    a single in-task matmul for small inputs).
+
     Zero-norm vectors match nothing (their cosine is NULL in the
     relational twin, functions/vectors.py:cosine)."""
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    if n_blocks is None:
+        n_blocks = max(1, math.ceil(emb.count() / EMBED_BLOCK_ROWS))
     B = n_blocks
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),

@@ -25,13 +25,18 @@ from currency_market_pulse_spark.functions.normalize import (
 KAFKA_TOPIC = "currency-trades"  # consumer/cmd/main.go:73
 
 #: Maven coordinates of the Kafka connector matching this PySpark
-#: build (Spark 4.x is Scala 2.13).  Not bundled with pip pyspark —
-#: launch with:  spark-submit --packages $(python -c 'from
-#: currency_market_pulse_spark.streaming.ingest import KAFKA_PACKAGE;
-#: print(KAFKA_PACKAGE)') ...   or set spark.jars.packages on the
-#: session builder.  tests/test_kafka_integration.py exercises the
-#: real broker path when SPARK_KAFKA_TEST=1.
-KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+#: build (Spark 4.x is Scala 2.13; version pinned to the installed
+#: pyspark so the connector always matches the engine).  Not bundled
+#: with pip pyspark — launch with:  spark-submit --packages $(python -c
+#: 'from currency_market_pulse_spark.streaming.ingest import
+#: KAFKA_PACKAGE; print(KAFKA_PACKAGE)') ...   or set
+#: spark.jars.packages on the session builder.
+#: tests/test_kafka_integration.py exercises the real broker path when
+#: SPARK_KAFKA_TEST=1.
+import pyspark as _pyspark
+
+KAFKA_PACKAGE = (
+    f"org.apache.spark:spark-sql-kafka-0-10_2.13:{_pyspark.__version__}")
 
 
 def kafka_connector_available(spark: SparkSession) -> bool:
