@@ -76,3 +76,107 @@ def decode_metadata(docs_with_payload: DataFrame,
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(kernel, DECODED_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(docs_with_payload: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """1->1 transform stage: payload -> resized payload at (width,
+    height).  STUB kernel (a real implementation calls
+    PIL.Image.resize here — not installed in this container): emits
+    md5(payload | 'WxH') bytes, deterministic so the batch plumbing is
+    end-to-end testable.  Plumbing is real: binary in/out through
+    Arrow, constant-memory per batch, column pruning upstream."""
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "width": [], "height": []}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                fake = hashlib.md5(
+                    bytes(payload) + f"|{width}x{height}".encode()).digest()
+                out["doc_id"].append(i)
+                out["payload"].append(fake)
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+#: stub frame cadence: 25 fps -> 40 ms per frame
+FRAME_INTERVAL_MS = 40
+MAX_STUB_FRAMES = 5
+
+
+def sample_frames(docs_with_payload: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """1->N explosion stage: each (video) payload yields one row per
+    sampled frame — the row-count-changing mapInPandas shape a video
+    pipeline needs (ffmpeg frame extraction in production; here the
+    STUB derives n_frames = h64(payload) % MAX_STUB_FRAMES + 1 and
+    per-frame md5s, fully reproducible in the DuckDB oracle).
+
+    At 100 TB the explosion factor (frames per clip) multiplies output
+    rows, not task memory: frames stream out per Arrow batch."""
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_md5": []}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                h64 = int(hashlib.md5(b).hexdigest()[:15], 16)
+                for k in range(h64 % MAX_STUB_FRAMES + 1):
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(k * FRAME_INTERVAL_MS)
+                    out["frame_md5"].append(
+                        hashlib.md5(b + f"|frame|{k}".encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame, dim: int = 8,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Feature-extraction stage: payload -> float vector (a vision/
+    audio encoder forward pass in production; STUB derives component j
+    from md5(payload | 'f' | j), in [-1, 1), deterministic).  Output is
+    array<float> — directly consumable by operators/similarity.py and
+    embedding_near_dup_pairs, closing the multimodal -> embedding-dedup
+    loop."""
+    cols = docs_with_payload.select(id_col, "payload")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                vec = [
+                    (int(hashlib.md5(b + f"|f|{j}".encode()).hexdigest()[:8],
+                         16) % 2000 - 1000) / 1000.0
+                    for j in range(dim)]
+                ids.append(i)
+                vecs.append(vec)
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return cols.mapInPandas(kernel, schema)

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import multimodal as M
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 
@@ -56,3 +56,29 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     production (operators/multimodal.py:_stub_decode_one)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_metadata(M.with_binary_payload(docs))
+
+
+@extra_query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH h AS (SELECT doc_id, text,
+                  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h64
+           FROM documents)
+SELECT doc_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(k * {M.FRAME_INTERVAL_MS} AS BIGINT) AS ts_ms,
+       -- payload bytes are UTF-8 of text, so hashing the VARCHAR
+       -- concat is byte-identical (DuckDB 1.0 md5 takes no BLOB)
+       md5(text || '|frame|' || k) AS frame_md5
+FROM h, LATERAL unnest(range(0, h64 % {M.MAX_STUB_FRAMES} + 1)) AS t(k)
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1->N mapInPandas explosion): one row per
+    stub-sampled frame with its timestamp and frame hash.  Library
+    tier; the oracle reproduces the stub's frame count and per-frame
+    md5 exactly, proving the row-expanding batch shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (M.sample_frames(M.with_binary_payload(docs))
+            .orderBy("doc_id", "frame_idx"))
