@@ -31,7 +31,9 @@ def _parse_ts(s: str) -> dt.datetime:
     return d
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry.  ``spark``: inject an existing session (tests); when
+    None a session is created and stopped by the CLI itself."""
     p = argparse.ArgumentParser(prog="currency_market_pulse_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -57,8 +59,10 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
-    from currency_market_pulse_spark.session import get_spark
-    spark = get_spark(app_name=f"cmp-cli-{args.cmd}")
+    owns_session = spark is None
+    if owns_session:
+        from currency_market_pulse_spark.session import get_spark
+        spark = get_spark(app_name=f"cmp-cli-{args.cmd}")
     try:
         if args.cmd == "trends":
             from currency_market_pulse_spark.api import PulseEngine
@@ -94,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in fn(spark, args.sf_dir).limit(args.limit).collect():
                 print(json.dumps(r.asDict(), default=str))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -1,4 +1,11 @@
-"""Import every query module so registration side effects run."""
+"""Import every query module so registration side effects run.
+
+Two tiers (round 2): QUERIES/ORACLES is the driver-visible registry,
+capped at 50 entries so every one lands inside the driver's
+correctness window; EXTRA_QUERIES/EXTRA_ORACLES (registry.py) hold the
+library-tier variants, differential-tested by
+tests/test_extra_queries.py and `tools/selfcheck.py --extra`.
+"""
 
 from currency_market_pulse_spark.queries.registry import QUERIES, ORACLES, query
 
