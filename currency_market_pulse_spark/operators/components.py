@@ -9,15 +9,98 @@ distributed joins (one shuffle each); the driver only checks the
 converged counter.  Rounds needed = graph diameter — for near-dup
 graphs that is tiny (dup clusters are cliques or short chains).
 
-At 100 TB: persist each iteration's labels (done below) so lineage
-doesn't re-execute from the source; for adversarial graphs with large
-diameter, switch to the alternating large-star/small-star algorithm
-(same join primitives, O(log n) rounds).
+At 100 TB: each iteration's labels are localCheckpoint-ed so the
+logical plan stays O(1)-deep (labels feeds the next round's plan twice,
+so un-truncated lineage doubles per round); for adversarial graphs with
+large diameter, use ``connected_components_star`` — alternating
+large-star/small-star contraction, O(log n) rounds.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components_star(pairs: DataFrame,
+                              src: str = "id_a", dst: str = "id_b",
+                              max_iter: int = 50) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    contraction — the O(log n)-round algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) that replaces
+    plain min-label propagation when the pair graph has long chains
+    (diameter-many rounds would be unacceptable at corpus scale).
+
+    Per round (all pure DataFrame ops, one shuffle per star step):
+
+    - large-star: for each node u over BOTH edge directions, with
+      m = min(N(u) ∪ {u}): re-point every strictly larger neighbor at
+      m — emits (v, m) for v > u.
+    - small-star: edges canonicalized as (larger, smaller); for each
+      larger endpoint u with m = min of its smaller neighbors:
+      emit (v, m) for every smaller neighbor and (u, m).
+
+    Convergence = the canonical edge set is unchanged (count +
+    order-insensitive xxhash64 checksum, one cheap action per round).
+    At the fixed point edges form stars rooted at component minima.
+
+    Each round's edge set is ``localCheckpoint``-ed: iterative plans
+    grow a nested lineage that Catalyst re-analyzes every round and
+    eventually overflows the JVM stack — checkpointing truncates the
+    plan to a leaf.  On a cluster, swap for ``checkpoint()`` with a
+    reliable checkpoint dir if executor loss must not force a restart.
+    """
+    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionAll(e.select(F.col("v").alias("node"))).distinct())
+
+    def _canon(edges: DataFrame) -> DataFrame:
+        # store as (big, small); self-loops carry no information
+        return (edges
+                .select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _checksum(edges: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and overflow-free (ANSI-safe)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return row.n, row.h
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        nbr = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (nbr.groupBy("u").agg(F.min("v").alias("_minv"))
+             .select("u", F.least("_minv", F.col("u")).alias("m")))
+        return (nbr.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        c = _canon(edges)  # u > v everywhere
+        m = c.groupBy("u").agg(F.min("v").alias("m"))
+        repointed = (c.join(m, "u")
+                     .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        to_root = m.select(F.col("u"), F.col("m").alias("v"))
+        return repointed.unionAll(to_root)
+
+    edges = _canon(e).localCheckpoint()
+    prev_sum = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _canon(_small_star(_large_star(edges))).localCheckpoint()
+        cur_sum = _checksum(edges)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    # fixed point: every non-root points directly at its component min
+    # (min-agg guards against a not-yet-unique parent if max_iter
+    # truncated the loop; at the true fixed point it is a no-op)
+    parent = (edges.groupBy(F.col("u").alias("node"))
+              .agg(F.min("v").alias("comp")))
+    return (nodes.join(parent, "node", "left")
+            .select("node", F.coalesce("comp", F.col("node")).alias("comp")))
 
 
 def connected_components(pairs: DataFrame,
@@ -38,26 +121,24 @@ def connected_components(pairs: DataFrame,
     labels = (edges.select(F.col("u").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
-    persisted_prev = None
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nmin")))
+        # labels feeds the plan twice per round, so without truncation
+        # the logical plan DOUBLES every iteration; localCheckpoint cuts
+        # the lineage to a leaf and materializes (eager) so the count
+        # below is a cheap scan of the checkpointed blocks.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).persist()
+        ).localCheckpoint()
         n_changed = new_labels.filter(F.col("changed")).count()
-        # the count above materialized new_labels; the previous
-        # iteration's cache is no longer referenced — release it
-        if persisted_prev is not None:
-            persisted_prev.unpersist()
-        persisted_prev = new_labels
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break

@@ -1,11 +1,16 @@
 """Connected components: chains, cliques, and cross-links converge to
-min-label components."""
+min-label components; the large-star/small-star variant agrees with
+plain label propagation everywhere."""
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Row
 
-from currency_market_pulse_spark.operators.components import connected_components
+from currency_market_pulse_spark.operators.components import (
+    connected_components, connected_components_star,
+)
 
 
 def _pairs(spark, edges):
@@ -24,3 +29,32 @@ def test_merge_via_bridge(spark):
     edges = [(1, 2), (3, 4), (2, 3)]
     out = {r.node: r.comp for r in connected_components(_pairs(spark, edges)).collect()}
     assert set(out.values()) == {1}
+
+
+def test_star_agrees_on_basic_shapes(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    out = {r.node: r.comp
+           for r in connected_components_star(_pairs(spark, edges)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 40-node path is label propagation's worst case (diameter-many
+    rounds); star contraction must still produce the exact components
+    within its O(log n) iteration budget."""
+    chain = [(i, i + 1) for i in range(40)]
+    out = {r.node: r.comp for r in connected_components_star(
+        _pairs(spark, chain), max_iter=10).collect()}
+    assert out == {i: 0 for i in range(41)}
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        nodes = list(range(30))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = _pairs(spark, edges)
+        a = {r.node: r.comp for r in connected_components(df).collect()}
+        b = {r.node: r.comp for r in connected_components_star(df).collect()}
+        assert a == b, f"trial {trial}: {a} vs {b}"
