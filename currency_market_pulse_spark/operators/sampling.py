@@ -1,0 +1,114 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Every decision is a pure function of a stable row id hashed with the
+portable md5 family (functions/text.py conventions): no RNG state, no
+sort, rerun-stable, and — the property training pipelines actually
+need — stable under corpus growth: a document's train/val/test
+assignment never changes when other documents are added or removed, so
+re-ingest cannot leak held-out data into train.
+
+The reference has no sampling surface (its one query is an aggregate:
+trends/listing/service.go:47-62); these are part of the §2.6
+training-data extension tier.
+
+At 100 TB:
+
+- ``hash_split`` / ``stratified_sample`` are narrow zero-shuffle
+  projections/filters — they fuse into the scan stage, cost one md5
+  per row, and push the split predicate down to the parquet scan when
+  the caller filters on one split.
+- ``per_group_cap`` is one shuffle on the group key (row_number over a
+  deterministic hash order) — identical cost shape to any group-by;
+  cap skewed groups the same way as any hot-key aggregate (AQE).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: 16^15 = 2^60 — the md5-prefix hash space; a 60-bit int divided by
+#: this is a uniform fraction in [0, 1).  Both engines do the same
+#: IEEE-double division, so thresholds compare bitwise-identically.
+HASH_SPACE = 16 ** 15
+
+
+def hash_long(id_col: Column, seed: str) -> Column:
+    """Uniform 60-bit int from a stable id: the portable md5-prefix
+    trick (== DuckDB ``('0x' || substr(md5(seed || '|' || id), 1, 15))
+    ::BIGINT``)."""
+    key = F.concat_ws("|", F.lit(seed), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hash_fraction(id_col: Column, seed: str) -> Column:
+    """Uniform double in [0, 1) from a stable id."""
+    return hash_long(id_col, seed) / F.lit(float(HASH_SPACE))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: Mapping[str, float],
+               seed: str = "split") -> DataFrame:
+    """Add a ``split`` column assigning each row to one of the named
+    splits with the given weights (normalized), deterministically by
+    ``id_col``.
+
+    Assignment is by cumulative threshold on the hash fraction, so
+    enlarging one split keeps every row of the smaller prior split in
+    place (monotone splits — train at 90% contains train at 80%).
+    """
+    if len(weights) < 2:
+        raise ValueError("hash_split needs >= 2 splits")
+    total = float(sum(weights.values()))
+    frac = hash_fraction(F.col(id_col), seed)
+    names = list(weights)
+    case = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = frac < F.lit(cum)
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    return df.withColumn("split", case.otherwise(names[-1]))
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, float]]:
+    """(name, cumulative upper bound) pairs exactly as ``hash_split``
+    computes them — exported so oracles can embed the identical float
+    literals (same Python accumulation, same IEEE values)."""
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append((name, cum))
+    out.append((list(weights)[-1], 1.0))
+    return out
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: Mapping[str, float],
+                      default: float = 0.0,
+                      seed: str = "sample") -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: stratum value
+    -> sampling rate; unlisted strata get ``default``.  The classic
+    rebalancing move (e.g. downsample the dominant language)."""
+    frac = hash_fraction(F.col(id_col), seed)
+    thresh = None
+    for value, rate in fractions.items():
+        cond = F.col(strata_col) == value
+        thresh = (F.when(cond, rate) if thresh is None
+                  else thresh.when(cond, rate))
+    thresh = F.lit(default) if thresh is None else thresh.otherwise(default)
+    return df.filter(frac < thresh)
+
+
+def per_group_cap(df: DataFrame, group_col: str, id_col: str,
+                  n: int, seed: str = "cap") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by
+    hash order (ties broken by id) — per-source / per-user caps for
+    dataset balancing.  One shuffle on the group key."""
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_long(F.col(id_col), seed).asc(),
+                  F.col(id_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))

@@ -1,0 +1,116 @@
+"""Deterministic sampling / dataset-split queries (operators/sampling.py).
+
+Library tier (@extra_query): the driver-visible registry is capped at
+50; these are held to the same DuckDB-differential standard by
+tests/test_extra_queries.py.
+
+The oracles reproduce the identical md5-prefix hash math
+(``('0x' || substr(md5(seed || '|' || id), 1, 15))::BIGINT``), the same
+IEEE-double division by 2^60, and — for ``hash_split`` — the exact
+cumulative-threshold float literals via ``split_thresholds`` (Python
+``repr`` round-trips the double bit-for-bit into DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.operators import sampling as S
+from currency_market_pulse_spark.queries.registry import extra_query
+from currency_market_pulse_spark.sources.catalog import load_table
+
+#: Flagship 90/5/5 split used by the split query and its oracle.
+SPLIT_WEIGHTS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+#: Per-language sampling rates: downsample dominant en, keep all fr.
+STRATA_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 1.0}
+
+#: Per-user event cap for the balancing query.
+USER_CAP = 3
+
+
+def _hash_long_sql(seed: str, id_expr: str) -> str:
+    return (f"CAST(('0x' || substr(md5('{seed}|' || "
+            f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)")
+
+
+def _frac_sql(seed: str, id_expr: str) -> str:
+    return f"({_hash_long_sql(seed, id_expr)} / {float(S.HASH_SPACE)!r})"
+
+
+def _split_case_sql() -> str:
+    parts = []
+    for name, ub in S.split_thresholds(SPLIT_WEIGHTS)[:-1]:
+        parts.append(f"WHEN frac < {ub!r} THEN '{name}'")
+    last = list(SPLIT_WEIGHTS)[-1]
+    return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
+
+
+@extra_query(
+    "documents_hash_split",
+    oracle=f"""
+WITH f AS (SELECT n_chars, {_frac_sql('split', 'doc_id')} AS frac
+           FROM documents),
+s AS (SELECT n_chars, {_split_case_sql()} AS split FROM f)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split ORDER BY split
+""",
+)
+def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by doc_id hash;
+    per-split doc and char counts.  Zero-shuffle assignment (pure
+    projection), one aggregate shuffle on the 3-value split key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split"))
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v!r}"
+                     for k, v in STRATA_FRACTIONS.items())
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@extra_query(
+    "documents_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_frac_sql('sample', 'doc_id')} < {_strata_case_sql()}
+""",
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (rebalance the corpus:
+    25% of en, 50% of de, all of fr, drop the rest).  Zero-shuffle —
+    the filter fuses into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.stratified_sample(docs, "doc_id", "lang", STRATA_FRACTIONS)
+            .select("doc_id", "lang", "source"))
+
+
+@extra_query(
+    "events_per_user_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY {_hash_long_sql('cap', 'event_id')}, event_id
+         ) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM ranked WHERE rn <= {USER_CAP}
+""",
+)
+def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset balancing: keep at most {USER_CAP} events per user,
+    chosen deterministically by event-id hash.  One shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return (S.per_group_cap(ev, "user_id", "event_id", USER_CAP)
+            .select("event_id", "user_id", "event_type"))
