@@ -1,0 +1,107 @@
+"""Sequence packing: assign documents to fixed-token-budget packs —
+the concat-into-training-sequences step of an LLM data pipeline.
+
+Two packing disciplines, both deterministic (docs ordered by id within
+a shard):
+
+- ``chunk_pack`` — concat-then-chunk: a doc belongs to the pack its
+  cumulative START offset falls in (``floor(start / budget)``).  Packs
+  can overflow by at most one document (the straddler), which is the
+  standard accept-a-boundary-crossing formulation.  Pure window
+  cumsum: one shuffle on the shard key, whole-stage codegen, no
+  Python.  This is the 100 TB path — shard by source/file so each
+  window partition is bounded, and every shard packs independently in
+  parallel.
+- ``greedy_pack`` — exact first-fit-sequential: fill a pack until the
+  NEXT doc would overflow, then open a new one; a doc never straddles
+  (oversized docs get a pack of their own).  The fold is inherently
+  sequential per shard, so it runs as an Arrow-batched
+  ``applyInPandas`` over the shard key — same shuffle shape as
+  chunk_pack, O(shard) python work within each group.  Its DuckDB
+  oracle is a recursive CTE replaying the identical fold — a strong
+  differential test of the stateful kernel.
+
+The reference has no packing surface; this is §2.6 extension tier.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def chunk_pack(docs: DataFrame, id_col: str, tokens_col: str,
+               budget: int, shard_col: str) -> DataFrame:
+    """Add ``pack_id``: concat-then-chunk packing per shard (see module
+    docstring).  ``pack_id`` is dense from 0 within each shard."""
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col))
+    return docs.withColumn(
+        "pack_id", F.floor(start / F.lit(budget)).cast("long"))
+
+
+def greedy_pack(docs: DataFrame, id_col: str, tokens_col: str,
+                budget: int, shard_col: str) -> DataFrame:
+    """Add ``pack_id``: exact first-fit-sequential packing per shard —
+    a pack never exceeds ``budget`` unless a single doc alone does."""
+    out_schema = StructType(
+        list(docs.schema.fields) + [StructField("pack_id", LongType())])
+    cols = [f.name for f in docs.schema.fields]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        packs: list[int] = []
+        pack, cum = 0, 0
+        for t in pdf[tokens_col].astype("int64"):
+            if cum > 0 and cum + t > budget:
+                pack += 1
+                cum = 0
+            cum += int(t)
+            packs.append(pack)
+        pdf = pdf[cols].copy()
+        pdf["pack_id"] = pd.Series(packs, index=pdf.index, dtype="int64")
+        return pdf
+
+    return docs.groupBy(shard_col).applyInPandas(fold, out_schema)
+
+
+def pack_stats(packed: DataFrame, tokens_col: str,
+               shard_col: str) -> DataFrame:
+    """Per-pack fill statistics (docs, tokens) — the packing-efficiency
+    readout."""
+    return (packed.groupBy(shard_col, "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(tokens_col).alias("sum_tokens"))
+            .orderBy(shard_col, "pack_id"))
+
+
+def greedy_pack_oracle_sql(budget: int, tokens_expr: str,
+                           table: str = "documents",
+                           id_col: str = "doc_id",
+                           shard_col: str = "source") -> str:
+    """Recursive-CTE DuckDB twin of ``greedy_pack`` + ``pack_stats``:
+    replays the same per-shard sequential fold (same order, same
+    overflow rule) and aggregates per pack."""
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT {shard_col} AS shard, {id_col} AS id, {tokens_expr} AS n_tokens,
+         row_number() OVER (PARTITION BY {shard_col} ORDER BY {id_col}) AS rn
+  FROM {table}),
+fold AS (
+  SELECT shard, id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS cum
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.id, t.n_tokens, t.rn,
+         CASE WHEN f.cum + t.n_tokens > {budget}
+              THEN f.pack_id + 1 ELSE f.pack_id END,
+         CASE WHEN f.cum + t.n_tokens > {budget}
+              THEN t.n_tokens ELSE f.cum + t.n_tokens END
+  FROM toks t JOIN fold f ON t.shard = f.shard AND t.rn = f.rn + 1)
+SELECT shard AS {shard_col}, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM fold GROUP BY shard, pack_id ORDER BY {shard_col}, pack_id
+"""
