@@ -91,6 +91,41 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
     return "EXACT" if exact else "APPROX"
 
 
+def compare_bounded(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                    rtol: float) -> str:
+    """Row-count + schema must match exactly; every numeric cell must
+    satisfy |spark - oracle| <= rtol * max(1, |oracle|).  The gate for
+    sketch estimators (HLL) whose values are engine-specific by design
+    but carry a published error bound."""
+    if len(spark_pdf) != len(oracle_pdf):
+        return f"ROWCOUNT {len(spark_pdf)} vs {len(oracle_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return f"SCHEMA {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    a, b = canon(spark_pdf), canon(oracle_pdf)
+    for c in a.columns:
+        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
+            try:
+                fx, fy = float(x), float(y)
+            except (TypeError, ValueError):
+                if not (x == y or str(x) == str(y)):
+                    return f"VALUE col={c} row={i}: {x!r} vs {y!r}"
+                continue
+            if abs(fx - fy) > rtol * max(1.0, abs(fy)):
+                return (f"BOUND col={c} row={i}: {x!r} vs {y!r} "
+                        f"(rel err {abs(fx - fy) / max(1.0, abs(fy)):.4f} "
+                        f"> rtol {rtol})")
+    return "WITHIN-BOUND"
+
+
+def check_within_bound(spark, con: duckdb.DuckDBPyConnection,
+                       fn, sql: str, sf_dir: str,
+                       rtol: float) -> tuple[str, int]:
+    """Bounded variant of check_against_oracle (see compare_bounded)."""
+    sdf = fn(spark, sf_dir).toPandas()
+    odf = con.execute(sql).arrow().to_pandas(date_as_object=False)
+    return compare_bounded(sdf, odf, rtol), len(sdf)
+
+
 def check_against_oracle(spark, con: duckdb.DuckDBPyConnection,
                          fn, sql: str, sf_dir: str) -> tuple[str, int]:
     """Run one Spark query fn and its DuckDB oracle; return

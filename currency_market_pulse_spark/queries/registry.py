@@ -23,6 +23,13 @@ ORACLES: dict[str, str] = {}
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 EXTRA_ORACLES: dict[str, str] = {}
 
+#: Library-tier queries whose oracle is an ERROR BOUND, not an exact
+#: twin: sketch estimators (HLL) are engine-specific by design, so the
+#: differential gate asserts |spark - oracle| <= rtol * |oracle| on
+#: every numeric cell instead of bitwise equality (rows/schema still
+#: must match exactly).  Keyed by query name -> relative tolerance.
+EXTRA_RTOL: dict[str, float] = {}
+
 MAX_REGISTERED = 50
 
 
@@ -39,10 +46,14 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def extra_query(name: str, oracle: str | None = None):
+def extra_query(name: str, oracle: str | None = None,
+                rtol: float | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         EXTRA_QUERIES[name] = fn
         if oracle is not None:
             EXTRA_ORACLES[name] = oracle
+        if rtol is not None:
+            assert oracle is not None, f"{name}: rtol requires an oracle"
+            EXTRA_RTOL[name] = rtol
         return fn
     return deco

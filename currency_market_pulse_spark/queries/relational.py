@@ -253,7 +253,7 @@ def segment_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionAll(it).orderBy("op", "c_mktsegment")
 
 
-@extra_query(
+@query(
     "rate_nullsafe_join",
     oracle=f"""
 WITH {{TRADES_CTE}},
@@ -375,13 +375,25 @@ def nation_segment_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # no oracle: HLL sketch != DuckDB's sketch
+@extra_query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS approx_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    # HLL++ at rsd=0.01 has ~1% standard error; 5 sigma of headroom.
+    rtol=0.05,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the interactive-path
     variant of distinct counting.  At 100 TB an exact distinct is a full
     shuffle of the key set; the sketch is a constant-size mergeable
-    state per partition.  Rows-only check (sketch estimates are
-    engine-specific by design)."""
+    state per partition.  Library tier with an ERROR-BOUND oracle
+    (|HLL - exact|/exact <= 5%): sketch estimates are engine-specific
+    by design, so bitwise equality is the wrong gate (VERDICT r2) —
+    the exact-distinct DuckDB twin bounds the estimate instead."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
+from currency_market_pulse_spark.functions.vectors import (
+    ORACLE_EMB_CTE, oracle_cosine_sql,
+)
 from currency_market_pulse_spark.operators import similarity as S
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
@@ -104,10 +106,43 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk")  # rows-only: approximate by design
+def _ann_oracle() -> str:
+    """Exact DuckDB twin of ann_lsh_topk.  Approximate-vs-true-top-k is
+    NOT non-deterministic: the hyperplanes are fixed md5-derived integer
+    literals, so the bucket assignment, in-bucket cosines and ranking
+    are a pure function of the data (VERDICT r2).  Replays the same
+    bucket math already green in sim_lsh_bucket_sizes, then in-bucket
+    guarded cosine + rank."""
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    cos = oracle_cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM emb),
+bkt AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         round({cos}, 6) AS cos_sim
+  FROM bkt q JOIN bkt c
+    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, bucket, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@query("sim_ann_lsh_topk", oracle=_ann_oracle())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 within the query's LSH bucket — the reduced-recall,
     reduced-cost variant (recall vs sim_topk_bruteforce is asserted in
-    tests, not by the oracle, since approximation is the point)."""
+    tests).  Deterministic, so oracle-exact: the fixed-literal
+    hyperplane buckets + in-bucket cosine + rank replay in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)

@@ -13,9 +13,12 @@ from __future__ import annotations
 
 import pytest
 
-from currency_market_pulse_spark.oracle import check_against_oracle, duck_con
+from currency_market_pulse_spark.oracle import (
+    check_against_oracle, check_within_bound, duck_con,
+)
 from currency_market_pulse_spark.queries.registry import (
-    EXTRA_ORACLES, EXTRA_QUERIES, MAX_REGISTERED, ORACLES, QUERIES,
+    EXTRA_ORACLES, EXTRA_QUERIES, EXTRA_RTOL, MAX_REGISTERED, ORACLES,
+    QUERIES,
 )
 
 from tests.conftest import SF_DIR
@@ -39,7 +42,14 @@ def test_registry_within_driver_window():
 def test_extra_query_matches_oracle(spark, con, name):
     sql = EXTRA_ORACLES.get(name)
     assert sql is not None, f"{name} demoted without an oracle"
-    verdict, n = check_against_oracle(
-        spark, con, EXTRA_QUERIES[name], sql, SF_DIR)
-    assert verdict in ("EXACT", "APPROX"), f"{name}: {verdict}"
+    if name in EXTRA_RTOL:
+        # sketch estimator: error-bound gate, not bitwise (registry.py)
+        verdict, n = check_within_bound(
+            spark, con, EXTRA_QUERIES[name], sql, SF_DIR,
+            rtol=EXTRA_RTOL[name])
+        assert verdict == "WITHIN-BOUND", f"{name}: {verdict}"
+    else:
+        verdict, n = check_against_oracle(
+            spark, con, EXTRA_QUERIES[name], sql, SF_DIR)
+        assert verdict in ("EXACT", "APPROX"), f"{name}: {verdict}"
     assert n > 0, f"{name} returned no rows at {SF_DIR}"

@@ -21,9 +21,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
-from currency_market_pulse_spark.oracle import check_against_oracle, duck_con
+from currency_market_pulse_spark.oracle import (
+    check_against_oracle, check_within_bound, duck_con,
+)
 from currency_market_pulse_spark.queries.registry import (
-    EXTRA_ORACLES, EXTRA_QUERIES,
+    EXTRA_ORACLES, EXTRA_QUERIES, EXTRA_RTOL,
 )
 from currency_market_pulse_spark.session import get_spark
 
@@ -52,12 +54,16 @@ def main() -> int:
                 n = len(fn(spark, sf_dir).toPandas())
                 print(f"rows-only  {name}: {n} rows  ({time.time()-t0:.1f}s)")
                 continue
-            verdict, n = check_against_oracle(spark, con, fn, sql, sf_dir)
+            if name in EXTRA_RTOL:
+                verdict, n = check_within_bound(
+                    spark, con, fn, sql, sf_dir, rtol=EXTRA_RTOL[name])
+            else:
+                verdict, n = check_against_oracle(spark, con, fn, sql, sf_dir)
         except Exception as e:
             print(f"FAIL  {name}: error {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
-        ok = verdict in ("EXACT", "APPROX")
+        ok = verdict in ("EXACT", "APPROX", "WITHIN-BOUND")
         print(f"{'ok   ' if ok else 'FAIL '} {name}: {verdict}  rows={n}  "
               f"({time.time()-t0:.1f}s)")
         if not ok:
