@@ -95,9 +95,9 @@ fold AS (
   FROM toks WHERE rn = 1
   UNION ALL
   SELECT t.shard, t.id, t.n_tokens, t.rn,
-         CASE WHEN f.cum + t.n_tokens > {budget}
+         CASE WHEN f.cum > 0 AND f.cum + t.n_tokens > {budget}
               THEN f.pack_id + 1 ELSE f.pack_id END,
-         CASE WHEN f.cum + t.n_tokens > {budget}
+         CASE WHEN f.cum > 0 AND f.cum + t.n_tokens > {budget}
               THEN t.n_tokens ELSE f.cum + t.n_tokens END
   FROM toks t JOIN fold f ON t.shard = f.shard AND t.rn = f.rn + 1)
 SELECT shard AS {shard_col}, pack_id,

@@ -1,0 +1,63 @@
+"""Sequence-packing queries over the ``documents`` fixture (library
+tier): the concat-into-training-sequences step of an LLM data
+pipeline, differential-tested against DuckDB replays of the identical
+packing disciplines (operators/packing.py).
+
+``n_chars`` stands in for the token count (a real pipeline would feed
+``token_counts`` output, operators/textops.py); ``source`` is the
+shard key — each shard packs independently, which is exactly the
+100 TB parallelism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from currency_market_pulse_spark.operators import packing as P
+from currency_market_pulse_spark.queries.registry import extra_query
+from currency_market_pulse_spark.sources.catalog import load_table
+
+#: Fixed token budget for the registered packing queries.  Fixture
+#: n_chars is a few hundred per doc, so 2048 yields multi-doc packs
+#: with regular boundary crossings (both disciplines exercised).
+PACK_BUDGET = 2048
+
+_CHUNK_ORACLE = f"""
+WITH cum AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((cum - n_chars) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM cum)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+@extra_query("documents_chunk_pack_stats", oracle=_CHUNK_ORACLE)
+def documents_chunk_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing (doc -> pack of its cumulative start
+    offset) + per-pack fill stats.  Pure window cumsum — one shuffle on
+    the shard key, whole-stage codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = P.chunk_pack(docs, "doc_id", "n_chars", PACK_BUDGET, "source")
+    return P.pack_stats(packed, "n_chars", "source")
+
+
+@extra_query(
+    "documents_greedy_pack_stats",
+    oracle=P.greedy_pack_oracle_sql(
+        PACK_BUDGET, "n_chars", table="documents",
+        id_col="doc_id", shard_col="source"),
+)
+def documents_greedy_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit-sequential packing (applyInPandas fold per
+    shard) + per-pack fill stats, differential-tested against the
+    recursive-CTE replay of the same fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = P.greedy_pack(docs, "doc_id", "n_chars", PACK_BUDGET, "source")
+    return P.pack_stats(packed, "n_chars", "source")
