@@ -49,10 +49,13 @@ def connected_components_star(pairs: DataFrame,
     plan to a leaf.  On a cluster, swap for ``checkpoint()`` with a
     reliable checkpoint dir if executor loss must not force a restart.
     """
-    e = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter(F.col("u") != F.col("v")).distinct())
-    nodes = (e.select(F.col("u").alias("node"))
-             .unionAll(e.select(F.col("v").alias("node"))).distinct())
+    # nodes come from the UNFILTERED pairs: a node appearing only in
+    # self-pairs (id_a == id_b) must still emerge as its own singleton
+    # component, matching connected_components' contract (ADVICE r2).
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (raw.select(F.col("u").alias("node"))
+             .unionAll(raw.select(F.col("v").alias("node"))).distinct())
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
 
     def _canon(edges: DataFrame) -> DataFrame:
         # store as (big, small); self-loops carry no information

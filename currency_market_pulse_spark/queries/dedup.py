@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import dedup as D
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
 
@@ -114,9 +114,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_bucket_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_components",
-    oracle=f"""
+_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE
 {_TOKS}, {_SH3},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
@@ -137,8 +135,10 @@ reach(node, r) AS (
   SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r)
 SELECT node AS doc_id, min(r) AS component_id
 FROM reach GROUP BY node ORDER BY doc_id
-""",
-)
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the 3-gram-jaccard
     pair graph via iterative min-label propagation
@@ -151,6 +151,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
     return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component_id"))
+            .orderBy("doc_id"))
+
+
+@extra_query("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-tier twin of dedup_components through the alternating
+    large-star/small-star contraction (O(log n) rounds — the variant
+    for adversarial-diameter graphs at corpus scale).  Shares the
+    recursive-CTE oracle, so BOTH component algorithms stay
+    differentially proven equal every round (VERDICT r2 item 3)."""
+    pairs = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    from currency_market_pulse_spark.operators.components import (
+        connected_components_star,
+    )
+    return (connected_components_star(pairs)
             .select(F.col("node").alias("doc_id"),
                     F.col("comp").alias("component_id"))
             .orderBy("doc_id"))

@@ -58,3 +58,26 @@ def test_star_matches_propagation_on_random_graphs(spark):
         a = {r.node: r.comp for r in connected_components(df).collect()}
         b = {r.node: r.comp for r in connected_components_star(df).collect()}
         assert a == b, f"trial {trial}: {a} vs {b}"
+
+
+def test_self_pair_only_nodes_are_singletons_in_both(spark):
+    """ADVICE r2: a node appearing ONLY in self-pairs (id_a == id_b)
+    must come back as its own singleton component from BOTH variants —
+    the star variant used to drop it."""
+    edges = [(1, 2), (7, 7), (9, 9), (2, 2)]
+    df = _pairs(spark, edges)
+    plain = {r.node: r.comp for r in connected_components(df).collect()}
+    star = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert plain == {1: 1, 2: 1, 7: 7, 9: 9}
+    assert star == plain
+
+
+def test_star_matches_propagation_with_random_self_loops(spark):
+    rng = random.Random(7)
+    for trial in range(2):
+        nodes = list(range(25))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+        df = _pairs(spark, edges)  # self-loops kept on purpose
+        a = {r.node: r.comp for r in connected_components(df).collect()}
+        b = {r.node: r.comp for r in connected_components_star(df).collect()}
+        assert a == b, f"trial {trial}: {a} vs {b}"
