@@ -299,14 +299,19 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     e = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("_blk"))
     # block pairs this row participates in: (min(blk,j), max(blk,j))
-    # for every j — B structs, all distinct, via one explode.
-    pair_keys = F.array(*[
-        F.struct(F.least(F.col("_blk"), F.lit(j).cast("long")).alias("bi"),
-                 F.greatest(F.col("_blk"), F.lit(j).cast("long")).alias("bj"))
-        for j in range(B)])
-    expl = (e.select("_id", "_vec", "_blk", F.explode(pair_keys).alias("_pk"))
+    # for every j in range(B) — via a broadcast join against a B-row
+    # range, NOT a B-element literal struct array (ADVICE r2: the
+    # literal array makes the Catalyst plan O(B) — ~5000 struct
+    # literals in one projection at 10M rows — which blows up analysis
+    # long before the compute does; the range join keeps plan size
+    # O(1) in B).  Distinct per row since {blk, j1} == {blk, j2}
+    # implies j1 == j2.
+    blocks = F.broadcast(emb.sparkSession.range(B)
+                         .select(F.col("id").alias("_j")))
+    expl = (e.crossJoin(blocks)
             .select("_id", "_vec", "_blk",
-                    F.col("_pk.bi").alias("_bi"), F.col("_pk.bj").alias("_bj")))
+                    F.least(F.col("_blk"), F.col("_j")).alias("_bi"),
+                    F.greatest(F.col("_blk"), F.col("_j")).alias("_bj")))
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),

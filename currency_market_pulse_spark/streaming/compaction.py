@@ -30,6 +30,16 @@ Underscore-prefixed artifacts are invisible to Spark readers throughout.
 
 Batch dirs created concurrently (late replays) are never touched: the
 read set and the delete set are the same snapshot taken in step 1.
+
+CONCURRENT-READER CAVEAT (ADVICE r2): the protocol is crash-safe but
+not reader-atomic.  Between step 3 and step 4 a concurrent reader sees
+the partition missing all previously-compacted rows; between step 4
+and step 5 it sees those rows duplicated (the new ``batch_id=-1`` plus
+the still-present consumed batch dirs).  Schedule compaction in a
+window with no readers, or put a manifest/pointer indirection that
+readers consult in front of the partition (e.g. a table format like
+the catalog's bucketed tables) if truly atomic swaps are required —
+a plain directory-of-parquet layout cannot express one.
 """
 
 from __future__ import annotations

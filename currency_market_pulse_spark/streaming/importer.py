@@ -105,7 +105,18 @@ class JdbcSink(Sink):
                 stmt.executeUpdate(self.delete_sql.format(
                     table=self.table, batch_id=int(batch_id)))
             except Exception as e:  # table not created yet
-                if "42X05" not in str(e) and "does not exist" not in str(e).lower():
+                # 'table missing' spellings: Derby 42X05, Postgres
+                # "does not exist", ClickHouse "doesn't exist" /
+                # UNKNOWN_TABLE code 60 (ADVICE r2 — without it the
+                # docstring-recommended ClickHouse setup would fail the
+                # stream on the very first batch).  Any OTHER delete
+                # error stays fatal so replay dedup is never silently
+                # skipped.
+                msg = str(e).lower()
+                if ("42x05" not in msg and "does not exist" not in msg
+                        and "doesn't exist" not in msg
+                        and "unknown_table" not in msg
+                        and "code: 60" not in msg):
                     raise
             finally:
                 stmt.close()

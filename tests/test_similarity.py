@@ -50,13 +50,18 @@ def test_ann_variants_recall_floor(spark):
         assert approx  # produced candidates at all
 
 
-def test_topk_numpy_query_cap_fails_fast(spark, monkeypatch):
-    """An oversized query set must raise, not OOM the driver
-    (VERDICT r1 item 6)."""
-    import pytest
-    monkeypatch.setattr(S, "MAX_TOPK_QUERIES", 3)
-    with pytest.raises(ValueError, match="more than 3"):
-        S.topk_numpy(_emb(spark), F.lit(True), k=2)
+def test_topk_numpy_multiblock_matches_catalyst(spark):
+    """Force several hash blocks (n_blocks=7) and an unbounded query
+    set (every vector is a query): the per-block top-k + global rank
+    must still equal the exact Catalyst path.  Replaces the round-2
+    driver-collect cap test — the rewrite has no driver-side data
+    dependency to cap (VERDICT r2 item 4)."""
+    emb = _emb(spark).limit(60)
+    a = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_bruteforce(emb, F.lit(True), k=3).collect()]
+    b = [(r.query_id, r.neighbor_id, r.cos_sim, r.rn)
+         for r in S.topk_numpy(emb, F.lit(True), k=3, n_blocks=7).collect()]
+    assert a == b
 
 
 def test_zero_norm_vectors_excluded_on_both_paths(spark):
