@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         id_col: str = "doc_id",
                         text_col: str = "text",
                         max_shingle_df: int | None = DEFAULT_SHINGLE_DF_CAP,
+                        shingles_df: DataFrame | None = None,
                         ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a shingle.
 
@@ -123,8 +124,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     the cap, so with a finite cap the jaccard of pairs relying on
     super-common shingles is understated (never overstated); pass
     ``max_shingle_df=None`` for the exact-at-any-cost variant.
+
+    ``shingles_df`` optionally injects a pre-computed (and typically
+    persisted) ``_doc_shingles`` scan so several dedup operators over
+    the same corpus share ONE tokenize+shingle pass — the shared-scan
+    pattern for multi-signal dedup pipelines (see queries/dedup.py).
     """
-    sh = _doc_shingles(docs, n, id_col, text_col)
+    sh = (shingles_df if shingles_df is not None
+          else _doc_shingles(docs, n, id_col, text_col))
     if max_shingle_df is not None:
         wdf = Window.partitionBy("sh")
         sh = (sh.withColumn("_df", F.count("*").over(wdf))
@@ -161,11 +168,14 @@ def minhash_hash_expr(i: int, sh_col):
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """K min-hash values per doc: sig_i = min over shingles of hash_i
     (lexicographic min of fixed-width hex == deterministic min-hash;
-    portable across engines)."""
-    sh = _doc_shingles(docs, 3, id_col, text_col)
+    portable across engines).  ``shingles_df``: see
+    ngram_jaccard_pairs — shares one shingle scan across operators."""
+    sh = (shingles_df if shingles_df is not None
+          else _doc_shingles(docs, 3, id_col, text_col))
     aggs = [F.min(minhash_hash_expr(i, F.col("sh"))).alias(f"mh{i}")
             for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -173,11 +183,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
 
 def minhash_lsh_candidates(docs: DataFrame,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           shingles_df: DataFrame | None = None) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band are candidate
     near-dup pairs.  One shuffle to build signatures, one per-band
     group; never a full pairwise join."""
-    sigs = minhash_signatures(docs, MINHASH_K, id_col, text_col)
+    sigs = minhash_signatures(docs, MINHASH_K, id_col, text_col,
+                              shingles_df=shingles_df)
     # one band row per (doc, band) via a single explode — NOT a
     # per-band union, which would re-evaluate the signature aggregation
     # once per band.

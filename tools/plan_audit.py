@@ -78,11 +78,56 @@ EXPECTATIONS = {
         # round-2 de-collect: the BLAS kernel runs executor-side per
         # block-pair group; nothing is materialized on the driver
         ("kernel is grouped applyInPandas", r"FlatMapGroupsInPandas"),
-        ("block replication via explode", r"Generate explode"),
+        # round-3: block-pair replication is a broadcast join against
+        # spark.range(B), not a B-element literal array (plan size O(1))
+        ("block replication via broadcast range join",
+         r"BroadcastNestedLoopJoin"),
     ],
     "dedup_ngram_jaccard": [
         ("df cap is a window count on the join key", r"Window \[count"),
     ],
+    "sim_topk_numpy": [
+        # round-3 de-collect: cogrouped BLAS kernel, queries replicated
+        # per block by a broadcast range join — no driver collect
+        ("kernel is cogrouped applyInPandas", r"FlatMapCoGroupsInPandas"),
+        ("query replication broadcast", r"BroadcastNestedLoopJoin"),
+    ],
+    "documents_stratified_sample": [
+        ("deterministic filter fuses into the scan stage",
+         r"Filter.*md5|Filter \(.*\n.*md5"),
+    ],
+    "documents_hash_split": [
+        ("partial agg before the split-key shuffle", r"partial_count"),
+    ],
+    "events_per_user_cap": [
+        ("single shuffle on the group key",
+         r"Exchange hashpartitioning\(user_id"),
+        ("rank-limit pushdown", r"WindowGroupLimit"),
+    ],
+    "documents_chunk_pack_stats": [
+        ("window cumsum shuffles once on the shard key",
+         r"Exchange hashpartitioning\(source"),
+        ("no Python in the chunk path", r"^(?!(.|\n)*InPandas)(.|\n)*$"),
+    ],
+    "documents_greedy_pack_stats": [
+        ("fold kernel is grouped applyInPandas", r"FlatMapGroupsInPandas"),
+    ],
+}
+
+#: query -> (description, max number of plan lines containing an
+#: Exchange).  Regexes can assert presence; shuffle-COUNT claims
+#: ("zero-shuffle", "one shuffle") need counting.  Counted on the
+#: physical plan tree string (one node per line).
+MAX_EXCHANGES = {
+    # split/sample assignment is a pure projection/filter: the only
+    # exchanges allowed are the output aggregate/sort of the query
+    "documents_stratified_sample": ("scan-fused filter, zero shuffles", 0),
+    "documents_hash_split": ("one agg + one sort exchange only", 2),
+    "events_per_user_cap": ("one window shuffle only", 1),
+    # chunk_pack: window and the (source, pack_id) agg share the
+    # source-key partitioning (ClusteredDistribution subset rule), so
+    # one hash exchange + the final sort
+    "documents_chunk_pack_stats": ("window exchange reused by agg", 2),
 }
 
 #: checks that must run against the POST-EXECUTION adaptive plan
@@ -96,12 +141,32 @@ RUNTIME_EXPECTATIONS = {
 }
 
 
+def _fresh_ngram_jaccard(spark, sf_dir):
+    # bypass the query layer's persisted pair cache: the audit asserts
+    # properties of the underlying join plan, which an InMemoryTableScan
+    # would hide
+    from currency_market_pulse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               n=3, threshold=0.5)
+
+
+#: plan-builder overrides: audit the uncached operator plan where the
+#: registered query serves from a persisted relation
+FRESH_BUILDERS = {
+    "dedup_ngram_jaccard": _fresh_ngram_jaccard,
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(shuffle_partitions=8)
     from currency_market_pulse_spark.queries.registry import EXTRA_QUERIES
     queries = dict(entrymod.queries())
     queries.update(EXTRA_QUERIES)  # library tier is plan-audited too
+    queries.update(FRESH_BUILDERS)
     failures = 0
     for name, checks in EXPECTATIONS.items():
         import io
@@ -122,6 +187,15 @@ def main() -> int:
         # codegen spans: '*(n)' markers in simple mode (AQE initial plan)
         wsc = len(set(re.findall(r"\*\((\d+)\)", qe.simpleString())))
         print(f"      {name}: WholeStageCodegen spans={wsc}")
+    for name, (desc, max_n) in MAX_EXCHANGES.items():
+        tree = queries[name](spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n = sum("Exchange" in line for line in tree.splitlines())
+        if n <= max_n:
+            print(f"ok    {name}: {desc} ({n} <= {max_n})")
+        else:
+            print(f"FAIL  {name}: {desc}  ({n} exchanges > {max_n})")
+            failures += 1
     for name, checks in RUNTIME_EXPECTATIONS.items():
         df = queries[name](spark, sf_dir)
         df.collect()  # drive AQE to the final plan
