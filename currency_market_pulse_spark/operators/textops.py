@@ -97,3 +97,49 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.md5(F.col(text_col)).alias("content_md5"),
         min_sh.alias("shingle_fingerprint"),
     )
+
+
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (token-count
+    analogs of the published char-fraction rules — the fixture corpus
+    has no line/sentence structure to measure):
+
+    - ``top_token_fraction``: count of the most frequent token over
+      total tokens (NULL for empty docs)
+    - ``top_bigram_fraction``: count of the most frequent word bigram
+      over total bigrams (NULL when < 2 tokens)
+    - ``dup_bigram_fraction``: fraction of bigram occurrences that are
+      repeats (1 - distinct/total)
+
+    Fully relational (explode -> two aggregations per gram size, one
+    shuffle each on doc_id), so oracle-reproducible; the flag
+    thresholds live in the query layer.  At 100 TB both explodes are
+    map-side from the same scan and the aggregations combine
+    partially — same cost shape as any token-statistics pass."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    uni = toks.select(F.col(id_col), F.explode_outer("_t").alias("g")) \
+        .filter(F.col("g").isNotNull())
+    uc = uni.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    us = uc.groupBy(id_col).agg(
+        F.max("c").alias("_top_uni"), F.sum("c").alias("n_tokens"))
+    # staged: materialize the token array before the bigram transform
+    # (inlining re-splits the text per element — see _doc_shingles)
+    barr = toks.select(F.col(id_col), shingles(F.col("_t"), 2).alias("_b"))
+    big = barr.select(F.col(id_col), F.explode_outer("_b").alias("g")) \
+        .filter(F.col("g").isNotNull())
+    bc = big.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy(id_col).agg(
+        F.max("c").alias("_top_big"), F.sum("c").alias("_n_big"),
+        F.count(F.lit(1)).alias("_d_big"))
+    return (us.join(bs, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col("n_tokens"),
+                F.round(F.col("_top_uni") / F.col("n_tokens"), 6)
+                 .alias("top_token_fraction"),
+                F.round(F.col("_top_big") / F.col("_n_big"), 6)
+                 .alias("top_bigram_fraction"),
+                F.round(F.lit(1.0) - F.col("_d_big") / F.col("_n_big"), 6)
+                 .alias("dup_bigram_fraction"),
+            ))

@@ -272,3 +272,35 @@ def part_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.trim(F.upper("p_brand")).alias("brand_norm"),
     ).orderBy("p_partkey")
+
+
+@extra_query(
+    "approx_acctbal_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+       round(quantile_disc(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_disc(c_acctbal, 0.50), 6) AS p50,
+       round(quantile_disc(c_acctbal, 0.75), 6) AS p75,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    # approx_percentile at accuracy=1000 has ~0.1% rank error; 5%
+    # value tolerance is generous headroom on the acctbal distribution
+    rtol=0.05,
+)
+def approx_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch, accuracy=1000): the mergeable
+    constant-memory percentile for interactive 100 TB scans — the
+    second sketch estimator under the error-bound oracle gate
+    (registry.EXTRA_RTOL; exact discrete quantiles bound the sketch,
+    bitwise equality is the wrong gate for engine-specific sketches).
+    Exact twin: acctbal_percentiles."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.approx_percentile("c_acctbal", 0.25, 1000), 6).alias("p25"),
+             F.round(F.approx_percentile("c_acctbal", 0.50, 1000), 6).alias("p50"),
+             F.round(F.approx_percentile("c_acctbal", 0.75, 1000), 6).alias("p75"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )

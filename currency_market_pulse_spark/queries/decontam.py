@@ -1,0 +1,58 @@
+"""Decontamination query over the ``documents`` fixture (library
+tier): the 90/5/5 hash split defines the held-out side; any train doc
+sharing a distinct 5-gram with a val/test doc is flagged with its
+overlap count.  The oracle replays the identical split thresholds
+(bitwise float literals), tokenization, shingling and join in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.operators import decontam as C
+from currency_market_pulse_spark.operators import sampling as S
+from currency_market_pulse_spark.queries.registry import extra_query
+from currency_market_pulse_spark.queries.sampling import (
+    SPLIT_WEIGHTS, _frac_sql, _split_case_sql,
+)
+from currency_market_pulse_spark.sources.catalog import load_table
+
+DECONTAM_NGRAM = 5
+
+
+def _shingle_expr(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (f"unnest(list_distinct(list_transform("
+            f"range(1, greatest(len(t) - {n - 1}, 0) + 1), i -> {gram})))")
+
+
+_DECONTAM_ORACLE = f"""
+WITH f AS (SELECT doc_id, text, {_frac_sql('split', 'doc_id')} AS frac
+           FROM documents),
+s AS (SELECT doc_id, text, {_split_case_sql()} AS split FROM f),
+toks AS (SELECT doc_id, split,
+         string_split_regex(lower(text), '\\s+') AS t FROM s),
+sh AS (SELECT doc_id, split, {_shingle_expr(DECONTAM_NGRAM)} AS sh
+       FROM toks)
+SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+       count(*) AS n_overlap
+FROM sh tr JOIN sh ev
+  ON tr.sh = ev.sh AND tr.split = 'train' AND ev.split <> 'train'
+GROUP BY 1, 2
+ORDER BY train_doc_id, eval_doc_id
+"""
+
+
+@extra_query("documents_decontaminate", oracle=_DECONTAM_ORACLE)
+def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-heldout contamination pairs: train docs sharing any
+    distinct 5-gram with a val/test doc under the standard 90/5/5 hash
+    split.  Eval shingles broadcast — no shuffle of the training
+    side."""
+    docs = S.hash_split(load_table(spark, sf_dir, "documents"),
+                        "doc_id", SPLIT_WEIGHTS)
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") != "train")
+    return (C.contamination_pairs(train, ev, n=DECONTAM_NGRAM,
+                                  min_overlap=1)
+            .orderBy("train_doc_id", "eval_doc_id"))

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from currency_market_pulse_spark.functions.text import STOPWORDS
 from currency_market_pulse_spark.operators import textops as X
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 _TOKS = (r"toks AS (SELECT doc_id, text, lang, "
@@ -98,3 +98,36 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact md5 + min-shingle-hash (winnowing
     style)."""
     return X.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = f"""
+WITH {_TOKS},
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+us AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_uni,
+              CAST(sum(c) AS BIGINT) AS n_tokens
+       FROM uc GROUP BY 1),
+big AS (SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_big,
+              CAST(sum(c) AS BIGINT) AS n_big,
+              count(*) AS d_big
+       FROM bc GROUP BY 1)
+SELECT us.doc_id, us.n_tokens,
+       round(CAST(top_uni AS DOUBLE) / n_tokens, 6) AS top_token_fraction,
+       round(CAST(top_big AS DOUBLE) / n_big, 6) AS top_bigram_fraction,
+       round(1.0 - CAST(d_big AS DOUBLE) / n_big, 6) AS dup_bigram_fraction
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+@extra_query("text_repetition", oracle=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (token-count analogs): most
+    frequent token/bigram fraction and repeated-bigram fraction per
+    doc — the filters that catch boilerplate and degenerate generations
+    in a training corpus."""
+    return X.repetition_metrics(load_table(spark, sf_dir, "documents"))

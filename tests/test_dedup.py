@@ -113,3 +113,25 @@ def test_embedding_near_dup_threshold(spark):
     pairs = {(r.id_a, r.id_b)
              for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_repetition_metrics_planted(spark):
+    """Degenerate repetition is caught; diverse text scores low; short
+    docs get NULL bigram metrics."""
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.textops import (
+        repetition_metrics,
+    )
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spam spam spam spam spam spam spam spam"),
+        Row(doc_id=2, text="all these eight tokens are fully distinct here"),
+        Row(doc_id=3, text="one"),
+    ])
+    m = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert m[1].top_token_fraction == 1.0
+    assert m[1].top_bigram_fraction == 1.0
+    assert m[1].dup_bigram_fraction == round(1 - 1 / 7, 6)
+    assert m[2].top_token_fraction == 0.125
+    assert m[2].dup_bigram_fraction == 0.0
+    assert m[3].n_tokens == 1
+    assert m[3].top_bigram_fraction is None  # no bigrams in a 1-token doc
