@@ -1,0 +1,106 @@
+"""Distributed Lloyd's k-means over an embedding column — the
+centroid trainer the IVF coarse quantizer docstring promises
+(queries/ivf.py cites pyspark.ml KMeans for production; this is the
+DataFrame-only, engine-portable variant that a DuckDB oracle can
+replay step for step).
+
+Determinism contract (what makes it differential-testable):
+
+- seeds: the k vectors with the lexicographically smallest
+  md5('km|' || id) — portable hash order, no RNG, selected with
+  orderBy+limit (TakeOrdered, never a global sort materialization).
+- assignment: nearest centroid by squared Euclidean distance ROUNDED
+  to 6 decimals before the argmin; ties break to the lowest cell id.
+  Rounding absorbs the ~1e-15 fold-order noise between engines.
+- update: per-cell per-dimension mean, rounded to 6 — so the NEXT
+  iteration's inputs are bitwise identical on both engines no matter
+  the partial-aggregation order.  Cells that lose all members drop
+  (deterministically, on both sides).
+
+Scale design: centroids are a k-row DataFrame broadcast into the
+assignment join — the corpus never shuffles for assignment; the update
+is one explode (vec -> dim rows) + partial-aggregated mean per
+(cell, dim), i.e. the same cost shape as any wide aggregate.  Each
+iteration's centroid relation is localCheckpoint-ed (k rows) so the
+iterative lineage stays O(1)-deep (the components lesson,
+operators/components.py).  No driver-side data dependency at any
+point."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from currency_market_pulse_spark.functions.text import seeded_md5
+
+KMEANS_SEED_TAG = "km"
+
+
+def _sq_dist(a, b):
+    """Sequential double fold of sum((a_i - b_i)^2) — multiplication,
+    not pow(), to match the oracle expression exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def seed_centroids(emb: DataFrame, k: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(cell, centroid): the k hash-smallest vectors, cell = rank in
+    hash order."""
+    seeds = (emb.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("centroid"),
+                        seeded_md5(KMEANS_SEED_TAG,
+                                   F.col(id_col).cast("string")).alias("_h"))
+             .orderBy("_h", "_id").limit(k))
+    w = Window.orderBy("_h", "_id")  # k rows only — post-limit
+    return (seeds.withColumn("cell", F.row_number().over(w) - 1)
+            .select("cell",
+                    F.transform("centroid",
+                                lambda x: x.cast("double")).alias("centroid")))
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, dist): nearest centroid per vector (broadcast join;
+    dist rounded to 6, ties to the lowest cell)."""
+    scored = (emb.select(F.col(id_col), F.col(vec_col))
+              .crossJoin(F.broadcast(centroids))
+              .withColumn("dist", F.round(
+                  _sq_dist(F.col(vec_col), F.col("centroid")), 6)))
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cell", "dist"))
+
+
+def update_centroids(emb: DataFrame, assigned: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(cell, centroid): per-cell per-dim mean, rounded to 6 and
+    re-packed in dimension order."""
+    dims = (emb.select(F.col(id_col), F.col(vec_col))
+            .join(assigned.select(id_col, "cell"), id_col)
+            .select("cell", F.posexplode(vec_col).alias("pos", "v")))
+    means = (dims.groupBy("cell", "pos")
+             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m")))
+    return (means.groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("centroid")))
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Final (id, cell, dist) after ``n_iter`` Lloyd iterations from
+    the deterministic seeds."""
+    centroids = seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
+    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    for _ in range(n_iter):
+        centroids = update_centroids(
+            emb, assigned, id_col, vec_col).localCheckpoint()
+        assigned = assign_cells(emb, centroids, id_col, vec_col)
+    return assigned

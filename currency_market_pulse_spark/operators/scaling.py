@@ -44,3 +44,26 @@ def write_bucketed(df: DataFrame, table: str, key: str,
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def zorder_key(cols: list, bits: int = 8) -> "F.Column":
+    """Morton / Z-order key: interleave the low ``bits`` bits of each
+    (non-negative integer) column — bit b of dim i lands at position
+    b * ndims + i.  Rows sorted or range-partitioned by this key
+    cluster in ALL dims at once, so per-file min/max statistics prune
+    multi-dimensional predicates — the data-layout move (Delta/Iceberg
+    OPTIMIZE ZORDER) that single-column sorting can't provide at
+    100 TB.  Pure bit arithmetic (whole-stage codegen, engine-portable
+    — the DuckDB oracle replays it with >> & * literally).
+
+    Callers bucket real values into the [0, 2^bits) range first (e.g.
+    ``pmod``); at 16 dims x 8 bits the key still fits a long.
+    """
+    nc = len(cols)
+    assert nc * bits <= 63, "z-key must fit a signed long"
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key + bit * F.lit(1 << (b * nc + i)).cast("long")
+    return key

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from currency_market_pulse_spark.functions.vectors import (
     ORACLE_EMB_CTE, cosine, oracle_cosine_sql,
 )
-from currency_market_pulse_spark.queries.registry import query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 _REPS_CTE = """
@@ -91,3 +91,68 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (reranked.withColumn("rn", F.row_number().over(topk))
             .filter(F.col("rn") <= 3)
             .orderBy("query_id", "rn"))
+
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+_DIM = 64
+
+
+def _kmeans_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                   dim: int = _DIM) -> str:
+    """Step-for-step DuckDB replay of operators/kmeans.py: hash-ordered
+    seeds, per-iteration (round-6 distance argmin -> round-6 per-dim
+    means), final cell histogram.  Rounding at every hand-off keeps
+    both engines' fold-order noise below the comparison threshold, so
+    the iterations stay bitwise-aligned."""
+    dist = ("round(list_aggregate(list_transform(range(1, {n}), "
+            "i -> (e.embedding[i] - c.centroid[i]) * "
+            "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
+            ).format(n=dim + 1)
+    parts = [f"""
+s0 AS (SELECT vec_id, embedding,
+              md5('km|' || CAST(vec_id AS VARCHAR)) AS h
+       FROM emb ORDER BY h, vec_id LIMIT {k}),
+cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                 embedding AS centroid
+          FROM s0)"""]
+    for i in range(n_iter + 1):
+        parts.append(f"""
+a{i} AS (SELECT vec_id, cell, dist FROM (
+  SELECT vec_id, cell, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cell) AS rn
+  FROM (SELECT e.vec_id, c.cell, {dist} AS dist
+        FROM emb e CROSS JOIN cent{i} c) d) t
+ WHERE rn = 1)""")
+        if i < n_iter:
+            parts.append(f"""
+cent{i + 1} AS (
+  SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT a.cell, d.pos, round(avg(e.embedding[d.pos]), 6) AS m
+    FROM a{i} a JOIN emb e USING (vec_id),
+         (SELECT unnest(range(1, {dim + 1})) AS pos) d
+    GROUP BY a.cell, d.pos) mm
+  GROUP BY cell)""")
+    from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
+    return (f"WITH {ORACLE_EMB_CTE}," + ",".join(parts) + f"""
+SELECT cell, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
+FROM a{n_iter} GROUP BY cell ORDER BY cell
+""")
+
+
+@extra_query("sim_kmeans_cells", oracle=_kmeans_oracle())
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/kmeans.py): cell sizes
+    and mean squared distance after 2 deterministic iterations from
+    md5-ordered seeds — the coarse-quantizer trainer for the IVF
+    index, fully relational (broadcast assignment join + exploded
+    mean update, no driver collect)."""
+    from currency_market_pulse_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+    return (assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("dist"), 6).alias("avg_dist"))
+            .orderBy("cell"))

@@ -625,3 +625,56 @@ def populous_nations_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_customers") > 5)
         .orderBy("c_nationkey")
     )
+
+
+def _zorder_sql(dims: list[str], bits: int = 8) -> str:
+    nc = len(dims)
+    terms = " + ".join(
+        f"((({d}) >> {b}) & 1) * {1 << (b * nc + i)}"
+        for b in range(bits) for i, d in enumerate(dims))
+    return f"({terms})"
+
+
+_Z_DIMS = ["o_custkey % 256",
+           "(CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256"]
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT o_custkey % 256 AS d_cust,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256 AS d_day,
+         CAST({_zorder_sql(_Z_DIMS)} >> 12 AS BIGINT) AS zbucket
+  FROM orders)
+SELECT zbucket, count(*) AS n,
+       CAST(min(d_cust) AS BIGINT) AS min_cust,
+       CAST(max(d_cust) AS BIGINT) AS max_cust,
+       CAST(min(d_day) AS BIGINT) AS min_day,
+       CAST(max(d_day) AS BIGINT) AS max_day
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+@extra_query("orders_zorder_locality", oracle=_ZORDER_ORACLE)
+def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demo: orders keyed by the Morton interleave of
+    (customer mod 256, order-day mod 256); bucketing on the key's top
+    4 bits bounds BOTH dimensions within every bucket (each spans at
+    most a quarter of each dim's range) — the min/max columns are the
+    file-skipping statistics a multi-dim predicate would prune on.
+    Single-column sorting narrows only its own column."""
+    from currency_market_pulse_spark.operators.scaling import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    d_cust = F.pmod(F.col("o_custkey"), F.lit(256))
+    d_day = F.pmod(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")),
+                   F.lit(256))
+    z = (o.select(d_cust.alias("d_cust"), d_day.alias("d_day"))
+         .withColumn("zbucket",
+                     F.shiftright(zorder_key([F.col("d_cust"),
+                                              F.col("d_day")], 8), 12)))
+    return (z.groupBy("zbucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("d_cust").alias("min_cust"),
+                 F.max("d_cust").alias("max_cust"),
+                 F.min("d_day").alias("min_day"),
+                 F.max("d_day").alias("max_day"))
+            .orderBy("zbucket"))

@@ -1,0 +1,72 @@
+"""k-means: the distributed DataFrame iteration must match an
+independent numpy replay of the same deterministic contract
+(hash-ordered seeds, round-6 distances, round-6 means)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from currency_market_pulse_spark.operators.kmeans import kmeans_assign
+from currency_market_pulse_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+K, ITERS = 5, 2
+
+
+def _numpy_kmeans(ids, mat, k, n_iter):
+    order = sorted(range(len(ids)),
+                   key=lambda j: (hashlib.md5(f"km|{ids[j]}".encode())
+                                  .hexdigest(), ids[j]))
+    cents = mat[order[:k]].copy()
+
+    def assign(cents):
+        out = {}
+        for j, vid in enumerate(ids):
+            d = np.round(((mat[j] - cents) ** 2).sum(axis=1), 6)
+            cell = int(np.lexsort((np.arange(len(cents)), d))[0])
+            out[vid] = (cell, d[cell])
+        return out
+
+    a = assign(cents)
+    for _ in range(n_iter):
+        cells = sorted({c for c, _ in a.values()})
+        cents = np.array([
+            np.round(mat[[j for j, vid in enumerate(ids)
+                          if a[vid][0] == c]].mean(axis=0), 6)
+            for c in cells])
+        # cell ids compact to the surviving cells' rank order, matching
+        # the DataFrame groupBy (cells re-keyed by their position in
+        # the centroid relation after a drop)
+        a = assign(cents)
+    return a
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    got = {r.vec_id: (r.cell, r.dist)
+           for r in kmeans_assign(emb, k=K, n_iter=ITERS).collect()}
+    want = _numpy_kmeans(ids, mat, K, ITERS)
+
+    assert set(got) == set(want)
+    # cluster PARTITIONS must agree exactly (cell ids may be relabeled
+    # only if a cell ever emptied — assert label equality too, since
+    # the contract keeps ids stable while all cells survive)
+    assert {v: c for v, (c, _) in got.items()} == \
+           {v: c for v, (c, _) in want.items()}
+    for v in got:
+        assert abs(got[v][1] - want[v][1]) < 1e-9
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    a = sorted((r.vec_id, r.cell) for r in
+               kmeans_assign(emb, k=3, n_iter=1).collect())
+    b = sorted((r.vec_id, r.cell) for r in
+               kmeans_assign(emb, k=3, n_iter=1).collect())
+    assert a == b

@@ -64,3 +64,32 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """Top-4-bit z-buckets must span at most a quarter (64 values) of
+    EACH 8-bit dimension — the multi-dim locality single-column sorting
+    cannot give."""
+    from currency_market_pulse_spark.queries.relational import (
+        orders_zorder_locality,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = orders_zorder_locality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_cust - r.min_cust <= 63, r
+        assert r.max_day - r.min_day <= 63, r
+
+
+def test_zorder_key_bit_exact(spark):
+    """2-bit, 2-dim interleave spot check: (x=0b10, y=0b01) ->
+    bits x0,y0,x1,y1 = 0,1,1,0 -> 0b0110 = 6."""
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.scaling import zorder_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(x=2, y=1)])
+    got = df.select(zorder_key([F.col("x"), F.col("y")], 2).alias("z")) \
+        .collect()[0].z
+    assert got == 6
