@@ -354,3 +354,42 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                              "cos_sim": sims[ai, aj]})
 
     return expl.groupBy("_bi", "_bj").applyInPandas(kernel, out_schema)
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = 0.8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_shingle_df: int | None = DEFAULT_SHINGLE_DF_CAP,
+                      shingles_df: DataFrame | None = None) -> DataFrame:
+    """Asymmetric near-dup: containment(A⊆B) = |A∩B| / |A|.
+
+    Flags short documents embedded in longer ones — quotes, boilerplate
+    blocks, subset pages — which symmetric jaccard structurally misses
+    (a 50-shingle doc fully inside a 5000-shingle doc scores jaccard
+    ~0.01 but containment 1.0).  Same candidate join as
+    ngram_jaccard_pairs (shared shingle scan injectable, df-capped for
+    skew); emits both directions and keeps pairs where EITHER
+    containment clears the threshold."""
+    sh = (shingles_df if shingles_df is not None
+          else _doc_shingles(docs, n, id_col, text_col))
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (sh.withColumn("_df", F.count("*").over(wdf))
+              .filter(F.col("_df") <= max_shingle_df).drop("_df"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 F.col("a.n_sh").alias("n_a"),
+                 F.col("b.n_sh").alias("n_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("cont_a_in_b",
+                    F.round(F.col("n_common") / F.col("n_a"), 6))
+        .withColumn("cont_b_in_a",
+                    F.round(F.col("n_common") / F.col("n_b"), 6))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )

@@ -143,3 +143,36 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
                 F.round(F.lit(1.0) - F.col("_d_big") / F.col("_n_big"), 6)
                  .alias("dup_bigram_fraction"),
             ))
+
+
+def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the
+    cheapest perplexity-style quality score: documents whose tokens are
+    improbable under the corpus's own unigram distribution are outliers
+    (gibberish, wrong language, boilerplate storms score high).
+
+    nll = -(1/|doc|) * sum over token occurrences of
+          ln(count(token) / total_tokens)
+
+    Determinism discipline (Spark<->DuckDB): each token's log-prob is
+    rounded to 9 decimals BEFORE the per-doc sum, the final mean to 6 —
+    identical inputs on both sides, fold-order noise absorbed by the
+    final rounding (the k-means lesson, operators/kmeans.py).
+
+    Scale: one explode of the corpus, one (token) aggregate, one
+    broadcast-sized join back (the vocabulary is tiny relative to the
+    corpus after the count), one (doc) aggregate — partial aggregation
+    applies to both shuffles.  This is the same cost shape as TF-IDF
+    (queries/text.py:tfidf_top_terms)."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    occ = toks.select(F.col(id_col), F.explode_outer("_t").alias("tok")) \
+        .filter(F.col("tok").isNotNull())
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("_n"))
+    scored = (occ.join(vocab, "tok").crossJoin(F.broadcast(total))
+              .withColumn("_lp", F.round(
+                  F.log(F.col("tc").cast("double") / F.col("_n")), 9)))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(-F.avg("_lp"), 6).alias("unigram_nll")))

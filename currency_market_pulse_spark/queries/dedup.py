@@ -222,3 +222,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (the LSH-bucketed variant is the 100 TB path)."""
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@extra_query(
+    "dedup_containment",
+    oracle=f"""
+WITH {_TOKS}, {_SH3},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(nc AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+       round(CAST(nc AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(round(CAST(nc AS DOUBLE) / sa.n, 6),
+               round(CAST(nc AS DOUBLE) / sb.n, 6)) >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: n-gram containment |A∩B|/|A| (and the
+    reverse) at threshold 0.5 — catches short docs embedded in longer
+    ones (quotes, boilerplate), which symmetric jaccard structurally
+    misses.  Same df-capped shingle self-join as dedup_ngram_jaccard."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)

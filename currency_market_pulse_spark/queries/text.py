@@ -131,3 +131,27 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — the filters that catch boilerplate and degenerate generations
     in a training corpus."""
     return X.repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+_NLL_ORACLE = f"""
+WITH {_TOKS},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vocab AS (SELECT tok, count(*) AS tc FROM occ GROUP BY tok),
+total AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT occ.doc_id,
+         round(ln(CAST(tc AS DOUBLE) / n), 9) AS lp
+  FROM occ JOIN vocab USING (tok) CROSS JOIN total)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-avg(lp), 6) AS unigram_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@extra_query("text_unigram_nll", oracle=_NLL_ORACLE)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: per-doc mean negative log-prob
+    under the corpus's own unigram distribution (outlier docs score
+    high).  Token log-probs rounded to 9 before the sum so both
+    engines aggregate identical values."""
+    return X.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))

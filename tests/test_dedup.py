@@ -135,3 +135,24 @@ def test_repetition_metrics_planted(spark):
     assert m[2].dup_bigram_fraction == 0.0
     assert m[3].n_tokens == 1
     assert m[3].top_bigram_fraction is None  # no bigrams in a 1-token doc
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: jaccard is tiny but
+    containment(A in B) is 1.0 — the asymmetric detector's reason to
+    exist."""
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=f"{filler} {short}"),
+    ])
+    cont = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+            for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    assert cont[(1, 2)][0] == 1.0          # short doc fully contained
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert jac == []                       # symmetric metric blind to it

@@ -112,6 +112,25 @@ EXPECTATIONS = {
     "documents_greedy_pack_stats": [
         ("fold kernel is grouped applyInPandas", r"FlatMapGroupsInPandas"),
     ],
+    "documents_decontaminate": [
+        ("eval shingle side broadcast — the training corpus never "
+         "shuffles for the contamination join", r"BroadcastHashJoin"),
+    ],
+    "sim_kmeans_cells": [
+        ("centroid assignment is a broadcast join",
+         r"BroadcastNestedLoopJoin"),
+        ("mean update partially aggregated", r"partial_avg|partial_sum"),
+    ],
+    "dedup_containment": [
+        ("df cap is a window count on the join key", r"Window \[count"),
+    ],
+    "orders_zorder_locality": [
+        ("pure codegen bit math — no Python anywhere",
+         r"^(?!(.|\n)*InPandas)(.|\n)*$"),
+    ],
+    "text_unigram_nll": [
+        ("vocabulary aggregate partially combined", r"partial_count"),
+    ],
 }
 
 #: query -> (description, max number of plan lines containing an
@@ -128,6 +147,8 @@ MAX_EXCHANGES = {
     # source-key partitioning (ClusteredDistribution subset rule), so
     # one hash exchange + the final sort
     "documents_chunk_pack_stats": ("window exchange reused by agg", 2),
+    # z-key is a projection: one agg exchange + one output sort only
+    "orders_zorder_locality": ("zero shuffles before the bucket agg", 2),
 }
 
 #: checks that must run against the POST-EXECUTION adaptive plan
