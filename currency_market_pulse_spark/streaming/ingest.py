@@ -77,3 +77,16 @@ def read_trades_files(spark: SparkSession, path: str,
            .option("maxFilesPerTrigger", max_files_per_trigger)
            .json(path))
     return normalize_trades(raw)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the (broadcast) static dimension — Structured Streaming re-reads
+    the static side per trigger, so a dim refresh (e.g. a re-written
+    reference parquet) is picked up without restarting the query.  At
+    100 TB of stream the dim side stays a broadcast hash join; never
+    make the STREAM the build side."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)

@@ -121,3 +121,33 @@ def test_replay_same_batch_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 1  # no duplicates
     sink.write(batch, batch_id=8)  # a NEW batch appends
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static broadcast join: trades enrich with a currency dim
+    inside the micro-batch pipeline (the standard reference-data
+    pattern)."""
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.streaming.ingest import enrich_with_dim
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    _write_ingest_file(src / "f1.json", [_trade(i) for i in range(4)])
+
+    dim = spark.createDataFrame([
+        Row(currency_to="GBP", region="EMEA"),
+        Row(currency_to="JPY", region="APAC"),
+    ])
+    enriched = enrich_with_dim(read_trades_files(spark, str(src)), dim,
+                               on="currency_to")
+    q = (enriched.writeStream.format("memory")
+         .queryName("enriched_trades").outputMode("append")
+         .trigger(processingTime="1 second").start())
+    try:
+        assert _run_until(
+            q, lambda: spark.table("enriched_trades").count() >= 4)
+    finally:
+        q.stop()
+    rows = spark.table("enriched_trades").collect()
+    assert len(rows) == 4
+    assert all(r.region == "EMEA" for r in rows)   # GBP -> EMEA
