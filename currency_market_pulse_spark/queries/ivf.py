@@ -156,3 +156,67 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.avg("dist"), 6).alias("avg_dist"))
             .orderBy("cell"))
+
+
+_PROBE2_ORACLE = f"""
+WITH {ORACLE_EMB_CTE}, {_REPS_CTE},
+assigned AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, r.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round({_ASSIGN}, 6) DESC, r.cell) AS rn
+    FROM emb q CROSS JOIN reps r WHERE q.vec_id < 10) t
+  WHERE rn <= 2),
+reranked AS (
+  SELECT a.query_id, c.vec_id AS neighbor_id,
+         round({_RERANK}, 6) AS cos_sim
+  FROM assigned a
+  JOIN emb c ON c.label = a.cell
+  JOIN emb q ON q.vec_id = a.query_id
+  WHERE c.vec_id <> a.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM reranked) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)
+def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): rerank over the TWO nearest cells —
+    the recall knob production IVF turns when nprobe=1 misses
+    boundary-adjacent neighbors.  Cost doubles the probed fraction
+    (2/n_cells of the corpus), still far below a full scan; recall is
+    asserted >= the nprobe=1 variant's in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rn = Window.partitionBy("label").orderBy("vec_id")
+    reps = (emb.withColumn("_rn", F.row_number().over(rn))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("label").alias("cell"),
+                    F.col("embedding").alias("rep")))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    scored_cells = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "qvec", "cell",
+                F.round(cosine(F.col("qvec"), F.col("rep")), 6)
+                 .alias("rep_sim")))
+    best = Window.partitionBy("query_id").orderBy(F.desc("rep_sim"), "cell")
+    assigned = (scored_cells.withColumn("_rn", F.row_number().over(best))
+                .filter(F.col("_rn") <= 2)
+                .select("query_id", "qvec", "cell"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("label").alias("cell"),
+                      F.col("embedding").alias("cvec"))
+    reranked = (
+        F.broadcast(assigned).join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                 .alias("cos_sim")))
+    topk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                  "neighbor_id")
+    return (reranked.withColumn("rn", F.row_number().over(topk))
+            .filter(F.col("rn") <= 3)
+            .orderBy("query_id", "rn"))

@@ -89,3 +89,24 @@ def test_plane_weights_deterministic():
     w1, w2 = S.plane_weights(), S.plane_weights()
     assert w1 == w2
     assert all(-500 <= x <= 500 for row in w1 for x in row)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 recall vs exact top-3 must be >= nprobe=1 recall —
+    probing a second cell can only add candidates."""
+    from currency_market_pulse_spark.queries.ivf import (
+        sim_ivf_topk, sim_ivf_topk_probe2,
+    )
+    from currency_market_pulse_spark.queries.similarity import (
+        sim_topk_bruteforce,
+    )
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim_topk_bruteforce(spark, SF_DIR).collect()
+             if r.rn <= 3}
+    p1 = {(r.query_id, r.neighbor_id)
+          for r in sim_ivf_topk(spark, SF_DIR).collect()}
+    p2 = {(r.query_id, r.neighbor_id)
+          for r in sim_ivf_topk_probe2(spark, SF_DIR).collect()}
+    assert len(exact & p2) >= len(exact & p1)
+    assert p2
