@@ -5,6 +5,8 @@ oracle that reproduces the identical (md5-family) hash math.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import dedup as D
@@ -23,21 +25,23 @@ from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
 # candidates, orders of magnitude smaller than the corpus).  Only the
 # latest entry is kept; evicted blocks are unpersisted.
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_LOCK = threading.Lock()
 
 
 def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        for old in _PAIRS_CACHE.values():
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _PAIRS_CACHE.clear()
-        docs = load_table(spark, sf_dir, "documents")
-        df = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).persist()
-        _PAIRS_CACHE[key] = df
+    with _PAIRS_LOCK:  # harness may run queries from worker threads
+        df = _PAIRS_CACHE.get(key)
+        if df is None:
+            for old in _PAIRS_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _PAIRS_CACHE.clear()
+            docs = load_table(spark, sf_dir, "documents")
+            df = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).persist()
+            _PAIRS_CACHE[key] = df
     return df
 
 
