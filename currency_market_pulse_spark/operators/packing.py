@@ -105,3 +105,35 @@ SELECT shard AS {shard_col}, pack_id,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM fold GROUP BY shard, pack_id ORDER BY {shard_col}, pack_id
 """
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 64,
+                    overlap: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split long documents into overlapping context-window chunks —
+    the inverse of packing: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text), chunk i covering tokens [1 + i*stride,
+    1 + i*stride + max_tokens) with stride = max_tokens - overlap.
+
+    Pure Catalyst: staged token array -> sequence of starts -> explode
+    -> slice + concat_ws.  One narrow explode, no shuffle at all —
+    chunking fuses into the scan stage and parallelizes per input
+    split, which is exactly how a 100 TB corpus wants to be windowed.
+    The last chunk per doc may be shorter; a doc shorter than
+    max_tokens yields exactly one chunk."""
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    from currency_market_pulse_spark.functions.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    pre = toks.select(F.col(id_col), "_t", F.size("_t").alias("_n"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("_n") - overlap, F.lit(1)), F.lit(stride))
+    ex = (pre.select(F.col(id_col), "_t", F.explode(starts).alias("_s")))
+    chunk = F.slice(F.col("_t"), F.col("_s"), max_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.floor((F.col("_s") - 1) / F.lit(stride)).cast("long")
+         .alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))

@@ -61,3 +61,33 @@ def documents_greedy_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     packed = P.greedy_pack(docs, "doc_id", "n_chars", PACK_BUDGET, "source")
     return P.pack_stats(packed, "n_chars", "source")
+
+
+CHUNK_MAX, CHUNK_OVERLAP = 64, 8
+_STRIDE = CHUNK_MAX - CHUNK_OVERLAP
+
+_CHUNKS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents),
+pre AS (SELECT doc_id, t, len(t) AS n FROM toks),
+ex AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(n - {CHUNK_OVERLAP}, 1) + 1,
+                      {_STRIDE})) AS s
+  FROM pre)
+SELECT doc_id,
+       CAST(floor((s - 1.0) / {_STRIDE}) AS BIGINT) AS chunk_id,
+       CAST(len(t[s : s + {CHUNK_MAX - 1}]) AS INT) AS n_chunk_tokens,
+       array_to_string(t[s : s + {CHUNK_MAX - 1}], ' ') AS chunk_text
+FROM ex
+"""
+
+
+@extra_query("documents_chunks", oracle=_CHUNKS_ORACLE)
+def documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the inverse of packing): overlapping
+    64-token windows with stride 56 per document — zero-shuffle, the
+    explode fuses into the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, CHUNK_MAX, CHUNK_OVERLAP)

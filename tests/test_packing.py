@@ -106,3 +106,53 @@ def test_greedy_pack_sums_bounded(spark):
            .filter((F.col("sum_tokens") > 2048) & (F.col("n_docs") > 1))
            .count())
     assert bad == 0
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.packing import (
+        chunk_documents,
+    )
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    rows = chunk_documents(docs, max_tokens=8, overlap=2).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0 and rows[0].n_chunk_tokens == 3
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.packing import (
+        chunk_documents,
+    )
+    toks = [f"t{i}" for i in range(20)]
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    rows = sorted(chunk_documents(docs, max_tokens=8, overlap=2).collect(),
+                  key=lambda r: r.chunk_id)
+    # stride 6: starts 1,7,13 (13 <= 20-2=18); windows [0:8),[6:14),[12:20)
+    assert [r.chunk_id for r in rows] == [0, 1, 2]
+    chunks = [r.chunk_text.split(" ") for r in rows]
+    assert chunks[0] == toks[0:8]
+    assert chunks[1] == toks[6:14]
+    assert chunks[2] == toks[12:20]
+    # consecutive chunks share exactly `overlap` tokens
+    assert chunks[0][-2:] == chunks[1][:2]
+    # every token covered
+    assert set(toks) == {t for c in chunks for t in c}
+
+
+def test_profile_single_scan(spark):
+    """The profiler must read the table ONCE — one FileScan in the
+    plan, however many columns are profiled."""
+    from currency_market_pulse_spark.queries.profile import (
+        lineitem_profile,
+    )
+    from tests.conftest import SF_DIR
+
+    df = lineitem_profile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert sum("Scan parquet" in line or "FileScan" in line
+               for line in plan.splitlines()) == 1
+    rows = {r.col_name: r for r in df.collect()}
+    assert rows["l_discount"].n_nulls == 0
+    assert rows["l_returnflag"].min_str == "A"
