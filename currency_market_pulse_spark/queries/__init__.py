@@ -24,5 +24,6 @@ from currency_market_pulse_spark.queries import sampling  # noqa: E402,F401
 from currency_market_pulse_spark.queries import packing  # noqa: E402,F401
 from currency_market_pulse_spark.queries import decontam  # noqa: E402,F401
 from currency_market_pulse_spark.queries import profile  # noqa: E402,F401
+from currency_market_pulse_spark.queries import pipeline  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
