@@ -93,3 +93,42 @@ def test_zorder_key_bit_exact(spark):
     got = df.select(zorder_key([F.col("x"), F.col("y")], 2).alias("z")) \
         .collect()[0].z
     assert got == 6
+
+
+def test_write_zordered_files_bound_both_dims(spark, tmp_path):
+    """Files written by write_zordered must each cover a narrow range
+    of BOTH z-dims — the physical file-skipping property (footer
+    min/max per file), not just the logical bucket demo."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from currency_market_pulse_spark.operators.scaling import (
+        write_zordered,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    o = (load_table(spark, SF_DIR, "orders")
+         .select(F.pmod("o_custkey", F.lit(256)).alias("d_cust"),
+                 F.pmod(F.datediff("o_orderdate", F.lit("1970-01-01")),
+                        F.lit(256)).alias("d_day")))
+    out = str(tmp_path / "zordered")
+    write_zordered(o, out, [F.col("d_cust"), F.col("d_day")],
+                   bits=8, n_files=8)
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        t = pq.read_table(f)
+        d = t.to_pydict()
+        spans.append((max(d["d_cust"]) - min(d["d_cust"]),
+                      max(d["d_day"]) - min(d["d_day"])))
+    # every file bounded in both dims: strictly narrower than the full
+    # 0..255 range, and on average far narrower
+    assert all(sc < 256 and sd < 256 for sc, sd in spans)
+    avg_cust = sum(sc for sc, _ in spans) / len(spans)
+    avg_day = sum(sd for _, sd in spans) / len(spans)
+    assert avg_cust < 200 and avg_day < 200, (avg_cust, avg_day)
