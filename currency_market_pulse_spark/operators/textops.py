@@ -176,3 +176,32 @@ def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(-F.avg("_lp"), 6).alias("unigram_nll")))
+
+
+#: PII patterns chosen to mean the same thing in Java regex (Spark),
+#: RE2 (DuckDB) and Python re — keep them simple-dialect on purpose.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Compliance scrub: replace emails / IPv4s / phone numbers with
+    typed placeholders and count hits per kind.  Pure
+    regexp_replace/regexp_count — whole-stage codegen, zero shuffle,
+    fuses into the scan like any row-local transform; at 100 TB this
+    is a free rider on whatever pass already reads the text.
+
+    Returns (id, n_email, n_ipv4, n_phone, redacted_text).  Order of
+    replacement: email first (an email contains no ipv4/phone match
+    for these patterns, so ordering is inert — documented anyway)."""
+    out = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return docs.select(F.col(id_col), *counts, out.alias("redacted_text"))

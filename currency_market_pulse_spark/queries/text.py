@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.functions.text import STOPWORDS
 from currency_market_pulse_spark.operators import textops as X
@@ -155,3 +155,32 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     high).  Token log-probs rounded to 9 before the sum so both
     engines aggregate identical values."""
     return X.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    from currency_market_pulse_spark.operators.textops import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{k}"
+        for k, p in PII_PATTERNS.items())
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+FROM documents
+"""
+
+
+@extra_query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: per-doc email/IPv4/phone hit counts plus
+    the md5 of the redacted text — the hash proves the REDACTION
+    OUTPUT matches across engines, not just the counts.  (The
+    synthetic corpus contains no PII, so counts are 0 here; the
+    planted-PII behavior is pinned in tests/test_dedup.py.)"""
+    from currency_market_pulse_spark.operators.textops import redact_pii
+
+    out = redact_pii(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      F.md5("redacted_text").alias("redacted_md5"))

@@ -156,3 +156,29 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert cont[(1, 2)][0] == 1.0          # short doc fully contained
     jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
     assert jac == []                       # symmetric metric blind to it
+
+
+def test_pii_redaction_planted(spark):
+    """Planted PII is counted and replaced; clean text untouched; the
+    Spark output matches a python-re replay of the same patterns."""
+    import re
+
+    from pyspark.sql import Row
+    from currency_market_pulse_spark.operators.textops import (
+        PII_PATTERNS, redact_pii,
+    )
+    dirty = ("contact bob.smith+x@example.co.uk or 10.0.255.7 "
+             "and call 555-123-4567 twice 555-123-4567")
+    clean = "no personal identifiers anywhere in this sentence"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=dirty), Row(doc_id=2, text=clean)])
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 1, 2)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].redacted_text == clean
+
+    expect = dirty
+    for kind, pat in PII_PATTERNS.items():
+        expect = re.sub(pat, f"<{kind.upper()}>", expect)
+    assert got[1].redacted_text == expect
+    assert "<EMAIL>" in expect and "<IPV4>" in expect and "<PHONE>" in expect
