@@ -89,10 +89,14 @@ def connected_components_star(pairs: DataFrame,
         to_root = m.select(F.col("u"), F.col("m").alias("v"))
         return repointed.unionAll(to_root)
 
-    edges = _canon(e).localCheckpoint()
+    # lazy checkpoints: the per-round checksum action materializes the
+    # checkpoint blocks and computes the digest in ONE job (see the
+    # matching note in connected_components).
+    edges = _canon(e).localCheckpoint(eager=False)
     prev_sum = _checksum(edges)
     for _ in range(max_iter):
-        edges = _canon(_small_star(_large_star(edges))).localCheckpoint()
+        edges = _canon(_small_star(_large_star(edges))).localCheckpoint(
+            eager=False)
         cur_sum = _checksum(edges)
         if cur_sum == prev_sum:
             break
@@ -132,15 +136,18 @@ def connected_components(pairs: DataFrame,
             .agg(F.min("comp").alias("nmin")))
         # labels feeds the plan twice per round, so without truncation
         # the logical plan DOUBLES every iteration; localCheckpoint cuts
-        # the lineage to a leaf and materializes (eager) so the count
-        # below is a cheap scan of the checkpointed blocks.
+        # the lineage to a leaf.  LAZY (eager=False): the convergence
+        # count below is the round's single action — it materializes the
+        # checkpoint blocks AND counts in one job, instead of an eager
+        # materialization job followed by a count job (2 jobs/round ->
+        # 1; scheduling dominates at small graph sizes).
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
                     F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

@@ -62,10 +62,17 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str],
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def _doc_shingles(docs: DataFrame, n: int,
-                  id_col: str, text_col: str) -> DataFrame:
-    """(id, n_sh, shingle) — one exploded row per DISTINCT shingle,
-    with the doc's distinct-shingle count computed BEFORE the explode.
+def shingles_from_tokens(toks_df: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         tok_col: str = "_t") -> DataFrame:
+    """(id, n_sh, shingle) from a pre-tokenized (id, token-array)
+    relation — one exploded row per DISTINCT shingle, with the doc's
+    distinct-shingle count computed BEFORE the explode.
+
+    Taking the TOKEN relation (not the exploded shingles) as the shared
+    input is deliberate: the token arrays are corpus-sized and persist
+    well, while caching the exploded string shingles was measured
+    SLOWER than recomputing them JVM-side (queries/dedup.py r2 note).
 
     Built as staged projections on purpose: composing
     explode(size(array_distinct(shingles(tokens(text))))) in one select
@@ -74,10 +81,9 @@ def _doc_shingles(docs: DataFrame, n: int,
     doc — measured 30x slowdown).  Staging materializes the token array
     and shingle array once per doc; the explode then touches only bound
     columns."""
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    arr = toks.select(
+    arr = toks_df.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col("_t"), n)).alias("_sharr"))
+        F.array_distinct(shingles(F.col(tok_col), n)).alias("_sharr"))
     pre = arr.select(F.col(id_col), F.size("_sharr").alias("n_sh"),
                      F.col("_sharr"))
     # explode_outer, not explode: InferFiltersFromGenerate would add a
@@ -88,6 +94,14 @@ def _doc_shingles(docs: DataFrame, n: int,
     sh = pre.select(F.col(id_col), "n_sh",
                     F.explode_outer("_sharr").alias("sh"))
     return sh.filter(F.col("sh").isNotNull())
+
+
+def _doc_shingles(docs: DataFrame, n: int,
+                  id_col: str, text_col: str) -> DataFrame:
+    """tokenize + shingles_from_tokens (see there for the staging
+    rationale)."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    return shingles_from_tokens(toks, n, id_col, "_t")
 
 
 #: Default ceiling on per-shingle document frequency in the jaccard
@@ -214,43 +228,52 @@ def minhash_lsh_candidates(docs: DataFrame,
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
-            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+            id_col: str = "doc_id", text_col: str = "text",
+            tokens_df: DataFrame | None = None,
+            tok_col: str = "_t") -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit j of the signature is 1
     iff sum over tokens of (+1 if bit j of hash(token) else -1) > 0.
 
-    Computed relationally (explode tokens x bits -> two aggregations)
-    so it is oracle-reproducible; at scale the same math collapses into
-    one aggregate over packed longs.
+    Computed as ONE hash-aggregate over the exploded distinct tokens
+    with ``bits`` conditional-sum columns (bit j's vote is +1/-1 by bit
+    j of the token hash), then the signature assembled in a projection.
+    Same math as the textbook explode-tokens-x-bits formulation (the
+    DuckDB oracle keeps that relational form), but the shuffle carries
+    one row per (doc, token) instead of ``bits``x that, and map-side
+    partial aggregation compresses it to one row per doc per mapper —
+    measured ~2x on this operator.
+
+    ``tokens_df``: optional pre-tokenized (id, token-array) relation —
+    shares one (typically persisted) tokenize pass with the shingle
+    operators (see shingles_from_tokens / queries/dedup.py).
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    if tokens_df is not None:
+        toks = tokens_df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col(tok_col))).alias("tok"))
+    else:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
     hashed = toks.withColumn("h", hex_hash64(F.col("tok")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftright/shiftleft via expr: the python wrappers require a
-    # literal shift amount, the SQL functions accept a column.
-    votes = (
-        hashed.select(F.col(id_col), "h", bit)
-        .withColumn("vote", F.when(
-            F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1)))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.groupBy(id_col)
-        .agg(F.sum(
-            F.when(F.col("v") > 0,
-                   F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-            .otherwise(F.lit(0).cast("long"))).alias("simhash"))
-    )
+    votes = hashed.groupBy(id_col).agg(*[
+        F.sum(F.when(F.expr(f"shiftright(h, {j})").bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{j}")
+        for j in range(bits)])
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0,
+                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         tokens_df: DataFrame | None = None) -> DataFrame:
     """Docs with identical SimHash signatures (hamming distance 0
     buckets).  Near-dup candidates at sketch cost O(1) per doc."""
-    s = simhash(docs, SIMHASH_BITS, id_col, text_col)
+    s = simhash(docs, SIMHASH_BITS, id_col, text_col, tokens_df=tokens_df)
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, (F.col("a.simhash") == F.col("b.simhash"))

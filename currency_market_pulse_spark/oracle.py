@@ -29,14 +29,19 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort_cols: list[str] | None = None) -> pd.DataFrame:
+    """Column-sort, dtype-normalize, then row-sort.  ``sort_cols`` limits
+    the row sort to the given (key) columns — used by compare_bounded so
+    approximate numeric cells can't scramble row alignment between the
+    Spark and oracle frames (ADVICE r3 item 1)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    keys = sort_cols if sort_cols else list(df.columns)
+    return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
 def dtype_traps(schema: pa.Schema) -> list[str]:
@@ -101,7 +106,17 @@ def compare_bounded(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
         return f"ROWCOUNT {len(spark_pdf)} vs {len(oracle_pdf)}"
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return f"SCHEMA {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
-    a, b = canon(spark_pdf), canon(oracle_pdf)
+    # Align rows on the non-rtol-gated key columns only: every numeric
+    # cell (HLL estimates are int64) is engine-specific by design, so
+    # sorting on one could pair Spark row i with oracle row j and fail
+    # spuriously even with every value inside the bound.
+    def _is_numeric(s: pd.Series) -> bool:
+        return pd.api.types.is_numeric_dtype(s)
+    key_cols = sorted(
+        c for c in spark_pdf.columns
+        if not _is_numeric(spark_pdf[c]) and not _is_numeric(oracle_pdf[c]))
+    a = canon(spark_pdf, sort_cols=key_cols or None)
+    b = canon(oracle_pdf, sort_cols=key_cols or None)
     for c in a.columns:
         for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
             try:

@@ -6,42 +6,84 @@ oracle that reproduces the identical (md5-family) hash math.
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
 
-# Shared jaccard-pair relation: dedup_ngram_jaccard, dedup_components
-# and dedup_components_star all consume the SAME (id_a, id_b, jaccard)
-# pairs over the same corpus — the components queries used to re-run
-# the entire shingle self-join just to get their edges (VERDICT r2
-# item 7).  Persisting the PAIRS (not the raw shingle scan — measured:
-# caching the exploded string shingles reads back slower than
-# recomputing them JVM-side) makes the expensive join run once per
-# (application, sf_dir); the pair relation itself is tiny (near-dup
-# candidates, orders of magnitude smaller than the corpus).  Only the
-# latest entry is kept; evicted blocks are unpersisted.
-_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PAIRS_LOCK = threading.Lock()
+# Shared corpus relations, cached per (application, sf_dir): the whole
+# text-dedup family (jaccard, minhash, simhash, containment, both
+# components variants) runs over the same documents corpus, so the
+# common prefixes are computed ONCE and persisted:
+#
+# - "tokens": (doc_id, token-array).  Every family member starts with
+#   parquet-scan + lower + regex-split; persisting the PRE-EXPLODE
+#   arrays shares that pass (the exploded string shingles were measured
+#   SLOWER to cache than to recompute JVM-side — r2 negative result —
+#   so shingling stays recompute-from-tokens).
+# - "pairs": the (id_a, id_b, jaccard) relation — the expensive shingle
+#   self-join, consumed verbatim by dedup_ngram_jaccard and both
+#   components queries (VERDICT r2 item 7); tiny (near-dup candidates).
+#
+# Capacity 2, LRU (ADVICE r3 item 4): a single-slot cache thrashed when
+# two sf_dirs interleave, and eviction-under-lock could yank a persisted
+# block out from under a concurrently-running consumer in another
+# worker thread.  With 2 slots the interleaving pattern (driver gate at
+# one sf, pytest at another) never evicts a live entry; eviction uses
+# blocking=False so even a pathological third sf_dir only costs the
+# straggler a recompute, never corruption.
+_CACHE_CAP = 2
+_CORPUS_CACHE: OrderedDict[tuple[str, str], dict[str, DataFrame]] = OrderedDict()
+_CORPUS_LOCK = threading.Lock()
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _CORPUS_LOCK:  # harness may run queries from worker threads
+        entry = _CORPUS_CACHE.get(key)
+        if entry is None:
+            while len(_CORPUS_CACHE) >= _CACHE_CAP:
+                _, old = _CORPUS_CACHE.popitem(last=False)
+                for df in old.values():
+                    try:
+                        df.unpersist(blocking=False)
+                    except Exception:
+                        pass
+            docs = load_table(spark, sf_dir, "documents")
+            toks = docs.select(
+                "doc_id", tokens(F.col("text")).alias("_t")).persist()
+            entry = {"tokens": toks}
+            _CORPUS_CACHE[key] = entry
+        else:
+            _CORPUS_CACHE.move_to_end(key)
+        return entry
+
+
+def _shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus(spark, sf_dir)["tokens"]
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle relation derived (NOT persisted — see cache note)
+    from the shared token arrays."""
+    return D.shingles_from_tokens(_shared_tokens(spark, sf_dir), n=3)
 
 
 def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIRS_LOCK:  # harness may run queries from worker threads
-        df = _PAIRS_CACHE.get(key)
+    entry = _corpus(spark, sf_dir)
+    with _CORPUS_LOCK:
+        df = entry.get("pairs")
         if df is None:
-            for old in _PAIRS_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _PAIRS_CACHE.clear()
-            docs = load_table(spark, sf_dir, "documents")
-            df = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).persist()
-            _PAIRS_CACHE[key] = df
+            df = D.ngram_jaccard_pairs(
+                None, n=3, threshold=0.5,
+                shingles_df=D.shingles_from_tokens(entry["tokens"], n=3),
+            ).persist()
+            entry["pairs"] = df
     return df
 
 
@@ -51,6 +93,16 @@ _DTOK = "dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)"
 _SH3 = ("sh3 AS (SELECT doc_id, unnest(list_distinct("
         "list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh FROM toks)")
+# df-capped twin of the Spark side's DEFAULT_SHINGLE_DF_CAP skew guard
+# (ADVICE r3 item 3: the Spark queries cap per-shingle document
+# frequency but the oracles joined UNCAPPED shingles — exact only while
+# the fixture's max df stays under the cap; at larger scale factors the
+# oracle would diverge by construction).  Set sizes stay computed from
+# the UNCAPPED sh3, exactly like the Spark side computes n_sh before
+# the cap filter.
+_SH3CAP = (f"sh3c AS (SELECT doc_id, sh FROM ("
+           f"SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df "
+           f"FROM sh3) WHERE df <= {D.DEFAULT_SHINGLE_DF_CAP})")
 
 
 @query(
@@ -69,11 +121,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {_TOKS}, {_SH3},
+WITH {_TOKS}, {_SH3}, {_SH3CAP},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
-  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) AS jaccard
@@ -119,8 +171,11 @@ FROM bands a JOIN bands b
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 12 seeded min-md5 hashes over 3-gram
-    shingles, 4 bands x 3 rows, pairs agreeing on any full band."""
-    return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    shingles, 4 bands x 3 rows, pairs agreeing on any full band.
+    Shingles come from the shared persisted token relation — one
+    tokenize pass across the whole dedup family."""
+    return D.minhash_lsh_candidates(
+        None, shingles_df=_shared_shingles(spark, sf_dir))
 
 
 @query(
@@ -145,17 +200,19 @@ FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets: identical 16-bit signatures pair up."""
-    return D.simhash_bucket_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash near-dup buckets: identical 16-bit signatures pair up.
+    Tokens come from the shared persisted token relation."""
+    return D.simhash_bucket_pairs(
+        None, tokens_df=_shared_tokens(spark, sf_dir))
 
 
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE
-{_TOKS}, {_SH3},
+{_TOKS}, {_SH3}, {_SH3CAP},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
-  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 pairs AS (
   SELECT id_a, id_b FROM common
@@ -231,11 +288,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @extra_query(
     "dedup_containment",
     oracle=f"""
-WITH {_TOKS}, {_SH3},
+WITH {_TOKS}, {_SH3}, {_SH3CAP},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
-  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(CAST(nc AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
@@ -251,6 +308,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: n-gram containment |A∩B|/|A| (and the
     reverse) at threshold 0.5 — catches short docs embedded in longer
     ones (quotes, boilerplate), which symmetric jaccard structurally
-    misses.  Same df-capped shingle self-join as dedup_ngram_jaccard."""
+    misses.  Same df-capped shingle self-join as dedup_ngram_jaccard
+    (cap mirrored in the oracle's sh3c CTE), fed from the shared
+    persisted token relation."""
     return D.containment_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+        None, n=3, threshold=0.5,
+        shingles_df=_shared_shingles(spark, sf_dir))

@@ -22,6 +22,7 @@ ORDER BY time_placed) and a JDBC sink skeleton for ClickHouse.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -109,14 +110,16 @@ class JdbcSink(Sink):
                 # "does not exist", ClickHouse "doesn't exist" /
                 # UNKNOWN_TABLE code 60 (ADVICE r2 — without it the
                 # docstring-recommended ClickHouse setup would fail the
-                # stream on the very first batch).  Any OTHER delete
-                # error stays fatal so replay dedup is never silently
-                # skipped.
+                # stream on the very first batch).  The code match is
+                # word-bounded (ADVICE r3: a bare substring "code: 60"
+                # also matches codes 600-609, silently skipping replay
+                # dedup on an unrelated fatal error).  Any OTHER delete
+                # error stays fatal so dedup is never silently skipped.
                 msg = str(e).lower()
                 if ("42x05" not in msg and "does not exist" not in msg
                         and "doesn't exist" not in msg
                         and "unknown_table" not in msg
-                        and "code: 60" not in msg):
+                        and re.search(r"code:\s*60\b", msg) is None):
                     raise
             finally:
                 stmt.close()
