@@ -21,12 +21,12 @@ from currency_market_pulse_spark.queries.registry import (
     QUERIES,
 )
 
-from tests.conftest import SF_DIR
+from tests.conftest import EXTRA_SF_DIR
 
 
 @pytest.fixture(scope="module")
 def con():
-    c = duck_con(SF_DIR)
+    c = duck_con(EXTRA_SF_DIR)
     yield c
     c.close()
 
@@ -45,11 +45,15 @@ def test_extra_query_matches_oracle(spark, con, name):
     if name in EXTRA_RTOL:
         # sketch estimator: error-bound gate, not bitwise (registry.py)
         verdict, n = check_within_bound(
-            spark, con, EXTRA_QUERIES[name], sql, SF_DIR,
+            spark, con, EXTRA_QUERIES[name], sql, EXTRA_SF_DIR,
             rtol=EXTRA_RTOL[name])
         assert verdict == "WITHIN-BOUND", f"{name}: {verdict}"
     else:
+        # EXACT only (VERDICT r3 item 4a): APPROX diagnoses float
+        # summation-order drift — oracle.py's own guidance is to round
+        # both sides rather than ship it, and no query needs the
+        # allowance today.
         verdict, n = check_against_oracle(
-            spark, con, EXTRA_QUERIES[name], sql, SF_DIR)
-        assert verdict in ("EXACT", "APPROX"), f"{name}: {verdict}"
-    assert n > 0, f"{name} returned no rows at {SF_DIR}"
+            spark, con, EXTRA_QUERIES[name], sql, EXTRA_SF_DIR)
+        assert verdict == "EXACT", f"{name}: {verdict}"
+    assert n > 0, f"{name} returned no rows at {EXTRA_SF_DIR}"
