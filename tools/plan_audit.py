@@ -86,6 +86,22 @@ EXPECTATIONS = {
     "dedup_ngram_jaccard": [
         ("df cap is a window count on the join key", r"Window \[count"),
     ],
+    "dedup_minhash_lsh": [
+        # the 12 min-hash aggregates combine map-side before the one
+        # signature shuffle
+        ("signature agg partially combined", r"partial_min"),
+        # bands come from ONE explode of a struct array, not a per-band
+        # union re-running the signature aggregation
+        ("no per-band union", r"^(?!(.|\n)*Union)(.|\n)*$"),
+    ],
+    "dedup_simhash": [
+        # one conditional-sum hash-aggregate over (doc, token) rows,
+        # partially combined map-side (the tokens-x-bits explode
+        # formulation lives only in the oracle)
+        ("vote agg partially combined", r"partial_sum"),
+        ("no bit explode (the only Generates are token explodes)",
+         r"^(?!(.|\n)*explode\(sequence)(.|\n)*$"),
+    ],
     "sim_topk_numpy": [
         # round-3 de-collect: cogrouped BLAS kernel, queries replicated
         # per block by a broadcast range join — no driver collect
@@ -152,32 +168,56 @@ MAX_EXCHANGES = {
 }
 
 #: checks that must run against the POST-EXECUTION adaptive plan
-#: (AQE decides these at runtime)
+#: (AQE decides these at runtime).  All four dedup self-joins are
+#: audited through FRESH_BUILDERS: the operator contract is that both
+#: self-join sides share ONE exchange (the signature/shingle map side
+#: computes once).  The registered queries instead serve from the
+#: persisted shared-token cache, which AQE does not canonicalize
+#: across (each side gets its own TableCacheQueryStage, so the
+#: exchange materializes twice) — measured, the cross-QUERY cache
+#: sharing beats the intra-query reuse at family level, but the
+#: operator-level reuse property must keep holding for standalone
+#: (100 TB, uncached) use.
 RUNTIME_EXPECTATIONS = {
     # the df-cap window and both self-join sides shuffle on `sh`; AQE
     # must reuse that exchange rather than computing it twice
     "dedup_ngram_jaccard": [
         ("shingle exchange reused across self-join", r"ReusedExchange"),
     ],
+    "dedup_minhash_lsh": [
+        ("signature exchange reused across band self-join",
+         r"ReusedExchange"),
+    ],
+    "dedup_simhash": [
+        ("vote-agg exchange reused across signature self-join",
+         r"ReusedExchange"),
+    ],
+    "dedup_containment": [
+        ("shingle exchange reused across self-join", r"ReusedExchange"),
+    ],
 }
 
 
-def _fresh_ngram_jaccard(spark, sf_dir):
-    # bypass the query layer's persisted pair cache: the audit asserts
-    # properties of the underlying join plan, which an InMemoryTableScan
-    # would hide
-    from currency_market_pulse_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from currency_market_pulse_spark.sources.catalog import load_table
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
-                               n=3, threshold=0.5)
+def _fresh(op_name, **kw):
+    # bypass the query layer's persisted token/pair caches: the audit
+    # asserts properties of the underlying operator plan, which
+    # InMemoryTableScan stages would hide (and whose presence disables
+    # AQE exchange reuse — see RUNTIME_EXPECTATIONS note)
+    def build(spark, sf_dir):
+        from currency_market_pulse_spark.operators import dedup as D
+        from currency_market_pulse_spark.sources.catalog import load_table
+        return getattr(D, op_name)(
+            load_table(spark, sf_dir, "documents"), **kw)
+    return build
 
 
 #: plan-builder overrides: audit the uncached operator plan where the
 #: registered query serves from a persisted relation
 FRESH_BUILDERS = {
-    "dedup_ngram_jaccard": _fresh_ngram_jaccard,
+    "dedup_ngram_jaccard": _fresh("ngram_jaccard_pairs", n=3, threshold=0.5),
+    "dedup_minhash_lsh": _fresh("minhash_lsh_candidates"),
+    "dedup_simhash": _fresh("simhash_bucket_pairs"),
+    "dedup_containment": _fresh("containment_pairs", n=3, threshold=0.5),
 }
 
 
