@@ -182,6 +182,128 @@ WHERE rn <= 3 ORDER BY query_id, rn
 """
 
 
+def _recall_oracle() -> str:
+    """One SQL replay of all four pipelines (exact top-3, IVF nprobe=1,
+    IVF nprobe=2, hyperplane-LSH top-3) feeding a recall@3 aggregate —
+    every input is deterministic, so the quality metric itself is
+    oracle-EXACT.  Counts cast to BIGINT (DuckDB sum() -> HUGEINT
+    trap, oracle.py:dtype_traps)."""
+    from currency_market_pulse_spark.operators import similarity as S
+
+    cos = oracle_cosine_sql("q.embedding", "c.embedding")
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    return f"""
+WITH {ORACLE_EMB_CTE}, {_REPS_CTE},
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos}, 6) DESC, c.vec_id) AS rn
+    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) t WHERE rn <= 3),
+assigned AS (
+  SELECT query_id, cell, rn AS arn FROM (
+    SELECT q.vec_id AS query_id, r.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round({_ASSIGN}, 6) DESC, r.cell) AS rn
+    FROM emb q CROSS JOIN reps r WHERE q.vec_id < 10) t
+  WHERE rn <= 2),
+ivf AS (
+  SELECT a.arn, a.query_id, c.vec_id AS neighbor_id,
+         round({_RERANK}, 6) AS cos_sim
+  FROM assigned a
+  JOIN emb c ON c.label = a.cell
+  JOIN emb q ON q.vec_id = a.query_id
+  WHERE c.vec_id <> a.query_id),
+ivf1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM ivf WHERE arn = 1) t WHERE rn <= 3),
+ivf2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM ivf) t WHERE rn <= 3),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM emb),
+bkt AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
+lsh3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos}, 6) DESC NULLS LAST, c.vec_id) AS rn
+    FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) t WHERE rn <= 3),
+meth AS (
+  SELECT 'ivf_probe1' AS method, * FROM ivf1
+  UNION ALL SELECT 'ivf_probe2', * FROM ivf2
+  UNION ALL SELECT 'lsh_bucket', * FROM lsh3),
+perq AS (
+  SELECT m.method, m.query_id, count(*) AS h
+  FROM meth m JOIN exact3 e
+    ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+  GROUP BY 1, 2),
+spine AS (
+  SELECT method, query_id
+  FROM (SELECT DISTINCT query_id FROM exact3)
+  CROSS JOIN (VALUES ('ivf_probe1'), ('ivf_probe2'), ('lsh_bucket')) v(method))
+SELECT s.method,
+       CAST(sum(coalesce(p.h, 0)) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(sum(coalesce(p.h, 0)) / (count(*) * 3.0), 6) AS recall_at_3
+FROM spine s LEFT JOIN perq p
+  ON p.method = s.method AND p.query_id = s.query_id
+GROUP BY s.method ORDER BY s.method
+"""
+
+
+@extra_query("sim_ann_recall", oracle=_recall_oracle())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of every ANN variant against the exact bruteforce
+    top-3 — the quality/cost trade-off of the approximate index paths
+    as a MEASURED, regression-gated number (VERDICT r3 item 8), not a
+    one-off test assertion.  nprobe=2's recall dominates nprobe=1 by
+    construction (its candidate set is a superset); the oracle proves
+    the exact values of all three."""
+    from currency_market_pulse_spark.operators import similarity as S
+    from currency_market_pulse_spark.queries.similarity import (
+        sim_ann_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (S.topk_bruteforce(emb, F.col("vec_id") < 10, k=3)
+             .select("query_id", "neighbor_id"))
+    methods = {
+        "ivf_probe1": sim_ivf_topk(spark, sf_dir),
+        "ivf_probe2": sim_ivf_topk_probe2(spark, sf_dir),
+        "lsh_bucket": sim_ann_lsh_topk(spark, sf_dir),
+    }
+    meth = None
+    for name, df in methods.items():
+        part = df.select(F.lit(name).alias("method"),
+                         "query_id", "neighbor_id")
+        meth = part if meth is None else meth.unionAll(part)
+    perq = (meth.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("method", "query_id").agg(F.count("*").alias("h")))
+    spine = (exact.select("query_id").distinct()
+             .select("query_id", F.explode(F.array(
+                 *[F.lit(m) for m in methods])).alias("method")))
+    return (spine.join(perq, ["method", "query_id"], "left")
+            .groupBy("method")
+            .agg(F.sum(F.coalesce("h", F.lit(0))).alias("n_hits"),
+                 F.count(F.lit(1)).alias("n_queries"))
+            .withColumn("recall_at_3", F.round(
+                F.col("n_hits") / (F.col("n_queries") * 3.0), 6))
+            .orderBy("method"))
+
+
 @extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)
 def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF (nprobe=2): rerank over the TWO nearest cells —
