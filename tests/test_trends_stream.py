@@ -55,3 +55,101 @@ def test_trends_live_windows_and_late_drop(spark, tmp_path):
     # closed 10:00 window holds ONLY the on-time rows; the rate=99 late
     # event was dropped by the watermark
     assert (w10.min, w10.max, w10.mean, w10.n_trades) == (1.0, 3.0, 2.0, 2)
+
+
+def test_trends_live_equals_batch_on_closed_windows(spark, tmp_path):
+    """Fixture replay differential (VERDICT r3 item 5): the sf0.001
+    trades stream through the watermarked live view, captured per
+    micro-batch via foreachBatch, must equal the batch ``trends()``
+    result on every CLOSED window — and an injected too-late event must
+    be absent from the stream's closed window while changing the batch
+    result, proving the T5 semantic delta rather than documenting it."""
+    import math
+
+    from currency_market_pulse_spark.operators.trends import trends
+    from currency_market_pulse_spark.sources.catalog import events_as_trades
+    from currency_market_pulse_spark.streaming.trends_stream import trends_live
+    from tests.conftest import SF_DIR
+
+    trades = events_as_trades(spark, SF_DIR).select(
+        "currency_from", "currency_to", "rate", "time_placed")
+    fixture = trades.orderBy("time_placed").collect()
+    assert len(fixture) > 100
+
+    def row_json(r):
+        return {"currency_from": r.currency_from,
+                "currency_to": r.currency_to, "rate": r.rate,
+                "time_placed": r.time_placed.isoformat()}
+
+    # split mid-fixture; batch 1 establishes a watermark far past the
+    # first window, batch 2 carries an extreme-valued event landing in
+    # that first (long-closed) window
+    mid = len(fixture) // 2
+    late = {"currency_from": fixture[0].currency_from,
+            "currency_to": "USD", "rate": 999.0,
+            "time_placed": fixture[0].time_placed.isoformat()}
+    src = tmp_path / "replay"
+    src.mkdir()
+    _write(src / "b1.json", [row_json(r) for r in fixture[:mid]])
+
+    captured = []
+    schema = ("currency_from string, currency_to string, rate double, "
+              "time_placed timestamp")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (trends_live(stream, watermark="10 minutes")
+         .writeStream
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .outputMode("append")
+         .foreachBatch(lambda df, bid: captured.extend(df.collect()))
+         .start())
+    try:
+        q.processAllAvailable()
+        _write(src / "b2.json",
+               [late] + [row_json(r) for r in fixture[mid:]])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r.time_window, r.currency_from, r.currency_to): r
+                for r in captured}
+    assert len(streamed) == len(captured), "duplicate closed-window emission"
+    assert len({k[0] for k in streamed}) >= 2, "need >=2 closed windows"
+
+    # batch side through the REAL operator: trends() is single-pair like
+    # the reference HTTP API, so run it per currency_from (currency_to
+    # is constant 'USD' in the fixture mapping)
+    pairs = [r.currency_from
+             for r in trades.select("currency_from").distinct().collect()]
+    batch = {}
+    for cf in pairs:
+        for r in trends(trades, currency_from=cf, currency_to="USD").collect():
+            batch[(r.time_window, cf, "USD")] = r
+    for key, s in streamed.items():
+        b = batch[key]
+        assert (s.min, s.max) == (b.min, b.max), key
+        assert math.isclose(s.mean, b.mean, rel_tol=1e-9), key
+    # every closed window the stream did NOT emit is within the final
+    # watermark horizon (nothing silently lost)
+    horizon = max(r.time_placed for r in fixture)
+    import datetime as dt
+    for key, b in batch.items():
+        if key not in streamed:
+            assert key[0] >= horizon - dt.timedelta(minutes=20), key
+
+    # the late event's window: emitted WITHOUT the 999.0 contribution...
+    late_key = (fixture[0].time_placed.replace(
+        minute=fixture[0].time_placed.minute // 10 * 10,
+        second=0, microsecond=0),
+        fixture[0].currency_from, "USD")
+    assert late_key in streamed
+    assert streamed[late_key].max < 999.0
+    # ...while a batch query over the same full input DOES include it —
+    # the reference's batch semantics (SURVEY §4 T5 delta, proven)
+    with_late = spark.createDataFrame(
+        [(late["currency_from"], "USD", 999.0, fixture[0].time_placed)],
+        schema)
+    batch_late = {(r.time_window, late["currency_from"], "USD"): r
+                  for r in trends(trades.unionAll(with_late),
+                                  currency_from=late["currency_from"],
+                                  currency_to="USD").collect()}
+    assert batch_late[late_key].max == 999.0
