@@ -195,6 +195,39 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_sig) — one band row per (doc, band) via a single
+    explode of a struct array, NOT a per-band union (which would
+    re-evaluate the signature aggregation once per band).  Tiny
+    relation: MINHASH_BANDS rows per doc — worth persisting when
+    several consumers (or both sides of the candidate self-join) read
+    it (see queries/dedup.py corpus cache)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws("|", *[
+                f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            ]).alias("band_sig"))
+        for band in range(MINHASH_BANDS)])
+    return (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
+            .select(id_col, "bs.band", "bs.band_sig"))
+
+
+def pairs_from_bands(bands: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from the band relation: equal (band, band_sig)
+    self-join, dedup'd across bands."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_sig") == F.col("b.band_sig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",
@@ -204,27 +237,7 @@ def minhash_lsh_candidates(docs: DataFrame,
     group; never a full pairwise join."""
     sigs = minhash_signatures(docs, MINHASH_K, id_col, text_col,
                               shingles_df=shingles_df)
-    # one band row per (doc, band) via a single explode — NOT a
-    # per-band union, which would re-evaluate the signature aggregation
-    # once per band.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws("|", *[
-                f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
-            ]).alias("band_sig"))
-        for band in range(MINHASH_BANDS)])
-    exploded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("bs"))
-                .select(id_col, "bs.band", "bs.band_sig"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_sig") == F.col("b.band_sig"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return pairs_from_bands(minhash_bands(sigs, id_col), id_col)
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
@@ -268,13 +281,12 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text",
-                         tokens_df: DataFrame | None = None) -> DataFrame:
-    """Docs with identical SimHash signatures (hamming distance 0
-    buckets).  Near-dup candidates at sketch cost O(1) per doc."""
-    s = simhash(docs, SIMHASH_BITS, id_col, text_col, tokens_df=tokens_df)
-    a, b = s.alias("a"), s.alias("b")
+def pairs_from_simhash(sigs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Identical-signature pairs from a (id, simhash) relation — split
+    out so the signature side can be persisted once and read by both
+    join sides (see queries/dedup.py corpus cache)."""
+    a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -282,6 +294,15 @@ def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.col("a.simhash").alias("simhash"))
     )
+
+
+def simhash_bucket_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         tokens_df: DataFrame | None = None) -> DataFrame:
+    """Docs with identical SimHash signatures (hamming distance 0
+    buckets).  Near-dup candidates at sketch cost O(1) per doc."""
+    s = simhash(docs, SIMHASH_BITS, id_col, text_col, tokens_df=tokens_df)
+    return pairs_from_simhash(s, id_col)
 
 
 #: Target rows per block for the block self-join: keeps each

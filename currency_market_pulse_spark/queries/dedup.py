@@ -87,6 +87,25 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _shared_derived(spark: SparkSession, sf_dir: str, key: str,
+                    build) -> DataFrame:
+    """Persist a small derived relation (minhash bands, simhash sigs)
+    in the corpus cache.  Rationale: the candidate self-joins read
+    their signature relation TWICE, and AQE's exchange reuse does not
+    fire across the persisted-token cache boundary (it cannot
+    canonicalize two TableCacheQueryStages as equal — tools/
+    plan_audit.py RUNTIME_EXPECTATIONS note), so without this the
+    whole signature aggregation executes once per join side.  The
+    relations are tiny: MINHASH_BANDS rows/doc resp. 1 row/doc."""
+    entry = _corpus(spark, sf_dir)
+    with _CORPUS_LOCK:
+        df = entry.get(key)
+        if df is None:
+            df = build(entry["tokens"]).persist()
+            entry[key] = df
+    return df
+
+
 # shared oracle CTEs (DuckDB) — twins of functions/text.py primitives
 _TOKS = r"toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)"
 _DTOK = "dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)"
@@ -172,10 +191,15 @@ FROM bands a JOIN bands b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs: 12 seeded min-md5 hashes over 3-gram
     shingles, 4 bands x 3 rows, pairs agreeing on any full band.
-    Shingles come from the shared persisted token relation — one
-    tokenize pass across the whole dedup family."""
-    return D.minhash_lsh_candidates(
-        None, shingles_df=_shared_shingles(spark, sf_dir))
+    Shingles come from the shared persisted token relation (one
+    tokenize pass across the whole dedup family); the band relation is
+    itself persisted so the candidate self-join's two sides read it
+    instead of re-running the signature aggregation (_shared_derived)."""
+    bands = _shared_derived(
+        spark, sf_dir, "minhash_bands",
+        lambda toks: D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
+    return D.pairs_from_bands(bands)
 
 
 @query(
@@ -201,9 +225,13 @@ FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup buckets: identical 16-bit signatures pair up.
-    Tokens come from the shared persisted token relation."""
-    return D.simhash_bucket_pairs(
-        None, tokens_df=_shared_tokens(spark, sf_dir))
+    Tokens come from the shared persisted token relation; the per-doc
+    signature relation is persisted so both self-join sides read it
+    (_shared_derived)."""
+    sigs = _shared_derived(
+        spark, sf_dir, "simhash_sigs",
+        lambda toks: D.simhash(None, tokens_df=toks))
+    return D.pairs_from_simhash(sigs)
 
 
 _COMPONENTS_ORACLE = f"""
