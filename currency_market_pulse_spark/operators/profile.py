@@ -20,15 +20,30 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def profile_columns(df: DataFrame, numeric_cols: list[str],
-                    string_cols: list[str]) -> DataFrame:
+                    string_cols: list[str],
+                    approx_ndv: bool = False,
+                    rsd: float = 0.01) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
     min_str, max_str) — one row per profiled column, one table scan
-    total."""
+    total.
+
+    ``approx_ndv``: exact ``countDistinct`` keeps a hash SET of every
+    column's values in each task's partial-aggregation state — memory
+    grows with per-column NDV, and a high-cardinality column (price,
+    id) OOMs the executors at large SF (measured at sf1 under a 1g
+    heap; at 100 TB it is structural, not a config issue).  True swaps
+    in ``approx_count_distinct`` (HyperLogLog++): constant ~kB sketch
+    per column per task at ``rsd`` relative error — the ANALYZE-grade
+    trade every warehouse makes.  Exact stays the default so the
+    differential gate can prove the rest of the math bitwise; the
+    scale deployment should pass approx_ndv=True."""
+    nd = ((lambda c: F.approx_count_distinct(c, rsd)) if approx_ndv
+          else F.countDistinct)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in numeric_cols + string_cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
-            F.countDistinct(c).alias(f"_nd_{c}"),
+            nd(c).alias(f"_nd_{c}"),
             F.min(c).alias(f"_min_{c}"),
             F.max(c).alias(f"_max_{c}"),
         ]

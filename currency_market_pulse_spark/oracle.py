@@ -37,7 +37,14 @@ def canon(df: pd.DataFrame, sort_cols: list[str] | None = None) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                # tz-aware (parquet instant read by DuckDB as
+                # TIMESTAMPTZ) -> naive UTC, matching Spark's toPandas
+                # under the UTC session: same instants compare equal
+                # regardless of which physical annotation the file used
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     keys = sort_cols if sort_cols else list(df.columns)

@@ -55,8 +55,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     except Exception:
                         pass
             docs = load_table(spark, sf_dir, "documents")
-            toks = docs.select(
-                "doc_id", tokens(F.col("text")).alias("_t")).persist()
+            # repartition to full parallelism BEFORE persisting: a text
+            # corpus is small ON DISK (compressed parquet — sf1's 50k
+            # docs are one 6 MB file = 2 input splits) but the family's
+            # derived work (shingle explode -> 3 md5/shingle) is heavy
+            # PER ROW, so scan-aligned partitioning strands 30 of 32
+            # cores (measured: minhash 15.5s -> 4.3s at sf1).  One tiny
+            # shuffle at cache-build time parallelizes every consumer.
+            toks = (docs.select(
+                "doc_id", tokens(F.col("text")).alias("_t"))
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist())
             entry = {"tokens": toks}
             _CORPUS_CACHE[key] = entry
         else:
@@ -168,14 +177,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # numeric min-hash twin (operators/dedup.py:minhash_hash_expr):
+    # lexicographic min of fixed-width hex == numeric min of its value
     mins = ", ".join(
-        f"min(substr(md5('{i // D.MINHASH_SLICES}|' || sh), "
-        f"{(i % D.MINHASH_SLICES) * 8 + 1}, 8)) AS mh{i}"
+        f"min(CAST(('0x' || substr(md5('{i // D.MINHASH_SLICES}|' || sh), "
+        f"{(i % D.MINHASH_SLICES) * 8 + 1}, 8)) AS BIGINT)) AS mh{i}"
         for i in range(D.MINHASH_K))
     bands = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
             b=b, sig=" || '|' || ".join(
-                f"mh{b * D.MINHASH_ROWS + r}" for r in range(D.MINHASH_ROWS)))
+                f"CAST(mh{b * D.MINHASH_ROWS + r} AS VARCHAR)"
+                for r in range(D.MINHASH_ROWS)))
         for b in range(D.MINHASH_BANDS))
     return f"""
 WITH {_TOKS}, {_SH3},

@@ -42,6 +42,26 @@ _PROFILE_ORACLE = (
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column statistics for lineitem in ONE scan
     (nulls, exact NDV, typed min/max) — the planner/data-quality
-    readout a 100 TB table can't afford to compute per-column."""
+    readout a 100 TB table can't afford to compute per-column.  Exact
+    NDV variant: bitwise-gateable, memory ∝ per-column NDV (the
+    approx twin below is the scale deployment)."""
     return profile_columns(load_table(spark, sf_dir, "lineitem"),
                            _NUMERIC, _STRING)
+
+
+@extra_query(
+    "lineitem_profile_approx",
+    oracle=_PROFILE_ORACLE,
+    # HLL++ at rsd=0.01 has ~1% standard error on n_distinct; every
+    # other cell is exact, so the 5% bound is pure headroom (same
+    # convention as approx_distinct_users)
+    rtol=0.05,
+)
+def lineitem_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiler: identical single-scan plan with HLL++
+    sketches for NDV — constant aggregation state per column per task
+    regardless of cardinality (exact NDV sets OOM at high-cardinality
+    columns; measured at sf1).  Gated against the EXACT oracle with an
+    error bound, so the sketch's accuracy is itself regression-tested."""
+    return profile_columns(load_table(spark, sf_dir, "lineitem"),
+                           _NUMERIC, _STRING, approx_ndv=True)

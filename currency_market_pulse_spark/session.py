@@ -29,10 +29,17 @@ def get_spark(app_name: str = "currency-market-pulse-spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    # local mode runs all "executors" inside the driver JVM, whose Spark
+    # default heap is 1g — 32 concurrent tasks' aggregation state OOMs
+    # there long before the machine (measured: lineitem_profile's exact
+    # NDV sets at sf1).  Only effective at JVM launch; a pre-existing
+    # session keeps its heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing + skew-join mitigation — the
