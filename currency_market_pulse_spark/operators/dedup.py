@@ -288,6 +288,55 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+#: corpus-scale SimHash: 60-bit signatures (hex_hash64's width) with
+#: banded hamming-k candidate generation.  SIMHASH_BITS=16 saturates
+#: birthday-style once the corpus outgrows 2^bits (measured at sf1:
+#: 4.16M hamming-0 pairs from 50k docs — SCALE.md round 4).
+SIMHASH64_BITS = 60
+
+
+def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
+                          bits: int = SIMHASH64_BITS,
+                          id_col: str = "doc_id") -> DataFrame:
+    """All pairs with hamming(sig_a, sig_b) <= k, WITHOUT an all-pairs
+    join: signatures split into k+1 equal bands; by pigeonhole, two
+    signatures within hamming k must agree EXACTLY on at least one
+    band, so an equality self-join per band generates a candidate
+    superset — banding is recall-COMPLETE for the hamming radius, not
+    approximate (tests/test_dedup.py proves equality with brute force).
+    Cost: one explode (k+1 rows/doc) + one shuffle on (band, value);
+    candidate volume is governed by band-collision rates, bits/(k+1)
+    per band (15 bits at the defaults).
+
+    Input is a (id, simhash) relation — compose with
+    ``simhash(bits=SIMHASH64_BITS)``; share/persist the signature
+    relation across consumers as in queries/dedup.py."""
+    n_bands = k + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {b * width})")
+             .bitwiseAND(F.lit(mask)).alias("band_val"))
+        for b in range(n_bands)])
+    bands = (sigs.select(F.col(id_col), F.col("simhash"),
+                         F.explode(band_structs).alias("bs"))
+             .select(id_col, "simhash", "bs.band", "bs.band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
 def pairs_from_simhash(sigs: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """Identical-signature pairs from a (id, simhash) relation — split

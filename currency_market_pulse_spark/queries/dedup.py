@@ -246,6 +246,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pairs_from_simhash(sigs)
 
 
+def _simhash60_oracle() -> str:
+    """60-bit banded hamming-k twin: same vote math as the 16-bit
+    oracle at SIMHASH64_BITS, then the SAME pigeonhole banding the
+    Spark side uses (k+1 bands of 15 bits) — banding is recall-complete
+    for hamming <= k, so mirroring it keeps the oracle exact while
+    staying feasible at large SF (a brute-force oracle is quadratic;
+    the pigeonhole equality itself is proven brute-force in
+    tests/test_dedup.py at fixture scale)."""
+    k, bits = 3, D.SIMHASH64_BITS
+    width = bits // (k + 1)
+    mask = (1 << width) - 1
+    bands_vals = ", ".join(f"({b})" for b in range(k + 1))
+    return f"""
+WITH {_TOKS}, {_DTOK},
+hashed AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dtok),
+votes AS (
+  SELECT doc_id, bit,
+         CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM hashed, (SELECT unnest(range(0, {bits})) AS bit) bits
+  GROUP BY doc_id, bit),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * {width})) & {mask} AS band_val
+  FROM sims, (VALUES {bands_vals}) b(band))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+"""
+
+
+@extra_query("dedup_simhash_hamming", oracle=_simhash60_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale SimHash near-dup: 60-bit signatures, banded
+    hamming<=3 pair search (operators/dedup.py:simhash_hamming_pairs).
+    Closes the 16-bit variant's saturation limit (SCALE.md round 4:
+    2^16 signatures collide birthday-style at 50k docs) — the wide
+    signature keeps hamming-0 collisions rare and the pigeonhole
+    banding finds all pairs within radius k without an all-pairs
+    join."""
+    sigs = _shared_derived(
+        spark, sf_dir, "simhash60_sigs",
+        lambda toks: D.simhash(None, bits=D.SIMHASH64_BITS,
+                               tokens_df=toks))
+    return D.simhash_hamming_pairs(sigs, k=3, bits=D.SIMHASH64_BITS)
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE
 {_TOKS}, {_SH3}, {_SH3CAP},

@@ -182,3 +182,31 @@ def test_pii_redaction_planted(spark):
         expect = re.sub(pat, f"<{kind.upper()}>", expect)
     assert got[1].redacted_text == expect
     assert "<EMAIL>" in expect and "<IPV4>" in expect and "<PHONE>" in expect
+
+
+def test_simhash_hamming_banding_is_recall_complete(spark):
+    """Pigeonhole proof by brute force: the banded hamming<=k pair
+    search (k+1 bands of 15 bits) must return EXACTLY the pairs a full
+    quadratic scan of the 60-bit signatures finds — banding is a
+    candidate-complete decomposition for the hamming radius, not an
+    approximation."""
+    from currency_market_pulse_spark.operators.dedup import (
+        SIMHASH64_BITS, simhash, simhash_hamming_pairs,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = simhash(docs, bits=SIMHASH64_BITS)
+    k = 3
+    banded = {(r.id_a, r.id_b): r.hamming
+              for r in simhash_hamming_pairs(sigs, k=k).collect()}
+    raw = sorted((r.doc_id, r.simhash) for r in sigs.collect())
+    brute = {}
+    for i in range(len(raw)):
+        for j in range(i + 1, len(raw)):
+            h = bin(raw[i][1] ^ raw[j][1]).count("1")
+            if h <= k:
+                brute[(raw[i][0], raw[j][0])] = h
+    assert banded == brute
+    assert brute, "fixture produced no hamming<=k pairs; test is vacuous"
