@@ -235,6 +235,35 @@ def pairs_from_bands(bands: DataFrame,
     )
 
 
+def jaccard_verify_candidates(shingles_df: DataFrame,
+                              candidates: DataFrame,
+                              threshold: float = 0.5,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exact jaccard computed ONLY for the given candidate pairs — the
+    verify stage of the production near-dedup pipeline (LSH candidates
+    -> exact verification -> components).  Unlike the full shingle
+    self-join, the work here is bounded by the candidate set: the
+    first join fans each pair out to side A's shingles (~|cand| x
+    shingles/doc rows), the second probes side B on (id, shingle).
+    No df cap is needed — the candidate restriction already bounds the
+    join — so the verified jaccard is the uncapped exact value."""
+    sh = shingles_df
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                  "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                  "sh")
+    return (
+        candidates.join(a, "id_a").join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -92,15 +92,26 @@ def update_centroids(emb: DataFrame, assigned: DataFrame,
                 lambda s: s["m"]).alias("centroid")))
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """Final (id, cell, dist) after ``n_iter`` Lloyd iterations from
-    the deterministic seeds."""
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """((cell, centroid), (id, cell, dist)) after ``n_iter`` Lloyd
+    iterations from the deterministic seeds — the trained coarse
+    quantizer plus the corpus partition it induces, i.e. exactly the
+    two relations an IVF index stores (queries/ivf.py
+    sim_ivf_kmeans_topk probes them)."""
     centroids = seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
     assigned = assign_cells(emb, centroids, id_col, vec_col)
     for _ in range(n_iter):
         centroids = update_centroids(
             emb, assigned, id_col, vec_col).localCheckpoint()
         assigned = assign_cells(emb, centroids, id_col, vec_col)
-    return assigned
+    return centroids, assigned
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Final (id, cell, dist) after ``n_iter`` Lloyd iterations from
+    the deterministic seeds."""
+    return kmeans_fit(emb, k, n_iter, id_col, vec_col)[1]

@@ -176,9 +176,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_jaccard_pairs(spark, sf_dir)
 
 
-def _minhash_oracle() -> str:
-    # numeric min-hash twin (operators/dedup.py:minhash_hash_expr):
-    # lexicographic min of fixed-width hex == numeric min of its value
+def _minhash_band_ctes() -> str:
+    """sig + bands CTE text (assumes toks/sh3 CTEs in scope) — the
+    numeric min-hash twin (operators/dedup.py:minhash_hash_expr):
+    lexicographic min of fixed-width hex == numeric min of its value.
+    Shared by the candidate query and the verified-components
+    pipeline oracle."""
     mins = ", ".join(
         f"min(CAST(('0x' || substr(md5('{i // D.MINHASH_SLICES}|' || sh), "
         f"{(i % D.MINHASH_SLICES) * 8 + 1}, 8)) AS BIGINT)) AS mh{i}"
@@ -189,10 +192,13 @@ def _minhash_oracle() -> str:
                 f"CAST(mh{b * D.MINHASH_ROWS + r} AS VARCHAR)"
                 for r in range(D.MINHASH_ROWS)))
         for b in range(D.MINHASH_BANDS))
+    return f"sig AS (SELECT doc_id, {mins} FROM sh3 GROUP BY doc_id),\nbands AS ({bands})"
+
+
+def _minhash_oracle() -> str:
     return f"""
 WITH {_TOKS}, {_SH3},
-sig AS (SELECT doc_id, {mins} FROM sh3 GROUP BY doc_id),
-bands AS ({bands})
+{_minhash_band_ctes()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -351,6 +357,66 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
     return (connected_components_star(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component_id"))
+            .orderBy("doc_id"))
+
+
+_LSH_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+{_TOKS}, {_SH3},
+{_minhash_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS nc
+  FROM cand c
+  JOIN sh3 a ON a.doc_id = c.id_a
+  JOIN sh3 b ON b.doc_id = c.id_b AND b.sh = a.sh
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r)
+SELECT node AS doc_id, min(r) AS component_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@extra_query("dedup_lsh_components", oracle=_LSH_COMPONENTS_ORACLE)
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dedup pipeline in one query: MinHash-LSH
+    candidate generation -> exact jaccard verification restricted to
+    candidates (operators/dedup.py:jaccard_verify_candidates — the
+    corpus never all-pairs joins; verify work is bounded by the
+    candidate set) -> connected components over the verified pairs.
+    This is the shape that runs at 100 TB — dedup_components' full
+    shingle self-join is the exact-recall twin for comparison; LSH's
+    false-negative trade (band collision probability 1-(1-j^3)^4) is
+    the cost, and the oracle replays the identical three stages so
+    the trade is itself differentially proven."""
+    from currency_market_pulse_spark.operators.components import (
+        connected_components,
+    )
+
+    bands = _shared_derived(
+        spark, sf_dir, "minhash_bands",
+        lambda toks: D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
+    cand = D.pairs_from_bands(bands)
+    verified = D.jaccard_verify_candidates(
+        _shared_shingles(spark, sf_dir), cand, threshold=0.5)
+    return (connected_components(verified)
             .select(F.col("node").alias("doc_id"),
                     F.col("comp").alias("component_id"))
             .orderBy("doc_id"))

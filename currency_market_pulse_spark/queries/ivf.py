@@ -98,13 +98,14 @@ KMEANS_ITER = 2
 _DIM = 64
 
 
-def _kmeans_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
-                   dim: int = _DIM) -> str:
-    """Step-for-step DuckDB replay of operators/kmeans.py: hash-ordered
-    seeds, per-iteration (round-6 distance argmin -> round-6 per-dim
-    means), final cell histogram.  Rounding at every hand-off keeps
-    both engines' fold-order noise below the comparison threshold, so
-    the iterations stay bitwise-aligned."""
+def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                 dim: int = _DIM) -> str:
+    """The Lloyd-iteration CTE chain (assumes the ``emb`` CTE in
+    scope): hash-ordered seeds, per-iteration (round-6 distance argmin
+    -> round-6 per-dim means).  Rounding at every hand-off keeps both
+    engines' fold-order noise below the comparison threshold, so the
+    iterations stay bitwise-aligned.  Shared by the trainer histogram
+    query and the trained-IVF search oracle."""
     dist = ("round(list_aggregate(list_transform(range(1, {n}), "
             "i -> (e.embedding[i] - c.centroid[i]) * "
             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
@@ -134,8 +135,14 @@ cent{i + 1} AS (
          (SELECT unnest(range(1, {dim + 1})) AS pos) d
     GROUP BY a.cell, d.pos) mm
   GROUP BY cell)""")
-    from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
-    return (f"WITH {ORACLE_EMB_CTE}," + ",".join(parts) + f"""
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                   dim: int = _DIM) -> str:
+    """Step-for-step DuckDB replay of operators/kmeans.py, final cell
+    histogram."""
+    return (f"WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)}" + f"""
 SELECT cell, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
 FROM a{n_iter} GROUP BY cell ORDER BY cell
 """)
@@ -156,6 +163,86 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.avg("dist"), 6).alias("avg_dist"))
             .orderBy("cell"))
+
+
+def _kmeans_ivf_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                       dim: int = _DIM) -> str:
+    """Trained-IVF search replay: the Lloyd chain (shared CTEs) to its
+    final centroids, nprobe=2 probe of the trained quantizer with the
+    SAME rounded squared-distance math the trainer uses, then exact
+    cosine rerank within the probed cells' members (membership from
+    the final assignment)."""
+    dist = ("round(list_aggregate(list_transform(range(1, {n}), "
+            "i -> (e.embedding[i] - c.centroid[i]) * "
+            "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
+            ).format(n=dim + 1)
+    cos = oracle_cosine_sql("q.embedding", "m2.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)},
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {dist}, c.cell) AS rn
+    FROM (SELECT * FROM emb WHERE vec_id < 10) e
+    CROSS JOIN cent{n_iter} c) t
+  WHERE rn <= 2),
+reranked AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM probe p
+  JOIN a{n_iter} m ON m.cell = p.cell
+  JOIN emb q ON q.vec_id = p.query_id
+  JOIN emb m2 ON m2.vec_id = m.vec_id
+  WHERE m.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM reranked) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_ivf_kmeans_topk", oracle=_kmeans_ivf_oracle())
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED quantizer — the trainer
+    (sim_kmeans_cells) and the index joined into the production shape:
+    k-means centroids broadcast for the nprobe=2 probe (same rounded
+    squared-distance math as training, so probe and train are one
+    metric), exact cosine rerank within the probed cells.  The
+    medoid-rep variants (sim_ivf_topk / _probe2) are the
+    training-free baseline; this is what an actual IVF deployment
+    runs.  Oracle replays train -> probe -> rerank end to end."""
+    from currency_market_pulse_spark.operators.kmeans import (
+        _sq_dist, kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit(emb, KMEANS_K, KMEANS_ITER)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    scored = (q.crossJoin(F.broadcast(cents))
+              .withColumn("dist", F.round(
+                  _sq_dist(F.col("qvec"), F.col("centroid")), 6)))
+    best = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probe = (scored.withColumn("_rn", F.row_number().over(best))
+             .filter(F.col("_rn") <= 2)
+             .select("query_id", "qvec", "cell"))
+    members = (assigned.select(F.col("vec_id").alias("neighbor_id"), "cell")
+               .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("embedding").alias("cvec")),
+                     "neighbor_id"))
+    reranked = (
+        F.broadcast(probe).join(members, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                 .alias("cos_sim")))
+    topk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                                  "neighbor_id")
+    return (reranked.withColumn("rn", F.row_number().over(topk))
+            .filter(F.col("rn") <= 3)
+            .orderBy("query_id", "rn"))
 
 
 _PROBE2_ORACLE = f"""
