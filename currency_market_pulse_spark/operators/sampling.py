@@ -112,3 +112,75 @@ def per_group_cap(df: DataFrame, group_col: str, id_col: str,
                   F.col(id_col).asc()))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def running_total(df: DataFrame, order_cols: list[Column],
+                  weight_col: str, out_col: str = "cum_weight",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Global running total of ``weight_col`` in ``order_cols`` order —
+    the DISTRIBUTED prefix sum.
+
+    The naive expression — ``sum() OVER (ORDER BY ...)`` with no
+    PARTITION BY — collapses the whole table into ONE task (Spark plans
+    a single-partition Window; at 100 TB that is not slow, it is dead).
+    This operator computes the identical result in three scale-safe
+    steps:
+
+    1. ``repartitionByRange`` on the order key: partition p holds keys
+       strictly below partition p+1, so global order = (partition id,
+       within-partition order).  One range shuffle.
+    2. Per-partition weight totals (tiny relation, one row per
+       partition) -> exclusive prefix via a window over THAT relation
+       (single-partition, but over ~num_partitions rows — metadata
+       scale, like a kmeans centroid update).
+    3. Broadcast the offsets back; within-partition running total via a
+       window PARTITIONED by partition id + the offset.
+
+    The result is bitwise equal to the single-window form for any total
+    order (``order_cols`` must break ties — include the row id).
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("_pid", F.spark_partition_id()))
+    totals = ranged.groupBy("_pid").agg(
+        F.sum(weight_col).alias("_ptotal"))
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)).alias("_off"))
+    w_in = (Window.partitionBy("_pid").orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged.join(F.broadcast(offsets), "_pid")
+            .withColumn(out_col,
+                        F.col("_off") + F.sum(weight_col).over(w_in))
+            .drop("_pid", "_off"))
+
+
+def budget_prefix_sample(df: DataFrame, order_cols: list[Column],
+                         weight_col: str, budget: int | float,
+                         out_col: str = "cum_weight") -> DataFrame:
+    """Select the highest-priority prefix of rows whose cumulative
+    ``weight_col`` stays within ``budget`` — the token-budget sampler
+    ("give me the best documents up to 2B training tokens").  Built on
+    the distributed prefix sum (``running_total``); the cut keeps every
+    row whose running total (inclusive) is <= budget, so the selection
+    is a deterministic prefix of the priority order."""
+    return (running_total(df, order_cols, weight_col, out_col)
+            .filter(F.col(out_col) <= budget))
+
+
+def per_group_budget(df: DataFrame, group_col: str,
+                     order_cols: list[Column], weight_col: str,
+                     budget: int | float,
+                     out_col: str = "cum_weight") -> DataFrame:
+    """Per-group token budget: within each group, keep the best rows
+    until the group's cumulative weight reaches ``budget`` — the data-
+    mixture primitive (e.g. "at most 50M tokens per language").  One
+    shuffle on the group key; the window is PARTITIONED, so unlike the
+    global prefix sum this is scale-safe as plain window arithmetic
+    (hot groups are bounded by the budget cut itself)."""
+    w = (Window.partitionBy(group_col).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn(out_col, F.sum(weight_col).over(w))
+            .filter(F.col(out_col) <= budget))
