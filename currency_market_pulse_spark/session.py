@@ -50,9 +50,10 @@ def get_spark(app_name: str = "currency-market-pulse-spark",
         # Dimension tables (region/nation/currency) are tiny; broadcast
         # them rather than shuffling the fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # The driver-generated events.parquet stores TIMESTAMP(NANOS);
+        # Some fixture rounds store events.ts as TIMESTAMP(NANOS);
         # Spark has no ns timestamp — read as long and convert in the
-        # catalog layer (sources/catalog.py).
+        # catalog layer (sources/catalog.py, which also handles the
+        # us-precision encodings later rounds generate).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every pandas_udf / applyInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -2,10 +2,12 @@
 
 Centralizes two normalizations so every operator sees clean types:
 
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as
-  a long (nanosAsLong) and we convert to TimestampType truncated to
-  MILLISECOND precision.  Millisecond truncation is deliberate: the
-  reference stores event time as DateTime64(3,'UTC')
+- ``events.ts`` is normalized to TimestampType truncated to MILLISECOND
+  precision regardless of how the fixture generation encoded it —
+  observed encodings across driver rounds: parquet TIMESTAMP(NANOS)
+  (read as long under nanosAsLong), TIMESTAMP(MICROS) without timezone
+  (read as TIMESTAMP_NTZ), and plain TIMESTAMP.  Millisecond truncation
+  is deliberate: the reference stores event time as DateTime64(3,'UTC')
   (db/clickhouse/init.sql:12), i.e. ms precision, and ms-floor agrees
   bit-for-bit between Spark (``unix_millis``) and the DuckDB oracle
   (``epoch_ms``) so differential tests can't be tripped by sub-ms noise.
@@ -52,14 +54,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-epoch long -> floor to ms -> TimestampType.  Integer `div`,
-        # NOT `/`: ns epochs (~1.7e18) exceed double's 53-bit mantissa,
-        # so float division silently corrupts the low digits.  Truncate,
-        # don't round — the reference truncates when narrowing time
-        # (api.go:72 UnixMilli; importer/importing/service.go:150).
-        df = df.withColumn(
-            "ts", F.timestamp_millis(F.expr("ts div 1000000")))
+    if name == "events":
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # ns-epoch long (TIMESTAMP(NANOS) fixture under nanosAsLong)
+            # -> floor to ms -> TimestampType.  Integer `div`, NOT `/`:
+            # ns epochs (~1.7e18) exceed double's 53-bit mantissa, so
+            # float division silently corrupts the low digits.  Truncate,
+            # don't round — the reference truncates when narrowing time
+            # (api.go:72 UnixMilli; importer/importing/service.go:150).
+            df = df.withColumn(
+                "ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        elif t in ("timestamp_ntz", "timestamp"):
+            # us-precision fixture.  NTZ is reinterpreted as UTC (the
+            # session timezone pinned above), then the same ms floor.
+            df = df.withColumn(
+                "ts", F.timestamp_millis(
+                    F.expr("unix_micros(cast(ts as timestamp)) div 1000")))
     return df
 
 

@@ -34,6 +34,40 @@ def test_events_ts_is_ms_precision_timestamp(spark):
     assert sub_ms == 0
 
 
+def test_events_ts_normalized_for_every_fixture_encoding(spark, tmp_path):
+    """The driver has regenerated events.parquet with different physical
+    ts encodings across rounds (TIMESTAMP(NANOS) in r1-r3, then
+    TIMESTAMP(MICROS)/NTZ in r4).  load_table must yield the identical
+    ms-floored TimestampType column for all of them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_706_520_535_383_915, 1_706_520_536_000_000]
+    want = [dt.datetime(2024, 1, 29, 9, 28, 55, 383000),
+            dt.datetime(2024, 1, 29, 9, 28, 56, 0)]
+    base = {
+        "event_id": [1, 2], "user_id": [10, 11],
+        "event_type": ["a", "b"], "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    encodings = {
+        "ns": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "us": pa.array(micros, pa.timestamp("us")),
+        "us_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    for enc, arr in encodings.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": arr}),
+            str(d / "events.parquet"),
+            coerce_timestamps=None, allow_truncated_timestamps=False)
+        ev = load_table(spark, str(d), "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp", enc
+        got = [r.ts for r in ev.orderBy("event_id").collect()]
+        assert got == want, enc
+
+
 def test_ensure_session_confs_idempotent(spark):
     ensure_session_confs(spark)
     ensure_session_confs(spark)
