@@ -28,6 +28,13 @@ STRATA_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 1.0}
 #: Per-user event cap for the balancing query.
 USER_CAP = 3
 
+#: Global char budget for the prefix sampler (≈⅔ of sf0.01's corpus).
+CHAR_BUDGET = 100_000
+
+#: Per-language char budget for the mixture query (partial in every
+#: language at sf0.01: smallest language holds ~19.5k chars).
+LANG_BUDGET = 10_000
+
 
 def _hash_long_sql(seed: str, id_expr: str) -> str:
     return (f"CAST(('0x' || substr(md5('{seed}|' || "
@@ -114,3 +121,65 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (S.per_group_cap(ev, "user_id", "event_id", USER_CAP)
             .select("event_id", "user_id", "event_type"))
+
+
+@extra_query(
+    "documents_token_budget",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_chars
+  FROM documents)
+SELECT doc_id, lang, n_chars, cum_chars
+FROM r WHERE cum_chars <= {CHAR_BUDGET}
+""",
+)
+def documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampler: best documents (longest first, doc_id
+    tiebreak) until the cumulative char count reaches CHAR_BUDGET.
+
+    The oracle is the textbook single-window running sum; the Spark
+    side is the DISTRIBUTED prefix sum (operators/sampling.py
+    ``running_total``: range shuffle -> per-partition totals ->
+    broadcast offsets) because ``sum() OVER (ORDER BY ...)`` with no
+    PARTITION BY plans a ONE-TASK window — dead at 100 TB.  Integer
+    weights make the decomposed sum bitwise-equal to the sequential
+    one."""
+    docs = load_table(spark, sf_dir, "documents")
+    picked = S.budget_prefix_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_chars", CHAR_BUDGET, out_col="cum_chars")
+    return picked.select("doc_id", "lang", "n_chars", "cum_chars")
+
+
+@extra_query(
+    "documents_budget_per_lang",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_chars
+  FROM documents)
+SELECT doc_id, lang, n_chars, cum_chars
+FROM r WHERE cum_chars <= {LANG_BUDGET}
+""",
+)
+def documents_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture primitive: within each language keep the best
+    documents until that language's budget is spent ("at most
+    LANG_BUDGET chars per language").  One shuffle on lang; the window
+    is PARTITIONED so plain window arithmetic is already scale-safe
+    (hot languages are bounded by the budget cut itself)."""
+    docs = load_table(spark, sf_dir, "documents")
+    picked = S.per_group_budget(
+        docs.select("doc_id", "lang", "n_chars"), "lang",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_chars", LANG_BUDGET, out_col="cum_chars")
+    return picked.select("doc_id", "lang", "n_chars", "cum_chars")

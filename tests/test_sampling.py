@@ -8,7 +8,8 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from currency_market_pulse_spark.operators.sampling import (
-    hash_split, per_group_cap, stratified_sample,
+    budget_prefix_sample, hash_split, per_group_budget, per_group_cap,
+    running_total, stratified_sample,
 )
 
 
@@ -88,3 +89,65 @@ def test_per_group_cap_keeps_small_groups_whole(spark):
          Row(event_id=3, user_id=2)])
     out = per_group_cap(ev, "user_id", "event_id", 5)
     assert out.count() == 3
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # Weights chosen so several rows share a weight (ties broken by id)
+    # and the running totals cross partition boundaries at any n_parts.
+    return spark.createDataFrame(
+        [Row(id=i, w=(i * 37) % 11 + 1) for i in range(500)])
+
+
+def _naive_prefix(df, order_cols, weight_col):
+    from pyspark.sql import Window
+    w = (Window.orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("cum_weight", F.sum(weight_col).over(w))
+
+
+def test_running_total_matches_single_window(weighted):
+    """The 3-step distributed prefix sum is bitwise-equal to the
+    one-task ``sum() OVER (ORDER BY ...)`` form for integer weights."""
+    order = [F.col("w").desc(), F.col("id").asc()]
+    got = {r.id: r.cum_weight
+           for r in running_total(weighted, order, "w",
+                                  num_partitions=8).collect()}
+    want = {r.id: r.cum_weight
+            for r in _naive_prefix(weighted, order, "w").collect()}
+    assert got == want
+
+
+def test_running_total_many_partitions_and_one(weighted):
+    """Partition count must not change the answer — including the
+    degenerate 1-partition case and more partitions than rows."""
+    order = [F.col("id").asc()]
+    base = {r.id: r.cum_weight
+            for r in running_total(weighted, order, "w",
+                                   num_partitions=1).collect()}
+    for n in (3, 701):
+        got = {r.id: r.cum_weight
+               for r in running_total(weighted, order, "w",
+                                      num_partitions=n).collect()}
+        assert got == base
+
+
+def test_budget_prefix_sample_exact_boundary(spark):
+    """A row whose inclusive running total lands exactly on the budget
+    is kept; the next row is cut."""
+    df = spark.createDataFrame([Row(id=i, w=10) for i in range(10)])
+    out = budget_prefix_sample(df, [F.col("id").asc()], "w", 30)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
+    # Budget below the first row's weight selects nothing.
+    assert budget_prefix_sample(
+        df, [F.col("id").asc()], "w", 9).count() == 0
+
+
+def test_per_group_budget_independent_groups(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, g="a" if i < 6 else "b", w=5) for i in range(10)])
+    out = per_group_budget(df, "g", [F.col("id").asc()], "w", 12)
+    got = {r.g: sorted(x.id for x in out.collect() if x.g == r.g)
+           for r in out.select("g").distinct().collect()}
+    # 12 // 5 = 2 rows per group, lowest ids first.
+    assert got == {"a": [0, 1], "b": [6, 7]}
