@@ -391,6 +391,50 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("method"))
 
 
+def _semdedup_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                     dim: int = _DIM, threshold: float = 0.4) -> str:
+    """Replay of operators/semdedup.py: the shared Lloyd chain to its
+    final assignment, in-cell pair join at the rounded-cosine
+    threshold, lower-id prune rule, per-cell summary."""
+    cos = oracle_cosine_sql("x.embedding", "y.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)},
+mem AS (SELECT a.vec_id, a.cell, e.embedding
+        FROM a{n_iter} a JOIN emb e USING (vec_id)),
+pairs AS (
+  SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+  FROM mem x JOIN mem y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round({cos}, 6) >= {threshold}),
+dropped AS (
+  SELECT cell, count(DISTINCT id_b) AS n_dropped FROM pairs GROUP BY cell),
+sizes AS (SELECT cell, count(*) AS n_vecs FROM a{n_iter} GROUP BY cell)
+SELECT s.cell, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       round(coalesce(d.n_dropped, 0) / CAST(s.n_vecs AS DOUBLE), 6)
+         AS drop_frac
+FROM sizes s LEFT JOIN dropped d USING (cell)
+ORDER BY s.cell
+"""
+
+
+@extra_query("semdedup_cell_stats", oracle=_semdedup_oracle())
+def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means-partitioned semantic
+    dedup — near-dup candidate generation confined to quantizer cells
+    (~n^2/k pairs instead of n^2; the measured-quadratic exact
+    all-pairs baseline is dedup_embedding_cosine).  Per-cell count of
+    vectors that would be pruned under the lower-id-wins rule at
+    cosine >= 0.4.  Oracle replays train -> pair -> prune end to
+    end."""
+    from currency_market_pulse_spark.operators.semdedup import (
+        semdedup_cell_stats as stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return stats(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
+
+
 @extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)
 def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF (nprobe=2): rerank over the TWO nearest cells —
