@@ -264,6 +264,46 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
     )
 
 
+def cross_corpus_candidates(new_bands: DataFrame, corpus_bands: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(new_id, corpus_id) candidate pairs: the new batch's band rows
+    PROBE the standing corpus's band index on (band, band_sig) — the
+    incremental-ingest shape of MinHash LSH.  Unlike the self-join
+    dedup, nothing here is quadratic in the CORPUS: the corpus-side
+    band relation is the precomputed index (at 100 TB it lives
+    bucketed-by band_sig on disk and only matching buckets are read),
+    and the join fans out by batch size, not corpus size."""
+    a = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_sig")
+    b = corpus_bands.select(F.col(id_col).alias("corpus_id"),
+                            "band", "band_sig")
+    return (a.join(b, ["band", "band_sig"])
+            .select("new_id", "corpus_id").distinct())
+
+
+def cross_jaccard_verify(new_shingles: DataFrame, corpus_shingles: DataFrame,
+                         candidates: DataFrame, threshold: float = 0.5,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact jaccard for (new_id, corpus_id) candidates across two
+    shingle relations — the verify stage of incremental dedup.  Work
+    is bounded by the candidate set exactly as in
+    jaccard_verify_candidates; the two sides just come from different
+    relations (batch vs standing corpus)."""
+    a = new_shingles.select(F.col(id_col).alias("new_id"),
+                            F.col("n_sh").alias("n_a"), "sh")
+    b = corpus_shingles.select(F.col(id_col).alias("corpus_id"),
+                               F.col("n_sh").alias("n_b"), "sh")
+    return (
+        candidates.join(a, "new_id").join(b, ["corpus_id", "sh"])
+        .groupBy("new_id", "corpus_id", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -8,7 +8,7 @@ from __future__ import annotations
 import threading
 from collections import OrderedDict
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
@@ -472,3 +472,75 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         None, n=3, threshold=0.5,
         shingles_df=_shared_shingles(spark, sf_dir))
+
+
+#: Incremental-dedup split: docs whose hash fraction under this seed
+#: falls below the threshold play the "newly ingested batch"; the rest
+#: are the standing corpus the batch is checked against.
+INCR_SEED = "incr"
+INCR_NEW_FRAC = 0.2
+
+
+def _incremental_oracle() -> str:
+    from currency_market_pulse_spark.queries.sampling import _frac_sql
+
+    frac = _frac_sql(INCR_SEED, "doc_id")
+    return f"""
+WITH {_TOKS}, {_SH3},
+{_minhash_band_ctes()},
+flag AS (SELECT doc_id, ({frac} < {INCR_NEW_FRAC!r}) AS is_new
+         FROM documents),
+nb AS (SELECT b.* FROM bands b JOIN flag f USING (doc_id) WHERE f.is_new),
+cb AS (SELECT b.* FROM bands b JOIN flag f USING (doc_id)
+       WHERE NOT f.is_new),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM nb n JOIN cb c
+           ON c.band = n.band AND c.band_sig = n.band_sig),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT ca.new_id, ca.corpus_id, count(*) AS nc
+  FROM cand ca JOIN sh3 x ON x.doc_id = ca.new_id
+               JOIN sh3 y ON y.doc_id = ca.corpus_id AND y.sh = x.sh
+  GROUP BY 1, 2),
+ver AS (
+  SELECT new_id, corpus_id,
+         round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = new_id
+  JOIN sizes sb ON sb.doc_id = corpus_id)
+SELECT new_id, corpus_id AS dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_id
+            ORDER BY jaccard DESC, corpus_id) AS rn
+  FROM ver WHERE jaccard >= 0.5) t
+WHERE rn = 1 ORDER BY new_id
+"""
+
+
+@extra_query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) near-dedup: a newly-ingested batch
+    (deterministic 20% hash split of documents) probed against the
+    standing corpus's MinHash band index, exact-jaccard verified, best
+    corpus match per flagged doc.  This is the shape 100 TB ingest
+    actually runs — the self-join dedups are the bootstrap pass; every
+    later increment only pays batch x index, and the band index is the
+    persisted artifact the corpus maintains (operators/dedup.py
+    cross_corpus_candidates).  Bands and shingles both derive from the
+    family's shared one-pass token relation."""
+    from currency_market_pulse_spark.operators.sampling import hash_fraction
+
+    bands = _shared_derived(
+        spark, sf_dir, "minhash_bands",
+        lambda toks: D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
+    is_new = hash_fraction(F.col("doc_id"), INCR_SEED) < INCR_NEW_FRAC
+    cand = D.cross_corpus_candidates(bands.filter(is_new),
+                                     bands.filter(~is_new))
+    sh = _shared_shingles(spark, sf_dir)
+    ver = D.cross_jaccard_verify(
+        sh.filter(is_new), sh.filter(~is_new), cand, threshold=0.5)
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), "corpus_id")
+    return (ver.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("new_id", F.col("corpus_id").alias("dup_of"), "jaccard")
+            .orderBy("new_id"))

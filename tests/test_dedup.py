@@ -210,3 +210,38 @@ def test_simhash_hamming_banding_is_recall_complete(spark):
                 brute[(raw[i][0], raw[j][0])] = h
     assert banded == brute
     assert brute, "fixture produced no hamming<=k pairs; test is vacuous"
+
+
+def test_cross_corpus_incremental_dedup(spark):
+    """A 'new batch' doc that near-duplicates a corpus doc is caught by
+    band probe + exact verify; batch-internal duplicates are NOT
+    reported (incremental dedup only checks batch-vs-corpus)."""
+    corpus = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely unrelated corpus text about currency market pulses",
+    ])
+    new = spark.createDataFrame([
+        # near-copy of corpus doc 0
+        Row(doc_id=100,
+            text="the quick brown fox jumps over the lazy dog again and again"),
+        # unrelated new doc
+        Row(doc_id=101, text="novel content that matches nothing at all ok"),
+        # duplicate of the OTHER new doc — must not appear in output
+        Row(doc_id=102, text="novel content that matches nothing at all ok"),
+    ])
+    nb = D.minhash_bands(D.minhash_signatures(new))
+    cb = D.minhash_bands(D.minhash_signatures(corpus))
+    cand = D.cross_corpus_candidates(nb, cb)
+    got = {(r.new_id, r.corpus_id) for r in cand.collect()}
+    assert (100, 0) in got
+    assert not any(n in (101, 102) and c in (101, 102) for n, c in got)
+
+    ver = D.cross_jaccard_verify(
+        D.shingles_from_tokens(new.select(
+            "doc_id", F.split(F.lower("text"), r"\s+").alias("_t"))),
+        D.shingles_from_tokens(corpus.select(
+            "doc_id", F.split(F.lower("text"), r"\s+").alias("_t"))),
+        cand, threshold=0.5)
+    rows = ver.collect()
+    assert {(r.new_id, r.corpus_id) for r in rows} == {(100, 0)}
+    assert rows[0].jaccard == 1.0
