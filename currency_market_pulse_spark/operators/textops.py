@@ -178,6 +178,44 @@ def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
                  F.round(-F.avg("_lp"), 6).alias("unigram_nll")))
 
 
+def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-bigram conditional NLL per document — one model order up
+    from ``unigram_logprob_scores``: p(w2|w1) = count(w1 w2) /
+    count(w1 as bigram head), nll = -(1/n) * sum ln p over the doc's
+    bigram occurrences.  Catches locally-fluent-but-odd transitions
+    (shuffled text, template storms) that unigram statistics miss.
+
+    MLE on the corpus's own bigrams, no smoothing needed: every scored
+    bigram was observed (count >= 1), so probabilities are in (0, 1]
+    by construction.  Docs with < 2 tokens have no bigrams and drop
+    out, mirroring the oracle.
+
+    Determinism: per-occurrence log-prob rounded to 9 before the
+    per-doc mean (rounded to 6) — the unigram query's discipline.
+
+    Scale: one bigram explode, one (bigram) count aggregate, one
+    (head) roll-up of that aggregate (vocabulary-sized input, not
+    corpus-sized), then two hash joins back to the occurrence stream —
+    every aggregate partial, no broadcast assumption on the counts
+    (the bigram vocabulary of a 100 TB corpus is itself large)."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    barr = toks.select(F.col(id_col), shingles(F.col("_t"), 2).alias("_b"))
+    occ = (barr.select(F.col(id_col), F.explode_outer("_b").alias("bg"))
+           .filter(F.col("bg").isNotNull()))
+    bc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    heads = (bc.groupBy(F.substring_index("bg", " ", 1).alias("_h"))
+             .agg(F.sum("_c").alias("_hc")))
+    scored = (occ.join(bc, "bg")
+              .withColumn("_h", F.substring_index("bg", " ", 1))
+              .join(heads, "_h")
+              .withColumn("_lp", F.round(
+                  F.log(F.col("_c").cast("double") / F.col("_hc")), 9)))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(-F.avg("_lp"), 6).alias("bigram_nll")))
+
+
 #: PII patterns chosen to mean the same thing in Java regex (Spark),
 #: RE2 (DuckDB) and Python re — keep them simple-dialect on purpose.
 PII_PATTERNS = {

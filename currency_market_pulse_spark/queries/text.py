@@ -157,6 +157,35 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
 
 
+_BIGRAM_NLL_ORACLE = f"""
+WITH {_TOKS},
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                     i -> t[i] || ' ' || t[i+1])) AS bg
+       FROM toks),
+bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+hc AS (SELECT split_part(bg, ' ', 1) AS head, CAST(sum(c) AS BIGINT) AS hcnt
+       FROM bc GROUP BY 1),
+scored AS (
+  SELECT o.doc_id,
+         round(ln(CAST(c AS DOUBLE) / hcnt), 9) AS lp
+  FROM bg o JOIN bc USING (bg)
+  JOIN hc ON hc.head = split_part(o.bg, ' ', 1))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-avg(lp), 6) AS bigram_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@extra_query("text_bigram_nll", oracle=_BIGRAM_NLL_ORACLE)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality score: per-doc mean negative
+    conditional log-prob of its bigrams under the corpus's own bigram
+    model (operators/textops.py bigram_logprob_scores) — flags
+    shuffled/templated text whose unigram profile looks normal."""
+    return X.bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
 def _pii_oracle() -> str:
     from currency_market_pulse_spark.operators.textops import PII_PATTERNS
 

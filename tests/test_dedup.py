@@ -245,3 +245,23 @@ def test_cross_corpus_incremental_dedup(spark):
     rows = ver.collect()
     assert {(r.new_id, r.corpus_id) for r in rows} == {(100, 0)}
     assert rows[0].jaccard == 1.0
+
+
+def test_bigram_logprob_scores_known_values(spark):
+    """Hand-computed conditional probabilities on a 3-doc corpus:
+    bigrams 'a b' x2 and 'a c' x1 share head 'a' (count 3), so
+    p(b|a)=2/3 and p(c|a)=1/3."""
+    import math
+
+    from currency_market_pulse_spark.operators.textops import (
+        bigram_logprob_scores,
+    )
+
+    docs = _docs(spark, ["a b", "a b", "a c", "x"])
+    got = {r.doc_id: (r.n_bigrams, r.bigram_nll)
+           for r in bigram_logprob_scores(docs).collect()}
+    # the 1-token doc has no bigrams and drops out
+    assert set(got) == {0, 1, 2}
+    assert got[0] == (1, round(-round(math.log(2 / 3), 9), 6))
+    assert got[1] == got[0]
+    assert got[2] == (1, round(-round(math.log(1 / 3), 9), 6))
