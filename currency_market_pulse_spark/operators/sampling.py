@@ -170,6 +170,30 @@ def budget_prefix_sample(df: DataFrame, order_cols: list[Column],
             .filter(F.col(out_col) <= budget))
 
 
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
+                   seed: str = "shard") -> DataFrame:
+    """Deterministic global shuffle laid out as ``n_shards`` shards:
+    shard = hash(id) mod n_shards, pos = rank of hash within the
+    shard — the "write the training set in random order" step.
+
+    Reading the shards in any round-robin interleave replays a uniform
+    pseudo-random permutation of the corpus, yet nothing here is a
+    global sort: one shuffle on the shard id, a per-shard window for
+    the position.  ``n_shards`` is the parallelism knob — at 100 TB
+    you pick shards of a few GB (tens of thousands of shards), so the
+    per-shard window is executor-sized by construction.  Rerun-stable
+    and growth-stable like every hash decision in this module: a doc's
+    (shard, hash) never changes when the corpus grows (its pos can —
+    positions are corpus-relative by definition)."""
+    h = hash_long(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (df.withColumn("_h", h)
+            .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w))
+            .drop("_h"))
+
+
 def per_group_budget(df: DataFrame, group_col: str,
                      order_cols: list[Column], weight_col: str,
                      budget: int | float,

@@ -123,6 +123,35 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "event_type"))
 
 
+#: Shard count for the global-shuffle layout query.
+N_SHARDS = 16
+
+
+@extra_query(
+    "documents_train_shards",
+    oracle=f"""
+WITH h AS (SELECT doc_id, lang,
+                  {_hash_long_sql('shard', 'doc_id')} AS h
+           FROM documents)
+SELECT doc_id, lang, CAST(h % {N_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+""",
+)
+def documents_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-shuffle shard layout (operators/sampling.py
+    shuffle_shards): every document assigned a shard and an in-shard
+    position by portable hash — the deterministic 'write the corpus in
+    random order' step, one shuffle, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = S.shuffle_shards(docs.select("doc_id", "lang"),
+                           "doc_id", N_SHARDS)
+    return (out.select("doc_id", "lang", "shard",
+                       F.col("pos").cast("long").alias("pos"))
+            .orderBy("shard", "pos"))
+
+
 @extra_query(
     "documents_token_budget",
     oracle=f"""

@@ -151,3 +151,28 @@ def test_per_group_budget_independent_groups(spark):
            for r in out.select("g").distinct().collect()}
     # 12 // 5 = 2 rows per group, lowest ids first.
     assert got == {"a": [0, 1], "b": [6, 7]}
+
+
+def test_shuffle_shards_layout(spark):
+    from currency_market_pulse_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([Row(id=i) for i in range(200)])
+    out = shuffle_shards(df, "id", 8).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # every shard's positions are exactly 1..len (dense, no gaps)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # rerun-stable: identical assignment on a second run
+    again = {(r.id, r.shard, r.pos)
+             for r in shuffle_shards(df, "id", 8).collect()}
+    assert again == {(r.id, r.shard, r.pos) for r in out}
+    # growth-stable shard assignment: adding rows never moves a doc's
+    # shard (pos may shift — corpus-relative by definition)
+    bigger = spark.createDataFrame([Row(id=i) for i in range(300)])
+    shard_of = {r.id: r.shard for r in shuffle_shards(bigger, "id", 8).collect()}
+    for r in out:
+        assert shard_of[r.id] == r.shard
