@@ -99,39 +99,41 @@ _DIM = 64
 
 
 def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
-                 dim: int = _DIM) -> str:
-    """The Lloyd-iteration CTE chain (assumes the ``emb`` CTE in
+                 dim: int = _DIM, emb: str = "emb", sfx: str = "") -> str:
+    """The Lloyd-iteration CTE chain (assumes the ``emb``-named CTE in
     scope): hash-ordered seeds, per-iteration (round-6 distance argmin
     -> round-6 per-dim means).  Rounding at every hand-off keeps both
     engines' fold-order noise below the comparison threshold, so the
     iterations stay bitwise-aligned.  Shared by the trainer histogram
-    query and the trained-IVF search oracle."""
+    query, the trained-IVF search oracle, the SemDeDup oracle, and —
+    via ``emb``/``sfx`` (source CTE name and a name suffix) — one
+    chain per subspace in the product-quantization oracle."""
     dist = ("round(list_aggregate(list_transform(range(1, {n}), "
             "i -> (e.embedding[i] - c.centroid[i]) * "
             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
             ).format(n=dim + 1)
     parts = [f"""
-s0 AS (SELECT vec_id, embedding,
+s0{sfx} AS (SELECT vec_id, embedding,
               md5('km|' || CAST(vec_id AS VARCHAR)) AS h
-       FROM emb ORDER BY h, vec_id LIMIT {k}),
-cent0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+       FROM {emb} ORDER BY h, vec_id LIMIT {k}),
+cent0{sfx} AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
                  embedding AS centroid
-          FROM s0)"""]
+          FROM s0{sfx})"""]
     for i in range(n_iter + 1):
         parts.append(f"""
-a{i} AS (SELECT vec_id, cell, dist FROM (
+a{i}{sfx} AS (SELECT vec_id, cell, dist FROM (
   SELECT vec_id, cell, dist,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY dist, cell) AS rn
   FROM (SELECT e.vec_id, c.cell, {dist} AS dist
-        FROM emb e CROSS JOIN cent{i} c) d) t
+        FROM {emb} e CROSS JOIN cent{i}{sfx} c) d) t
  WHERE rn = 1)""")
         if i < n_iter:
             parts.append(f"""
-cent{i + 1} AS (
+cent{i + 1}{sfx} AS (
   SELECT cell, list(m ORDER BY pos) AS centroid FROM (
     SELECT a.cell, d.pos, round(avg(e.embedding[d.pos]), 6) AS m
-    FROM a{i} a JOIN emb e USING (vec_id),
+    FROM a{i}{sfx} a JOIN {emb} e USING (vec_id),
          (SELECT unnest(range(1, {dim + 1})) AS pos) d
     GROUP BY a.cell, d.pos) mm
   GROUP BY cell)""")
@@ -433,6 +435,72 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return stats(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
+
+
+def _pq_oracle(m: int = 4, sub_dim: int = 16, k: int = 8,
+               n_iter: int = 1) -> str:
+    """Replay of operators/pq.py end to end: m independent per-subspace
+    Lloyd chains (the shared _kmeans_ctes generator, one suffix per
+    subspace), corpus encoding to codes, per-query subspace distance
+    tables, ADC lookup-sum top-3."""
+    subs = ",".join(
+        f"sub{s} AS (SELECT vec_id, "
+        f"list_transform(range({s * sub_dim + 1}, "
+        f"{(s + 1) * sub_dim + 1}), i -> embedding[i]) AS embedding "
+        f"FROM emb)"
+        for s in range(m))
+    chains = ",".join(
+        _kmeans_ctes(k, n_iter, sub_dim, emb=f"sub{s}", sfx=f"_p{s}")
+        for s in range(m))
+    code_cols = ", ".join(f"x{s}.cell AS c{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN a{n_iter}_p{s} x{s} ON x{s}.vec_id = x0.vec_id"
+        for s in range(1, m))
+    qds = ",".join(f"""
+qd{s} AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         round(list_aggregate(list_transform(range(1, {sub_dim + 1}),
+           i -> (q.embedding[i] - c.centroid[i]) *
+                (q.embedding[i] - c.centroid[i])), 'sum'), 6) AS d
+  FROM sub{s} q CROSS JOIN cent{n_iter}_p{s} c
+  WHERE q.vec_id < 10)""" for s in range(m))
+    dist_sum = " + ".join(f"d{s}.d" for s in range(m))
+    adc_joins = " ".join(
+        f"JOIN qd{s} d{s} ON d{s}.cell = x.c{s}"
+        + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
+        for s in range(m))
+    return f"""
+WITH {ORACLE_EMB_CTE},{subs},{chains},
+codes AS (SELECT x0.vec_id, {code_cols}
+          FROM a{n_iter}_p0 x0 {code_joins}),
+{qds},
+adc AS (
+  SELECT d0.query_id, x.vec_id AS neighbor_id,
+         round({dist_sum}, 6) AS adc_dist
+  FROM codes x {adc_joins}
+  WHERE x.vec_id <> d0.query_id)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_pq_adc_topk", oracle=_pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/pq.py): 4 subspace
+    codebooks compress each 64-dim vector to 4 cell ids; per query a
+    k-entry distance table per subspace; approximate top-3 by
+    table-lookup sums over the CODES relation only — the corpus's
+    full-precision vectors are never read at search time.  The
+    memory-compression leg of the ANN family (IVF prunes candidates,
+    PQ shrinks them).  Oracle replays train -> encode -> table -> ADC
+    end to end."""
+    from currency_market_pulse_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, F.col("vec_id") < 10, k_neighbors=3)
 
 
 @extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)

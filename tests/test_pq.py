@@ -1,0 +1,58 @@
+"""Product quantization: codebook shape, code validity, ADC ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from currency_market_pulse_spark.operators.pq import pq_adc_topk, pq_fit
+
+
+def _corpus(spark):
+    # Three tight groups in 8 dims (2 subspaces x 4 dims); within-group
+    # perturbations are tiny relative to between-group distances.
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for g, vec in base.items():
+        for j in range(3):
+            v = [x + 0.01 * j for x in vec]
+            rows.append(Row(vec_id=g * 10 + j, embedding=v))
+    return spark.createDataFrame(rows)
+
+
+def test_pq_fit_codes_and_codebooks(spark):
+    emb = _corpus(spark)
+    codebooks, codes = pq_fit(emb, m=2, sub_dim=4, k=3, n_iter=2)
+    assert len(codebooks) == 2
+    for cb in codebooks:
+        rows = cb.collect()
+        assert 1 <= len(rows) <= 3
+        assert all(len(r.centroid) == 4 for r in rows)
+    crows = codes.collect()
+    assert len(crows) == 9
+    assert set(codes.columns) == {"vec_id", "c0", "c1"}
+    for r in crows:
+        assert 0 <= r.c0 < 3 and 0 <= r.c1 < 3
+    # group members share a code word in both subspaces
+    by_group = {}
+    for r in crows:
+        by_group.setdefault(r.vec_id // 10, set()).add((r.c0, r.c1))
+    assert all(len(s) == 1 for s in by_group.values())
+
+
+def test_pq_adc_ranks_own_group_first(spark):
+    emb = _corpus(spark)
+    out = pq_adc_topk(emb, F.col("vec_id") == 0, k_neighbors=2,
+                      m=2, sub_dim=4, k=3, n_iter=2).collect()
+    assert [r.rn for r in out] == [1, 2]
+    # both top neighbors come from the query's own group (ids 1, 2)
+    assert {r.neighbor_id for r in out} == {1, 2}
+    other = pq_adc_topk(emb, F.col("vec_id") == 0, k_neighbors=8,
+                        m=2, sub_dim=4, k=3, n_iter=2).collect()
+    # in-group ADC distances strictly below any out-group distance
+    ingroup = max(r.adc_dist for r in other if r.neighbor_id < 10)
+    outgroup = min(r.adc_dist for r in other if r.neighbor_id >= 10)
+    assert ingroup < outgroup
