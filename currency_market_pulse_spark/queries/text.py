@@ -186,6 +186,55 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
 
 
+_DATA_CARD_ORACLE = f"""
+WITH {_TOKS},
+d AS (SELECT doc_id, lang, source, n_chars, md5(text) AS th FROM documents),
+tc AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT th) AS BIGINT) AS n_unique_texts,
+       round(1.0 - count(DISTINCT th) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_frac,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+       round(avg(n_toks), 6) AS avg_tokens
+FROM d JOIN tc USING (doc_id)
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+@extra_query("documents_data_card", oracle=_DATA_CARD_ORACLE)
+def documents_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition 'data card': per (lang, source) — doc and
+    unique-text counts, exact-duplicate fraction, char volume, exact
+    interpolated char percentiles, mean token count.  One scan + one
+    hash aggregate (count(DISTINCT md5) keeps the heavy text column
+    out of the shuffle); the percentile swaps to approx_percentile for
+    interactive 100 TB runs (the registered approx twin pattern,
+    queries/analytics.py)."""
+    from currency_market_pulse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "source", "n_chars",
+        F.md5("text").alias("_th"),
+        F.size(tokens(F.col("text"))).alias("_nt"))
+    return (d.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("_th").alias("n_unique_texts"),
+                 F.round(F.lit(1.0) - F.countDistinct("_th")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("dup_frac"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.percentile("n_chars", 0.50), 6)
+                  .alias("p50_chars"),
+                 F.round(F.percentile("n_chars", 0.95), 6)
+                  .alias("p95_chars"),
+                 F.round(F.avg("_nt"), 6).alias("avg_tokens"))
+            .orderBy("lang", "source"))
+
+
 def _pii_oracle() -> str:
     from currency_market_pulse_spark.operators.textops import PII_PATTERNS
 
