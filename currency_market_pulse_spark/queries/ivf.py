@@ -437,12 +437,14 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
 
 
-def _pq_oracle(m: int = 4, sub_dim: int = 16, k: int = 8,
-               n_iter: int = 1) -> str:
-    """Replay of operators/pq.py end to end: m independent per-subspace
+def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
+             n_iter: int = 1) -> str:
+    """CTE fragment replaying operators/pq.py (assumes ``emb`` in
+    scope; ends with the ``adc`` relation): m independent per-subspace
     Lloyd chains (the shared _kmeans_ctes generator, one suffix per
     subspace), corpus encoding to codes, per-query subspace distance
-    tables, ADC lookup-sum top-3."""
+    tables, ADC lookup-sums.  Shared by the top-k query and the
+    recall query."""
     subs = ",".join(
         f"sub{s} AS (SELECT vec_id, "
         f"list_transform(range({s * sub_dim + 1}, "
@@ -469,8 +471,7 @@ qd{s} AS (
         f"JOIN qd{s} d{s} ON d{s}.cell = x.c{s}"
         + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
         for s in range(m))
-    return f"""
-WITH {ORACLE_EMB_CTE},{subs},{chains},
+    return f"""{subs},{chains},
 codes AS (SELECT x0.vec_id, {code_cols}
           FROM a{n_iter}_p0 x0 {code_joins}),
 {qds},
@@ -478,7 +479,13 @@ adc AS (
   SELECT d0.query_id, x.vec_id AS neighbor_id,
          round({dist_sum}, 6) AS adc_dist
   FROM codes x {adc_joins}
-  WHERE x.vec_id <> d0.query_id)
+  WHERE x.vec_id <> d0.query_id)"""
+
+
+def _pq_oracle(m: int = 4, sub_dim: int = 16, k: int = 8,
+               n_iter: int = 1) -> str:
+    return f"""
+WITH {ORACLE_EMB_CTE},{_pq_ctes(m, sub_dim, k, n_iter)}
 SELECT query_id, neighbor_id, adc_dist, rn FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist, neighbor_id) AS rn
@@ -501,6 +508,101 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, F.col("vec_id") < 10, k_neighbors=3)
+
+
+#: Rerank-buffer sizes for the PQ recall curve (the PQ paper's R@T:
+#: fraction of true neighbors retrieved within the top-T ADC
+#: candidates — production PQ feeds this buffer to a full-precision
+#: rerank stage).
+PQ_RECALL_BUFFERS = (10, 25, 50, 100)
+
+
+def _pq_recall_oracle(m: int = 4, sub_dim: int = 16, k: int = 8,
+                      n_iter: int = 1, dim: int = _DIM) -> str:
+    """PQ quantization error as a measured curve: recall of the EXACT
+    squared-L2 top-3 within the top-T ADC candidates, per buffer size
+    T (same metric as ADC, so the gap is pure quantization, not a
+    metric mismatch)."""
+    l2 = ("round(list_aggregate(list_transform(range(1, {n}), "
+          "i -> (q.embedding[i] - c.embedding[i]) * "
+          "(q.embedding[i] - c.embedding[i])), 'sum'), 6)"
+          ).format(n=dim + 1)
+    bufs = ", ".join(f"({b})" for b in PQ_RECALL_BUFFERS)
+    return f"""
+WITH {ORACLE_EMB_CTE},{_pq_ctes(m, sub_dim, k, n_iter)},
+exact3 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {l2}, c.vec_id) AS rn
+    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) t WHERE rn <= 3),
+pqr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc),
+nq AS (SELECT count(DISTINCT query_id) AS n FROM exact3)
+SELECT b.buffer,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(any_value(nq.n) AS BIGINT) AS n_queries,
+       round(count(p.neighbor_id) / (any_value(nq.n) * 3.0), 6)
+         AS recall_at_3
+FROM (VALUES {bufs}) b(buffer)
+CROSS JOIN nq
+CROSS JOIN exact3 e
+LEFT JOIN pqr p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+ AND p.rn <= b.buffer
+GROUP BY b.buffer ORDER BY b.buffer
+"""
+
+
+@extra_query("sim_pq_recall", oracle=_pq_recall_oracle())
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall curve: fraction of the exact squared-L2 top-3 found
+    within the top-T ADC candidates, for each rerank-buffer size T —
+    the compression/quality trade of the code-only index as
+    regression-gated numbers (production PQ retrieves a T-sized
+    buffer on codes, then reranks at full precision; T is the knob).
+    Counterpart of sim_ann_recall, which gates the candidate-pruning
+    paths."""
+    from currency_market_pulse_spark.operators.kmeans import _sq_dist
+    from currency_market_pulse_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 10
+    q = emb.filter(pred).select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("_qv"))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("_cv"))
+    scored = (cand.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("_d", F.round(
+                  _sq_dist(F.col("_qv"), F.col("_cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy("_d", "neighbor_id")
+    exact3 = (scored.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= 3)
+              .select("query_id", "neighbor_id"))
+    pqr = (pq_adc_topk(emb, pred, k_neighbors=max(PQ_RECALL_BUFFERS))
+           .select("query_id", "neighbor_id", "rn"))
+    bufs = spark.createDataFrame(
+        [(b,) for b in PQ_RECALL_BUFFERS], "buffer int")
+    nq = exact3.agg(F.countDistinct("query_id").alias("_nq"))
+    joined = (exact3.crossJoin(F.broadcast(bufs))
+              .join(pqr,
+                    [exact3.query_id == pqr.query_id,
+                     exact3.neighbor_id == pqr.neighbor_id,
+                     pqr.rn <= F.col("buffer")],
+                    "left"))
+    return (joined.groupBy("buffer")
+            .agg(F.count(pqr.rn).alias("n_hits"))
+            .crossJoin(F.broadcast(nq))
+            .select("buffer", "n_hits",
+                    F.col("_nq").alias("n_queries"),
+                    F.round(F.col("n_hits") / (F.col("_nq") * 3.0), 6)
+                     .alias("recall_at_3"))
+            .orderBy("buffer"))
 
 
 @extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)

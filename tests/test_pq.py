@@ -56,3 +56,17 @@ def test_pq_adc_ranks_own_group_first(spark):
     ingroup = max(r.adc_dist for r in other if r.neighbor_id < 10)
     outgroup = min(r.adc_dist for r in other if r.neighbor_id >= 10)
     assert ingroup < outgroup
+
+
+def test_pq_recall_curve_is_monotone(spark):
+    """Recall within a T-sized ADC buffer is non-decreasing in T by
+    construction (larger buffer = superset of candidates); the curve
+    query must reflect that on the real fixture."""
+    from currency_market_pulse_spark.queries.ivf import sim_pq_recall
+    from tests.conftest import EXTRA_SF_DIR
+
+    rows = sim_pq_recall(spark, EXTRA_SF_DIR).collect()
+    assert [r.buffer for r in rows] == [10, 25, 50, 100]
+    recalls = [r.recall_at_3 for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(r.n_queries == rows[0].n_queries for r in rows)
