@@ -170,6 +170,27 @@ def budget_prefix_sample(df: DataFrame, order_cols: list[Column],
             .filter(F.col(out_col) <= budget))
 
 
+def upsample_epochs(df: DataFrame, strata_col: str,
+                    epochs: Mapping[str, int],
+                    default: int = 1) -> DataFrame:
+    """Mixture up-sampling: replicate each row ``epochs[stratum]``
+    times (an ``epoch`` column 1..n distinguishes the copies) — the
+    "repeat under-represented sources N times per training epoch"
+    move.  Down-weighting stays with ``stratified_sample``; this is
+    its multiplicative dual.
+
+    Zero shuffle: a per-row ``explode(sequence(1, n))`` fused into the
+    scan — the replication happens where the row already lives, and
+    the blow-up factor is the (small, explicit) epoch count, never
+    data-dependent."""
+    n = None
+    for value, reps in epochs.items():
+        cond = F.col(strata_col) == value
+        n = F.when(cond, reps) if n is None else n.when(cond, reps)
+    n = F.lit(default) if n is None else n.otherwise(default)
+    return df.withColumn("epoch", F.explode(F.sequence(F.lit(1), n)))
+
+
 def shuffle_shards(df: DataFrame, id_col: str, n_shards: int,
                    seed: str = "shard") -> DataFrame:
     """Deterministic global shuffle laid out as ``n_shards`` shards:

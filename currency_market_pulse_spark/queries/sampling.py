@@ -126,6 +126,37 @@ def events_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shard count for the global-shuffle layout query.
 N_SHARDS = 16
 
+#: Per-language epoch multipliers for the mixture up-sampling query
+#: (repeat scarce languages; unlisted languages default to 1 epoch).
+MIXTURE_EPOCHS = {"fr": 3, "de": 2}
+
+
+def _epochs_case_sql() -> str:
+    whens = " ".join(f"WHEN '{v}' THEN {n}"
+                     for v, n in MIXTURE_EPOCHS.items())
+    return f"CASE lang {whens} ELSE 1 END"
+
+
+@extra_query(
+    "documents_mixture_upsample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+       CAST(unnest(generate_series(1, {_epochs_case_sql()})) AS INT)
+         AS epoch
+FROM documents
+""",
+)
+def documents_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture up-sampling (operators/sampling.py upsample_epochs):
+    scarce languages replicated per MIXTURE_EPOCHS with an epoch
+    column distinguishing copies — the multiplicative dual of
+    stratified down-sampling, zero shuffle (scan-fused explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (S.upsample_epochs(docs.select("doc_id", "lang", "n_chars"),
+                              "lang", MIXTURE_EPOCHS)
+            .select("doc_id", "lang", "n_chars",
+                    F.col("epoch").cast("int").alias("epoch")))
+
 
 @extra_query(
     "documents_train_shards",

@@ -176,3 +176,19 @@ def test_shuffle_shards_layout(spark):
     shard_of = {r.id: r.shard for r in shuffle_shards(bigger, "id", 8).collect()}
     for r in out:
         assert shard_of[r.id] == r.shard
+
+
+def test_upsample_epochs_replication(spark):
+    from currency_market_pulse_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id=0, lang="en"), Row(id=1, lang="fr"), Row(id=2, lang="xx")])
+    out = upsample_epochs(df, "lang", {"fr": 3, "en": 2}).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, []).append(r.epoch)
+    assert sorted(got[0]) == [1, 2]
+    assert sorted(got[1]) == [1, 2, 3]
+    assert sorted(got[2]) == [1]  # unlisted stratum defaults to 1 epoch
