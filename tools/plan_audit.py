@@ -147,6 +147,31 @@ EXPECTATIONS = {
     "text_unigram_nll": [
         ("vocabulary aggregate partially combined", r"partial_count"),
     ],
+    "semdedup_cell_stats": [
+        ("centroid assignment is a broadcast join",
+         r"BroadcastNestedLoopJoin"),
+        ("cell stats partially aggregated", r"partial_count"),
+    ],
+    "sim_pq_adc_topk": [
+        ("codebook / distance-table joins broadcast",
+         r"BroadcastHashJoin"),
+        ("code-only search — no Python anywhere",
+         r"^(?!(.|\n)*InPandas)(.|\n)*$"),
+    ],
+    "documents_token_budget": [
+        ("prefix sum starts with ONE range shuffle",
+         r"Exchange rangepartitioning"),
+        ("per-partition offsets broadcast back", r"BroadcastExchange"),
+    ],
+    "text_bigram_nll": [
+        ("bigram count aggregate partially combined", r"partial_count"),
+    ],
+    "documents_data_card": [
+        ("one-scan card: aggregate partially combined", r"partial_count"),
+    ],
+    "dedup_incremental": [
+        ("verify stage aggregate partially combined", r"partial_count"),
+    ],
 }
 
 #: query -> (description, max number of plan lines containing an
@@ -165,6 +190,12 @@ MAX_EXCHANGES = {
     "documents_chunk_pack_stats": ("window exchange reused by agg", 2),
     # z-key is a projection: one agg exchange + one output sort only
     "orders_zorder_locality": ("zero shuffles before the bucket agg", 2),
+    # scan-fused explode: replication happens where the row lives
+    "documents_mixture_upsample": ("zero-shuffle up-sampling", 0),
+    # one hash shuffle on the shard key + the output sort
+    "documents_train_shards": ("one shard shuffle + output sort", 2),
+    # one hash shuffle on lang (window) + the output ordering
+    "documents_budget_per_lang": ("one group shuffle only", 2),
 }
 
 #: checks that must run against the POST-EXECUTION adaptive plan
