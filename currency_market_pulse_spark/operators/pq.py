@@ -64,6 +64,82 @@ def pq_fit(emb: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
     return codebooks, codes
 
 
+def ivfpq_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
+               coarse_k: int = 8, coarse_iter: int = 2,
+               nprobe: int = 2,
+               m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
+               k: int = PQ_K, n_iter: int = PQ_ITER,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the production ANN composition (coarse quantizer prunes
+    candidates, residual PQ compresses them, ADC scores codes).
+
+    1. train the coarse quantizer (Lloyd k-means, operators/kmeans.py)
+       and assign every vector to a cell;
+    2. PQ-encode each vector's RESIDUAL (vector minus its cell
+       centroid) — residuals concentrate near zero, so the same
+       codebook budget quantizes them far better than raw vectors
+       (the reason FAISS IVFPQ encodes residuals);
+    3. search: probe the ``nprobe`` nearest coarse cells per query
+       (training metric), form the query's residual AGAINST EACH
+       probed centroid, build per-subspace distance tables, ADC over
+       the probed cells' member codes only.
+
+    Cost per query: nprobe/coarse_k of the corpus scanned, and what is
+    scanned is codes (m small ints), not vectors.  Every relation that
+    meets the corpus is broadcast (centroids, codebooks, per-query
+    tables); the corpus shuffles only for the per-query top-k window
+    on the pruned candidate set."""
+    cents_c, assigned_c = kmeans_fit(emb, coarse_k, coarse_iter,
+                                     id_col, vec_col)
+    res = (emb.join(assigned_c.select(id_col, "cell"), id_col)
+           .join(F.broadcast(cents_c), "cell")
+           .select(F.col(id_col), F.col("cell"),
+                   F.zip_with(F.col(vec_col), F.col("centroid"),
+                              lambda x, y: x.cast("double") - y)
+                   .alias("_res")))
+    codebooks, codes = pq_fit(
+        res.select(id_col, F.col("_res").alias(vec_col)),
+        m, sub_dim, k, n_iter, id_col, vec_col)
+    members = codes.join(assigned_c.select(id_col, "cell"), id_col)
+
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = (q.crossJoin(F.broadcast(cents_c))
+              .withColumn("_cd", F.round(
+                  _sq_dist(F.col("_qv"), F.col("centroid")), 6)))
+    wp = Window.partitionBy("query_id").orderBy("_cd", "cell")
+    probe = (scored.withColumn("_rn", F.row_number().over(wp))
+             .filter(F.col("_rn") <= nprobe)
+             .select("query_id", "cell",
+                     F.zip_with(F.col("_qv"), F.col("centroid"),
+                                lambda x, y: x.cast("double") - y)
+                     .alias("_qres")))
+    adc = members
+    for s in range(m):
+        qd = (probe.select(
+                "query_id", "cell",
+                F.slice("_qres", s * sub_dim + 1, sub_dim).alias("_qs"))
+              .crossJoin(F.broadcast(
+                  codebooks[s].select(F.col("cell").alias(f"c{s}"),
+                                      "centroid")))
+              .select("query_id", "cell", f"c{s}",
+                      F.round(_sq_dist(F.col("_qs"), F.col("centroid")), 6)
+                       .alias(f"_d{s}")))
+        keys = ["cell", f"c{s}"] if s == 0 else ["query_id", "cell", f"c{s}"]
+        adc = adc.join(F.broadcast(qd), keys)
+    total = F.col("_d0")
+    for s in range(1, m):
+        total = total + F.col(f"_d{s}")
+    out = (adc.filter(F.col(id_col) != F.col("query_id"))
+           .select("query_id", F.col(id_col).alias("neighbor_id"),
+                   F.round(total, 6).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k_neighbors)
+            .orderBy("query_id", "rn"))
+
+
 def pq_adc_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
                 m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
                 k: int = PQ_K, n_iter: int = PQ_ITER,

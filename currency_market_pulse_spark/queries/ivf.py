@@ -437,19 +437,17 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
 
 
-def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
-             n_iter: int = 1) -> str:
-    """CTE fragment replaying operators/pq.py (assumes ``emb`` in
-    scope; ends with the ``adc`` relation): m independent per-subspace
-    Lloyd chains (the shared _kmeans_ctes generator, one suffix per
-    subspace), corpus encoding to codes, per-query subspace distance
-    tables, ADC lookup-sums.  Shared by the top-k query and the
-    recall query."""
+def _pq_train_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
+                   n_iter: int = 1, emb: str = "emb") -> str:
+    """CTE fragment for PQ TRAINING+ENCODING over the ``emb``-named
+    relation (raw vectors, or residuals for IVF-PQ): per-subspace
+    slices, m independent Lloyd chains (suffix _p{s}), the ``codes``
+    relation."""
     subs = ",".join(
         f"sub{s} AS (SELECT vec_id, "
         f"list_transform(range({s * sub_dim + 1}, "
         f"{(s + 1) * sub_dim + 1}), i -> embedding[i]) AS embedding "
-        f"FROM emb)"
+        f"FROM {emb})"
         for s in range(m))
     chains = ",".join(
         _kmeans_ctes(k, n_iter, sub_dim, emb=f"sub{s}", sfx=f"_p{s}")
@@ -458,6 +456,18 @@ def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
     code_joins = " ".join(
         f"JOIN a{n_iter}_p{s} x{s} ON x{s}.vec_id = x0.vec_id"
         for s in range(1, m))
+    return f"""{subs},{chains},
+codes AS (SELECT x0.vec_id, {code_cols}
+          FROM a{n_iter}_p0 x0 {code_joins})"""
+
+
+def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
+             n_iter: int = 1) -> str:
+    """CTE fragment replaying operators/pq.py raw-vector search
+    (assumes ``emb`` in scope; ends with the ``adc`` relation):
+    training+encoding (_pq_train_ctes), per-query subspace distance
+    tables, ADC lookup-sums.  Shared by the top-k query and the
+    recall query."""
     qds = ",".join(f"""
 qd{s} AS (
   SELECT q.vec_id AS query_id, c.cell,
@@ -471,9 +481,7 @@ qd{s} AS (
         f"JOIN qd{s} d{s} ON d{s}.cell = x.c{s}"
         + ("" if s == 0 else f" AND d{s}.query_id = d0.query_id")
         for s in range(m))
-    return f"""{subs},{chains},
-codes AS (SELECT x0.vec_id, {code_cols}
-          FROM a{n_iter}_p0 x0 {code_joins}),
+    return f"""{_pq_train_ctes(m, sub_dim, k, n_iter)},
 {qds},
 adc AS (
   SELECT d0.query_id, x.vec_id AS neighbor_id,
@@ -603,6 +611,87 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_hits") / (F.col("_nq") * 3.0), 6)
                      .alias("recall_at_3"))
             .orderBy("buffer"))
+
+
+def _ivfpq_oracle(coarse_k: int = KMEANS_K, coarse_iter: int = KMEANS_ITER,
+                  nprobe: int = 2, m: int = 4, sub_dim: int = 16,
+                  pk: int = 8, pq_iter: int = 1,
+                  dim: int = _DIM) -> str:
+    """Replay of operators/pq.py ivfpq_topk end to end: coarse Lloyd
+    chain (sfx _c), residual relation, PQ training on residuals
+    (_pq_train_ctes over ``res``), nprobe coarse probe, per-probed-cell
+    query residuals, per-subspace tables, ADC within probed cells."""
+    ci = coarse_iter
+    cdist = ("round(list_aggregate(list_transform(range(1, {n}), "
+             "i -> (e.embedding[i] - c.centroid[i]) * "
+             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
+             ).format(n=dim + 1)
+    code_cols = ", ".join(f"cd.c{s}" for s in range(m))
+    qds = ",".join(f"""
+qd{s} AS (
+  SELECT r.query_id, r.cell, c.cell AS code,
+         round(list_aggregate(list_transform(range(1, {sub_dim + 1}),
+           i -> (r.embedding[{s * sub_dim} + i] - c.centroid[i]) *
+                (r.embedding[{s * sub_dim} + i] - c.centroid[i])),
+           'sum'), 6) AS d
+  FROM qres r CROSS JOIN cent{pq_iter}_p{s} c)""" for s in range(m))
+    dist_sum = " + ".join(f"q{s}.d" for s in range(m))
+    adc_joins = " ".join(
+        f"JOIN qd{s} q{s} ON q{s}.cell = x.cell AND q{s}.code = x.c{s}"
+        + ("" if s == 0 else f" AND q{s}.query_id = q0.query_id")
+        for s in range(m))
+    return f"""
+WITH {ORACLE_EMB_CTE},
+{_kmeans_ctes(coarse_k, ci, dim, emb="emb", sfx="_c")},
+res AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim + 1}),
+                        i -> e.embedding[i] - c.centroid[i]) AS embedding
+  FROM emb e JOIN a{ci}_c a USING (vec_id)
+  JOIN cent{ci}_c c ON c.cell = a.cell),
+{_pq_train_ctes(m, sub_dim, pk, pq_iter, emb="res")},
+members AS (SELECT cd.vec_id, a.cell, {code_cols}
+            FROM codes cd JOIN a{ci}_c a USING (vec_id)),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cdist}, c.cell) AS rn
+    FROM (SELECT * FROM emb WHERE vec_id < 10) e
+    CROSS JOIN cent{ci}_c c) t
+  WHERE rn <= {nprobe}),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {dim + 1}),
+                        i -> q.embedding[i] - cc.centroid[i]) AS embedding
+  FROM probe p JOIN emb q ON q.vec_id = p.query_id
+  JOIN cent{ci}_c cc ON cc.cell = p.cell),
+{qds},
+adc AS (
+  SELECT q0.query_id, x.vec_id AS neighbor_id,
+         round({dist_sum}, 6) AS adc_dist
+  FROM members x {adc_joins}
+  WHERE x.vec_id <> q0.query_id)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc) t
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py ivfpq_topk): the production ANN
+    composition — trained coarse quantizer prunes to nprobe=2 cells,
+    residual PQ codes score via ADC within those cells only.  Per
+    query: nprobe/coarse_k of the corpus, read as 4-int codes, never
+    as vectors.  Oracle replays coarse train -> residual encode ->
+    probe -> residual tables -> ADC end to end."""
+    from currency_market_pulse_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, F.col("vec_id") < 10, k_neighbors=3)
 
 
 @extra_query("sim_ivf_topk_probe2", oracle=_PROBE2_ORACLE)

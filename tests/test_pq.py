@@ -70,3 +70,29 @@ def test_pq_recall_curve_is_monotone(spark):
     recalls = [r.recall_at_3 for r in rows]
     assert recalls == sorted(recalls)
     assert all(r.n_queries == rows[0].n_queries for r in rows)
+
+
+def test_ivfpq_ranks_own_group_first(spark):
+    from currency_market_pulse_spark.operators.pq import ivfpq_topk
+
+    emb = _corpus(spark)
+    out = ivfpq_topk(emb, F.col("vec_id") == 0, k_neighbors=2,
+                     coarse_k=3, coarse_iter=2, nprobe=2,
+                     m=2, sub_dim=4, k=2, n_iter=1).collect()
+    assert [r.rn for r in out] == [1, 2]
+    # with 3 coarse cells matching the 3 groups and nprobe=2, the
+    # query's own group is probed and its members rank first
+    assert {r.neighbor_id for r in out} == {1, 2}
+
+
+def test_ivfpq_scans_only_probed_cells(spark):
+    from currency_market_pulse_spark.operators.pq import ivfpq_topk
+
+    emb = _corpus(spark)
+    out = ivfpq_topk(emb, F.col("vec_id") == 0, k_neighbors=9,
+                     coarse_k=3, coarse_iter=2, nprobe=1,
+                     m=2, sub_dim=4, k=2, n_iter=1).collect()
+    # nprobe=1 with well-separated groups: candidates are only the
+    # query's own cell members (2 others), never the full corpus
+    assert len(out) == 2
+    assert {r.neighbor_id for r in out} == {1, 2}
