@@ -235,6 +235,60 @@ def documents_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "source"))
 
 
+#: Fixed linear weights for the quality classifier: (feature, weight)
+#: in application order, plus the bias.  A stand-in for a trained
+#: fastText/logistic quality model — at deployment the weights come
+#: from training; the ENGINE work (feature extraction + linear scoring
+#: + threshold filter, one scan, zero shuffle) is identical.
+QUALITY_WEIGHTS = (("type_token_ratio", 2.0), ("stopword_ratio", 3.0),
+                   ("avg_token_len", -0.2), ("log_tokens", 0.5))
+QUALITY_BIAS = -2.2
+
+
+def _quality_clf_oracle() -> str:
+    terms = " + ".join(f"{w!r} * {f}" for f, w in QUALITY_WEIGHTS)
+    score = f"round({terms} + {QUALITY_BIAS!r}, 6)"
+    return f"""
+WITH {_TOKS},
+f AS (SELECT doc_id,
+        round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+          AS type_token_ratio,
+        round(CAST(len(list_filter(t, x ->
+              list_contains({_stoplist('en')}, x))) AS DOUBLE) / len(t), 6)
+          AS stopword_ratio,
+        round(CAST(list_aggregate(list_transform(t, x -> length(x)),
+              'sum') AS DOUBLE) / len(t), 6) AS avg_token_len,
+        round(ln(len(t)), 6) AS log_tokens
+      FROM toks)
+SELECT doc_id, {score} AS quality_score, ({score}) >= 0 AS keep
+FROM f
+"""
+
+
+@extra_query("documents_quality_classifier", oracle=_quality_clf_oracle())
+def documents_quality_classifier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over the
+    engine's quality features (type-token ratio, stopword ratio, mean
+    token length, log token count) with fixed deterministic weights —
+    the shape of a fastText/logistic quality gate.  The linear score
+    is monotone in the sigmoid, so thresholding the score IS the
+    classifier; one scan, zero shuffle, whole-stage codegen.  Each
+    feature is rounded to 6 before the weighted sum (summed in the
+    declared weight order) so both engines fold identical values."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (X.quality_features(docs)
+             .withColumn("log_tokens",
+                         F.round(F.log(F.col("n_tokens")), 6)))
+    score = None
+    for feat, w in QUALITY_WEIGHTS:
+        term = F.lit(w) * F.col(feat)
+        score = term if score is None else score + term
+    score = F.round(score + F.lit(QUALITY_BIAS), 6)
+    return feats.select("doc_id", score.alias("quality_score"),
+                        (score >= 0).alias("keep"))
+
+
 def _pii_oracle() -> str:
     from currency_market_pulse_spark.operators.textops import PII_PATTERNS
 
