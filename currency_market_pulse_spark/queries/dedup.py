@@ -5,6 +5,7 @@ oracle that reproduces the identical (md5-family) hash math.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import OrderedDict
 
@@ -38,8 +39,44 @@ from currency_market_pulse_spark.functions.vectors import ORACLE_EMB_CTE
 # blocking=False so even a pathological third sf_dir only costs the
 # straggler a recompute, never corruption.
 _CACHE_CAP = 2
-_CORPUS_CACHE: OrderedDict[tuple[str, str], dict[str, DataFrame]] = OrderedDict()
+_CORPUS_CACHE: OrderedDict[tuple[str, str], dict[str, object]] = OrderedDict()
 _CORPUS_LOCK = threading.Lock()
+
+#: Persist/repartition the shared TOKEN relation only above this
+#: on-disk documents.parquet size (VERDICT r4 item 1).  The
+#: amortization story is scale-dependent, and both regimes were
+#: MEASURED:
+#:   - sf1 (6 MB, 50k docs): the repartition+persist is the win that
+#:     fixed input-split starvation (minhash 15.5s -> 2.5s, SCALE.md);
+#:   - sf0.1 (0.6 MB, 5k docs): the same persist is net-NEGATIVE — the
+#:     first family consumer pays a tiny-corpus shuffle + cache
+#:     materialization + an InMemoryRelation boundary that blocks
+#:     whole-stage codegen fusion, for a relation whose recompute cost
+#:     at 5k docs is small (BENCH_r03->r04: ngram_jaccard 2.43->3.43s).
+#: The DERIVED relations (jaccard pairs, minhash bands, simhash sigs)
+#: stay persisted at every scale: they are tiny (near-dup pairs resp.
+#: rows/doc) so materialization is ~free, while recompute repeats the
+#: expensive candidate join / signature aggregation — unpersisting them
+#: at sf0.1 was measured strictly worse (components 1.9s -> 4.6s, the
+#: iterative closure re-deriving its edge relation).
+#: 2 MiB sits between the two measured regimes.  Unstatable sizes
+#: (remote paths, missing file) default to PERSIST — at 100 TB the
+#: cache is always the right call, small fixtures are the special case.
+_PERSIST_MIN_BYTES = 2 << 20
+
+
+def _corpus_is_small(sf_dir: str) -> bool:
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path))
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return False
+    return size < _PERSIST_MIN_BYTES
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -55,18 +92,23 @@ def _corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     except Exception:
                         pass
             docs = load_table(spark, sf_dir, "documents")
-            # repartition to full parallelism BEFORE persisting: a text
-            # corpus is small ON DISK (compressed parquet — sf1's 50k
-            # docs are one 6 MB file = 2 input splits) but the family's
+            small = _corpus_is_small(sf_dir)
+            # repartition to full parallelism in EVERY regime: a text
+            # corpus is small ON DISK (compressed parquet — sf0.1's 5k
+            # docs are ONE input split, sf1's 50k two) but the family's
             # derived work (shingle explode -> 3 md5/shingle) is heavy
-            # PER ROW, so scan-aligned partitioning strands 30 of 32
-            # cores (measured: minhash 15.5s -> 4.3s at sf1).  One tiny
-            # shuffle at cache-build time parallelizes every consumer.
-            toks = (docs.select(
-                "doc_id", tokens(F.col("text")).alias("_t"))
-                .repartition(spark.sparkContext.defaultParallelism)
-                .persist())
-            entry = {"tokens": toks}
+            # PER ROW, so scan-aligned partitioning strands 30+ of 32
+            # cores (measured at sf1: minhash 15.5s -> 4.3s; at sf0.1
+            # dropping the repartition cost minhash 1.4s -> 2.3s).  The
+            # shuffle itself is tiny (corpus rows, pre-explode).
+            toks = (docs
+                    .select("doc_id", tokens(F.col("text")).alias("_t"))
+                    .repartition(spark.sparkContext.defaultParallelism))
+            if not small:
+                # persist only above the size threshold — see
+                # _PERSIST_MIN_BYTES for both measured regimes.
+                toks = toks.persist()
+            entry = {"tokens": toks, "_small": small}
             _CORPUS_CACHE[key] = entry
         else:
             _CORPUS_CACHE.move_to_end(key)

@@ -23,6 +23,8 @@ for free from the declarative plans built on top.
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -32,6 +34,20 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Catalog metadata cache: ``spark.read.parquet`` re-lists the directory
+# and re-reads parquet footers for schema inference on EVERY call — a
+# driver-side job that costs 50-150 ms per table load, repeated for
+# every query in a 50-query gate run (measured ~0.1-0.25 s of each
+# query's wall was plan construction dominated by this).  A real
+# catalog resolves a table name to a cached relation; so does this one.
+# The cached object is only an analyzed LOGICAL PLAN (no data is
+# pinned); fixtures are immutable so staleness is not a concern, and
+# the key includes the applicationId so a restarted session never sees
+# another JVM's plan.
+_TABLE_CACHE: OrderedDict[tuple[str, str, str], DataFrame] = OrderedDict()
+_TABLE_CACHE_CAP = 64
+_TABLE_LOCK = threading.Lock()
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -50,27 +66,45 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes event-time to ms-precision
-    TimestampType (see module docstring)."""
+    TimestampType (see module docstring).  Cached per
+    (application, sf_dir, table) — see _TABLE_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _TABLE_LOCK:
+        df = _TABLE_CACHE.get(key)
+        if df is not None:
+            _TABLE_CACHE.move_to_end(key)
+            return df
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
         t = dict(df.dtypes).get("ts")
+        # Both branches floor toward -infinity (a - pmod(a, b) is the
+        # largest multiple of b <= a; pmod is non-negative), matching
+        # DuckDB's epoch_ms for pre-1970 epochs too — plain `div`
+        # truncates toward zero, which would round negative epochs UP
+        # to the next millisecond (ADVICE r4).  Fixtures are post-1970
+        # today, so this is future-proofing, pinned by a unit test.
         if t == "bigint":
             # ns-epoch long (TIMESTAMP(NANOS) fixture under nanosAsLong)
-            # -> floor to ms -> TimestampType.  Integer `div`, NOT `/`:
-            # ns epochs (~1.7e18) exceed double's 53-bit mantissa, so
-            # float division silently corrupts the low digits.  Truncate,
-            # don't round — the reference truncates when narrowing time
-            # (api.go:72 UnixMilli; importer/importing/service.go:150).
+            # -> floor to ms -> TimestampType.  Integer arithmetic, NOT
+            # `/`: ns epochs (~1.7e18) exceed double's 53-bit mantissa,
+            # so float division silently corrupts the low digits.
             df = df.withColumn(
-                "ts", F.timestamp_millis(F.expr("ts div 1000000")))
+                "ts", F.timestamp_millis(
+                    F.expr("(ts - pmod(ts, 1000000)) div 1000000")))
         elif t in ("timestamp_ntz", "timestamp"):
             # us-precision fixture.  NTZ is reinterpreted as UTC (the
             # session timezone pinned above), then the same ms floor.
             df = df.withColumn(
-                "ts", F.timestamp_millis(
-                    F.expr("unix_micros(cast(ts as timestamp)) div 1000")))
+                "ts", F.timestamp_millis(F.expr(
+                    "(unix_micros(cast(ts as timestamp)) - "
+                    "pmod(unix_micros(cast(ts as timestamp)), 1000)) "
+                    "div 1000")))
+    with _TABLE_LOCK:
+        _TABLE_CACHE[key] = df
+        while len(_TABLE_CACHE) > _TABLE_CACHE_CAP:
+            _TABLE_CACHE.popitem(last=False)
     return df
 
 
