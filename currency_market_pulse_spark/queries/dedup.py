@@ -435,7 +435,7 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-@extra_query("dedup_lsh_components", oracle=_LSH_COMPONENTS_ORACLE)
+@query("dedup_lsh_components", oracle=_LSH_COMPONENTS_ORACLE)
 def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE production near-dedup pipeline in one query: MinHash-LSH
     candidate generation -> exact jaccard verification restricted to

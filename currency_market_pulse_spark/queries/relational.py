@@ -200,7 +200,7 @@ def active_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "nation_presence_setops",
     oracle="""
 SELECT 'both' AS presence, n_nationkey FROM
@@ -214,7 +214,13 @@ ORDER BY presence, n_nationkey
 """,
 )
 def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operators: INTERSECT / EXCEPT / UNION ALL composed."""
+    """Set operators: INTERSECT / EXCEPT / UNION ALL composed.
+
+    Library tier since r5 (VERDICT r4 item 4): its registry slot went
+    to dedup_lsh_components so the production dedup pipeline gets a
+    driver-verified correctness row; distinct-set-op coverage stays
+    held to the same differential standard here, next to the multiset
+    twin segment_multiset_ops, via tests/test_extra_queries.py."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("n_nationkey")).distinct()
     s = load_table(spark, sf_dir, "supplier").select(
