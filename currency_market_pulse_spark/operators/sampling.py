@@ -182,7 +182,21 @@ def upsample_epochs(df: DataFrame, strata_col: str,
     Zero shuffle: a per-row ``explode(sequence(1, n))`` fused into the
     scan — the replication happens where the row already lives, and
     the blow-up factor is the (small, explicit) epoch count, never
-    data-dependent."""
+    data-dependent.
+
+    Epoch counts must be >= 1 (ValueError otherwise): Spark's
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` (the same footgun
+    functions/text.py shingles() guards), so an unvalidated 0 would
+    silently emit epoch-0 rows while the DuckDB oracle's
+    ``generate_series(1, 0)`` is empty — a guaranteed engine
+    divergence.  "Drop the stratum" is spelled ``stratified_sample``
+    (or a filter), not epochs=0 (ADVICE r4)."""
+    bad = {v: r for v, r in epochs.items() if r < 1}
+    if bad or default < 1:
+        raise ValueError(
+            f"upsample_epochs requires every epoch count >= 1, got "
+            f"{bad or ''}{' default=' + str(default) if default < 1 else ''}"
+            f" — drop strata with a filter/stratified_sample instead")
     n = None
     for value, reps in epochs.items():
         cond = F.col(strata_col) == value

@@ -158,9 +158,9 @@ def _shared_derived(spark: SparkSession, sf_dir: str, key: str,
 
 
 # shared oracle CTEs (DuckDB) — twins of functions/text.py primitives
-_TOKS = r"toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)"
-_DTOK = "dtok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)"
-_SH3 = ("sh3 AS (SELECT doc_id, unnest(list_distinct("
+_TOKS = r"toks AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents)"
+_DTOK = "dtok AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)"
+_SH3 = ("sh3 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct("
         "list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh FROM toks)")
 # df-capped twin of the Spark side's DEFAULT_SHINGLE_DF_CAP skew guard
@@ -169,10 +169,18 @@ _SH3 = ("sh3 AS (SELECT doc_id, unnest(list_distinct("
 # the fixture's max df stays under the cap; at larger scale factors the
 # oracle would diverge by construction).  Set sizes stay computed from
 # the UNCAPPED sh3, exactly like the Spark side computes n_sh before
-# the cap filter.
-_SH3CAP = (f"sh3c AS (SELECT doc_id, sh FROM ("
-           f"SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df "
-           f"FROM sh3) WHERE df <= {D.DEFAULT_SHINGLE_DF_CAP})")
+# the cap filter.  Parameterized so tests can prove the equality AT a
+# binding cap (VERDICT r4 item 5), not only at fixtures where the cap
+# is slack.
+
+
+def sh3cap_cte(cap: int) -> str:
+    return (f"sh3c AS MATERIALIZED (SELECT doc_id, sh FROM ("
+            f"SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df "
+            f"FROM sh3) WHERE df <= {cap})")
+
+
+_SH3CAP = sh3cap_cte(D.DEFAULT_SHINGLE_DF_CAP)
 
 
 @query(
@@ -234,7 +242,7 @@ def _minhash_band_ctes() -> str:
                 f"CAST(mh{b * D.MINHASH_ROWS + r} AS VARCHAR)"
                 for r in range(D.MINHASH_ROWS)))
         for b in range(D.MINHASH_BANDS))
-    return f"sig AS (SELECT doc_id, {mins} FROM sh3 GROUP BY doc_id),\nbands AS ({bands})"
+    return f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh3 GROUP BY doc_id),\nbands AS MATERIALIZED ({bands})"
 
 
 def _minhash_oracle() -> str:

@@ -113,15 +113,15 @@ def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
             ).format(n=dim + 1)
     parts = [f"""
-s0{sfx} AS (SELECT vec_id, embedding,
+s0{sfx} AS MATERIALIZED (SELECT vec_id, embedding,
               md5('km|' || CAST(vec_id AS VARCHAR)) AS h
        FROM {emb} ORDER BY h, vec_id LIMIT {k}),
-cent0{sfx} AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+cent0{sfx} AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
                  embedding AS centroid
           FROM s0{sfx})"""]
     for i in range(n_iter + 1):
         parts.append(f"""
-a{i}{sfx} AS (SELECT vec_id, cell, dist FROM (
+a{i}{sfx} AS MATERIALIZED (SELECT vec_id, cell, dist FROM (
   SELECT vec_id, cell, dist,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY dist, cell) AS rn
@@ -130,7 +130,7 @@ a{i}{sfx} AS (SELECT vec_id, cell, dist FROM (
  WHERE rn = 1)""")
         if i < n_iter:
             parts.append(f"""
-cent{i + 1}{sfx} AS (
+cent{i + 1}{sfx} AS MATERIALIZED (
   SELECT cell, list(m ORDER BY pos) AS centroid FROM (
     SELECT a.cell, d.pos, round(avg(e.embedding[d.pos]), 6) AS m
     FROM a{i}{sfx} a JOIN {emb} e USING (vec_id),
@@ -444,7 +444,7 @@ def _pq_train_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
     slices, m independent Lloyd chains (suffix _p{s}), the ``codes``
     relation."""
     subs = ",".join(
-        f"sub{s} AS (SELECT vec_id, "
+        f"sub{s} AS MATERIALIZED (SELECT vec_id, "
         f"list_transform(range({s * sub_dim + 1}, "
         f"{(s + 1) * sub_dim + 1}), i -> embedding[i]) AS embedding "
         f"FROM {emb})"
@@ -457,7 +457,7 @@ def _pq_train_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
         f"JOIN a{n_iter}_p{s} x{s} ON x{s}.vec_id = x0.vec_id"
         for s in range(1, m))
     return f"""{subs},{chains},
-codes AS (SELECT x0.vec_id, {code_cols}
+codes AS MATERIALIZED (SELECT x0.vec_id, {code_cols}
           FROM a{n_iter}_p0 x0 {code_joins})"""
 
 
@@ -469,7 +469,7 @@ def _pq_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
     tables, ADC lookup-sums.  Shared by the top-k query and the
     recall query."""
     qds = ",".join(f"""
-qd{s} AS (
+qd{s} AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.cell,
          round(list_aggregate(list_transform(range(1, {sub_dim + 1}),
            i -> (q.embedding[i] - c.centroid[i]) *
@@ -483,7 +483,7 @@ qd{s} AS (
         for s in range(m))
     return f"""{_pq_train_ctes(m, sub_dim, k, n_iter)},
 {qds},
-adc AS (
+adc AS MATERIALIZED (
   SELECT d0.query_id, x.vec_id AS neighbor_id,
          round({dist_sum}, 6) AS adc_dist
   FROM codes x {adc_joins}
@@ -628,7 +628,7 @@ def _ivfpq_oracle(coarse_k: int = KMEANS_K, coarse_iter: int = KMEANS_ITER,
              ).format(n=dim + 1)
     code_cols = ", ".join(f"cd.c{s}" for s in range(m))
     qds = ",".join(f"""
-qd{s} AS (
+qd{s} AS MATERIALIZED (
   SELECT r.query_id, r.cell, c.cell AS code,
          round(list_aggregate(list_transform(range(1, {sub_dim + 1}),
            i -> (r.embedding[{s * sub_dim} + i] - c.centroid[i]) *
@@ -643,14 +643,14 @@ qd{s} AS (
     return f"""
 WITH {ORACLE_EMB_CTE},
 {_kmeans_ctes(coarse_k, ci, dim, emb="emb", sfx="_c")},
-res AS (
+res AS MATERIALIZED (
   SELECT e.vec_id,
          list_transform(range(1, {dim + 1}),
                         i -> e.embedding[i] - c.centroid[i]) AS embedding
   FROM emb e JOIN a{ci}_c a USING (vec_id)
   JOIN cent{ci}_c c ON c.cell = a.cell),
 {_pq_train_ctes(m, sub_dim, pk, pq_iter, emb="res")},
-members AS (SELECT cd.vec_id, a.cell, {code_cols}
+members AS MATERIALIZED (SELECT cd.vec_id, a.cell, {code_cols}
             FROM codes cd JOIN a{ci}_c a USING (vec_id)),
 probe AS (
   SELECT vec_id AS query_id, cell FROM (
@@ -660,14 +660,14 @@ probe AS (
     FROM (SELECT * FROM emb WHERE vec_id < 10) e
     CROSS JOIN cent{ci}_c c) t
   WHERE rn <= {nprobe}),
-qres AS (
+qres AS MATERIALIZED (
   SELECT p.query_id, p.cell,
          list_transform(range(1, {dim + 1}),
                         i -> q.embedding[i] - cc.centroid[i]) AS embedding
   FROM probe p JOIN emb q ON q.vec_id = p.query_id
   JOIN cent{ci}_c cc ON cc.cell = p.cell),
 {qds},
-adc AS (
+adc AS MATERIALIZED (
   SELECT q0.query_id, x.vec_id AS neighbor_id,
          round({dist_sum}, 6) AS adc_dist
   FROM members x {adc_joins}

@@ -84,3 +84,30 @@ def test_events_as_trades_derivation(spark):
     assert row.rate == row.amount_buy_micros / row.amount_sell_micros
     assert isinstance(row.time_placed, dt.datetime)
     assert row.originating_country.startswith("C")
+
+
+def test_events_ts_pre1970_floors_toward_negative_infinity(spark, tmp_path):
+    """ms-flooring must floor toward -infinity for NEGATIVE epochs too,
+    matching DuckDB's epoch_ms — truncating `div` would round a
+    pre-1970 instant UP to the next millisecond (ADVICE r4).  -1234.567
+    ms floors to -1235 ms == 1969-12-31 23:59:58.765."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = -1_234_567
+    want = dt.datetime(1969, 12, 31, 23, 59, 58, 765000)
+    base = {
+        "event_id": [1], "user_id": [10],
+        "event_type": ["a"], "value": [1.0], "props": ["{}"],
+    }
+    encodings = {
+        "ns": pa.array([micros * 1000], pa.timestamp("ns")),
+        "us_utc": pa.array([micros], pa.timestamp("us", tz="UTC")),
+    }
+    for enc, arr in encodings.items():
+        d = tmp_path / enc
+        d.mkdir()
+        pq.write_table(pa.table({**base, "ts": arr}),
+                       str(d / "events.parquet"))
+        ev = load_table(spark, str(d), "events")
+        assert [r.ts for r in ev.collect()] == [want], enc

@@ -265,3 +265,83 @@ def test_bigram_logprob_scores_known_values(spark):
     assert got[0] == (1, round(-round(math.log(2 / 3), 9), 6))
     assert got[1] == got[0]
     assert got[2] == (1, round(-round(math.log(1 / 3), 9), 6))
+
+
+def test_df_cap_differential_where_cap_binds(spark):
+    """Spark vs DuckDB equality AT A BINDING CAP (VERDICT r4 item 5):
+    the fixtures' max shingle df sits far under DEFAULT_SHINGLE_DF_CAP,
+    so the registered oracles never exercised the capped branch — here
+    a boilerplate shingle ('the same footer' in every doc, df=4) is
+    capped out at cap=2 on BOTH engines and jaccard/containment must
+    still agree bitwise."""
+    import duckdb
+
+    from currency_market_pulse_spark.queries.dedup import (
+        _SH3, _TOKS, sh3cap_cte,
+    )
+
+    texts = [
+        "alpha beta gamma delta the same footer",
+        "alpha beta gamma delta the same footer",   # true near-dup of 0
+        "epsilon zeta eta theta the same footer",
+        "iota kappa lam mu the same footer",
+    ]
+    docs = _docs(spark, texts)
+    cap = 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    jac_sql = f"""
+WITH {_TOKS}, {_SH3}, {sh3cap_cte(cap)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5
+"""
+    cont_sql = f"""
+WITH {_TOKS}, {_SH3}, {sh3cap_cte(cap)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(nc AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+       round(CAST(nc AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(round(CAST(nc AS DOUBLE) / sa.n, 6),
+               round(CAST(nc AS DOUBLE) / sb.n, 6)) >= 0.5
+"""
+    jac_oracle = sorted(map(tuple, con.execute(jac_sql).fetchall()))
+    cont_oracle = sorted(map(tuple, con.execute(cont_sql).fetchall()))
+
+    jac_spark = sorted((r.id_a, r.id_b, r.jaccard)
+                       for r in D.ngram_jaccard_pairs(
+                           docs, n=3, threshold=0.5,
+                           max_shingle_df=cap).collect())
+    cont_spark = sorted((r.id_a, r.id_b, r.cont_a_in_b, r.cont_b_in_a)
+                        for r in D.containment_pairs(
+                            docs, n=3, threshold=0.5,
+                            max_shingle_df=cap).collect())
+    assert jac_spark == jac_oracle
+    assert cont_spark == cont_oracle
+    # the cap actually bound: doc 0/1 are identical (uncapped jaccard
+    # 1.0), but the capped run drops their df=4 footer shingles while
+    # sizes stay pre-cap, so capped jaccard understates — if the cap
+    # hadn't bound, the two values would be equal
+    unc = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=None).collect()}
+    capped = dict((p[:2], p[2]) for p in jac_spark)
+    assert unc[(0, 1)] == 1.0
+    assert capped[(0, 1)] < 1.0

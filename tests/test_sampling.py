@@ -192,3 +192,22 @@ def test_upsample_epochs_replication(spark):
     assert sorted(got[0]) == [1, 2]
     assert sorted(got[1]) == [1, 2, 3]
     assert sorted(got[2]) == [1]  # unlisted stratum defaults to 1 epoch
+
+
+def test_upsample_epochs_rejects_nonpositive_counts(spark):
+    """epochs=0 would hit Spark's descending sequence(1, 0) == [1, 0]
+    while the oracle's generate_series(1, 0) is empty (ADVICE r4) —
+    the operator must refuse instead of silently diverging."""
+    import pytest
+
+    from currency_market_pulse_spark.operators.sampling import (
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame([Row(id=0, lang="en")])
+    with pytest.raises(ValueError, match="epoch count"):
+        upsample_epochs(df, "lang", {"en": 0})
+    with pytest.raises(ValueError, match="epoch count"):
+        upsample_epochs(df, "lang", {"en": -2})
+    with pytest.raises(ValueError, match="epoch count"):
+        upsample_epochs(df, "lang", {"en": 2}, default=0)

@@ -151,3 +151,31 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     rows = spark.table("enriched_trades").collect()
     assert len(rows) == 4
     assert all(r.region == "EMEA" for r in rows)   # GBP -> EMEA
+
+
+def test_sink_parquet_roundtrip_through_catalog_normalization(spark, tmp_path):
+    """Golden round-trip (VERDICT r4 item 7): the frame written by
+    ParquetTradesSink, re-read from disk, must equal the pre-write
+    frame FIELD FOR FIELD — the fixture-regen incident (round 4:
+    TIMESTAMP(NANOS)->MICROS re-encode silently broke every events
+    query until the catalog normalized encodings) must be impossible
+    on our own sink output.  time_placed is ms-precision before the
+    write (catalog contract), so any encoding parquet picks must
+    round-trip those instants bit-for-bit."""
+    from conftest import SF_DIR
+    from currency_market_pulse_spark.sources.catalog import (
+        events_as_trades,
+    )
+
+    trades = events_as_trades(spark, SF_DIR).limit(200)
+    before = {tuple(r) for r in trades.collect()}
+
+    out = tmp_path / "sink"
+    ParquetTradesSink(str(out)).write(trades, batch_id=0)
+
+    back = (spark.read.parquet(str(out))
+            .drop("trade_date", "batch_id")
+            .select(*trades.columns))  # original column order
+    assert dict(back.dtypes) == dict(trades.dtypes)
+    after = {tuple(r) for r in back.collect()}
+    assert after == before
