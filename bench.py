@@ -68,6 +68,32 @@ def main() -> None:
         except Exception:
             pass
 
+    # Quantify the per-query fixed floor (VERDICT r4 item 6) so the
+    # headline can be read as floor + data-dependent work.  Two probes
+    # under the identical protocol as the timed queries (construct ->
+    # noop write), repeated and median-ed:
+    #   floor_scan_sec    — one projected scan of the smallest table
+    #   floor_shuffle_sec — the same plus one hash aggregate (the
+    #                       minimum shape of a real query: 2 AQE stages)
+    from pyspark.sql import functions as F  # noqa: E402
+    from currency_market_pulse_spark.sources.catalog import (  # noqa: E402
+        load_table as _lt,
+    )
+
+    def _floor(build) -> float:
+        runs = []
+        for _ in range(5):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[len(runs) // 2], 3)
+
+    floor_scan = _floor(
+        lambda: _lt(spark, sf_dir, "region").select("r_name"))
+    floor_shuffle = _floor(
+        lambda: _lt(spark, sf_dir, "region").groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n")))
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         try:
@@ -79,7 +105,10 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     with open(os.path.join(_HERE, "BENCH_QUERIES.json"), "w") as f:
-        json.dump({"sf": sf, "total_sec": total, "queries": timings}, f,
+        json.dump({"sf": sf, "total_sec": total,
+                   "floor_scan_sec": floor_scan,
+                   "floor_shuffle_sec": floor_shuffle,
+                   "queries": timings}, f,
                   indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])

@@ -562,3 +562,78 @@ def containment_pairs(docs: DataFrame, n: int = 3,
         .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
         .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
     )
+
+
+def chunk_occurrences(docs: DataFrame, chunk_tokens: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Passage-level (chunk) occurrence relation: each doc split into
+    consecutive ``chunk_tokens``-token chunks; one row per (doc, chunk
+    position) with the chunk text and a ``keep`` flag that is true only
+    for the globally FIRST occurrence (min (doc_id, idx)) of each
+    distinct chunk.
+
+    This is intra-corpus repeated-passage removal — the pipeline stage
+    (CCNet / RefinedWeb-style) that strips boilerplate paragraphs and
+    quoted blocks that DOCUMENT-level dedup structurally misses: a page
+    that is 40% template survives doc dedup untouched, while its
+    template chunks are exact duplicates across thousands of docs.
+
+    Scale shape: one explode (corpus tokens / chunk_tokens rows), one
+    hash aggregate on md5(chunk) for the first-owner relation (partial
+    agg map-side; a boilerplate chunk with huge df costs ONE buffer
+    entry, not a sort — this is why the owner is a groupBy-join, not a
+    row_number window), one join back on the same key.  The md5 family
+    keeps the DuckDB oracle bit-identical."""
+    toks_arr = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
+    # sequence(0, -1) DESCENDS (the repo-wide footgun) — empty docs
+    # cannot occur after the tokenize of a non-null text (split yields
+    # at least one element), but guard anyway.
+    chunks = (toks_arr
+              .withColumn("_n", n_chunks)
+              .filter(F.col("_n") > 0)
+              .select(
+                  F.col(id_col),
+                  F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+                   .alias("idx"),
+                  F.col("_t"))
+              .select(
+                  F.col(id_col), "idx",
+                  F.array_join(F.slice(
+                      F.col("_t"), F.col("idx") * chunk_tokens + 1,
+                      chunk_tokens), " ").alias("chunk"))
+              .withColumn("_h", F.md5(F.col("chunk"))))
+    owner = (chunks.groupBy("_h")
+             .agg(F.min(F.struct(F.col(id_col), F.col("idx")))
+                  .alias("_first")))
+    return (chunks.join(owner, "_h")
+            .withColumn("keep",
+                        (F.col(id_col) == F.col("_first")[id_col])
+                        & (F.col("idx") == F.col("_first")["idx"]))
+            .select(id_col, "idx", "chunk", "keep"))
+
+
+def chunk_dedup_docs(docs: DataFrame, chunk_tokens: int = 16,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc result of passage-level dedup: chunk counts plus the
+    md5 of the SCRUBBED text (kept chunks re-joined in position order
+    — hashed so the differential oracle compares a constant-width
+    value, the text_pii_scrub pattern).  Fully-duplicated docs come out
+    with n_kept = 0 and the md5 of the empty string."""
+    occ = chunk_occurrences(docs, chunk_tokens, id_col, text_col)
+    kept_sorted = F.array_sort(F.collect_list(
+        F.when(F.col("keep"), F.struct(F.col("idx"), F.col("chunk")))))
+    return (occ.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.transform(kept_sorted, lambda s: s["chunk"]),
+                     " ")).alias("scrubbed_md5"))
+            .withColumn("drop_frac", F.round(
+                (F.col("n_chunks") - F.col("n_kept"))
+                / F.col("n_chunks"), 6))
+            .select(id_col, "n_chunks", "n_kept", "drop_frac",
+                    "scrubbed_md5"))

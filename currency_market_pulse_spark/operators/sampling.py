@@ -243,3 +243,62 @@ def per_group_budget(df: DataFrame, group_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (df.withColumn(out_col, F.sum(weight_col).over(w))
             .filter(F.col(out_col) <= budget))
+
+
+def dsir_logratios(docs: DataFrame, target_pred: Column,
+                   buckets: int = 1024, seed: str = "dsir",
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    non-target (raw-pool) document by how much more likely its tokens
+    are under the TARGET corpus's hashed-unigram distribution than
+    under the raw pool's own.
+
+    Features are hashed n-gram counts exactly as in the paper: token ->
+    bucket = hash mod ``buckets`` (portable md5-family hash, so the
+    DuckDB oracle replays bit-for-bit); per-bucket probabilities are
+    add-1 smoothed; a doc's log importance ratio is the sum over its
+    token OCCURRENCES (multiplicity counts, bag-of-words) of
+    log p_target(bucket) - log p_raw(bucket).  Per-token log-ratios
+    round to 9 before the sum and the sum to 6 (the repo's float-order
+    determinism pattern, queries/text.py NLL).
+
+    Scale shape: the two bucket histograms are ``buckets``-row
+    aggregates (map-side partial, then broadcast back onto the token
+    stream), so the corpus is scanned twice and shuffled only by doc
+    id for the final per-doc sum — no corpus-sized relation is ever
+    joined to another.  At 100 TB the target side is typically tiny
+    (a quality corpus); here it is a deterministic hash-split of the
+    fixture so the oracle can replay the same split."""
+    from currency_market_pulse_spark.functions.text import (
+        hex_hash64, tokens,
+    )
+
+    toked = (docs.filter(F.col(text_col).isNotNull())
+             .withColumn("_is_t", target_pred)
+             .select(F.col(id_col), "_is_t",
+                     F.explode(tokens(F.col(text_col))).alias("_tok"))
+             .withColumn("_b", F.pmod(
+                 hex_hash64(F.concat(F.lit(f"{seed}|"), F.col("_tok"))),
+                 F.lit(buckets))))
+    hist = (toked.groupBy("_b")
+            .agg(F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                 .alias("_ct"),
+                 F.sum(F.when(~F.col("_is_t"), 1).otherwise(0))
+                 .alias("_cr")))
+    totals = hist.agg(F.sum("_ct").alias("_tt"),
+                      F.sum("_cr").alias("_tr"))
+    lr = (hist.crossJoin(F.broadcast(totals))
+          .select("_b", F.round(
+              F.log((F.col("_ct") + 1)
+                    / (F.col("_tt") + F.lit(buckets)))
+              - F.log((F.col("_cr") + 1)
+                      / (F.col("_tr") + F.lit(buckets))), 9)
+              .alias("_lr")))
+    return (toked.filter(~F.col("_is_t"))
+            .join(F.broadcast(lr), "_b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("_lr"), 6).alias("log_ratio"))
+            .select(id_col, "n_tokens", "log_ratio"))

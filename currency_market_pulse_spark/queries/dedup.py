@@ -594,3 +594,49 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("new_id", F.col("corpus_id").alias("dup_of"), "jaccard")
             .orderBy("new_id"))
+
+
+#: chunk size for the passage-level dedup query (tokens per chunk).
+CHUNK_TOKENS = 16
+
+_CHUNK_DEDUP_ORACLE = rf"""
+WITH toksnn AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL),
+chunks AS MATERIALIZED (
+  SELECT doc_id, idx,
+         array_to_string(t[idx * {CHUNK_TOKENS} + 1 :
+                           idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                         ' ') AS chunk
+  FROM (SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0)
+                                    AS BIGINT))) AS idx
+        FROM toksnn WHERE len(t) > 0) s),
+occ AS MATERIALIZED (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, idx) = 1 AS keep
+  FROM chunks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round((count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE), 6) AS drop_frac,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                    FILTER (WHERE keep), '')) AS scrubbed_md5
+FROM occ GROUP BY doc_id
+"""
+
+
+@extra_query("text_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (operators/dedup.py chunk_dedup_docs):
+    docs split into CHUNK_TOKENS-token chunks, only the globally
+    first occurrence of each distinct chunk kept, per-doc drop stats +
+    md5 of the scrubbed text.  The intra-corpus repeated-passage
+    removal stage (boilerplate, quoted blocks) that document-level
+    dedup structurally misses; the sf0.1 fixture's exact-duplicate
+    docs surface here as n_kept = 0 rows.  Oracle replays chunking,
+    first-owner choice and reassembly bit-for-bit."""
+    return D.chunk_dedup_docs(load_table(spark, sf_dir, "documents"),
+                              chunk_tokens=CHUNK_TOKENS)

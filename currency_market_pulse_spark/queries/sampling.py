@@ -243,3 +243,58 @@ def documents_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
         "n_chars", LANG_BUDGET, out_col="cum_chars")
     return picked.select("doc_id", "lang", "n_chars", "cum_chars")
+
+
+#: DSIR split: docs whose hash fraction under this seed falls below the
+#: threshold play the (small) TARGET corpus; the rest are the raw pool
+#: being scored.  Mirrors the dedup_incremental split pattern so the
+#: oracle replays the identical assignment.
+DSIR_SEED = "dsirsplit"
+DSIR_TARGET_FRAC = 0.1
+DSIR_BUCKETS = 1024
+
+
+def _dsir_oracle() -> str:
+    frac = _frac_sql(DSIR_SEED, "doc_id")
+    b = DSIR_BUCKETS
+    return rf"""
+WITH toked AS MATERIALIZED (
+  SELECT doc_id, ({frac} < {DSIR_TARGET_FRAC!r}) AS is_t,
+         CAST(('0x' || substr(md5('dsir|' || tok), 1, 15)) AS BIGINT)
+           % {b} AS bkt
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL) s),
+hist AS MATERIALIZED (
+  SELECT bkt,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM toked GROUP BY bkt),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM hist),
+lr AS MATERIALIZED (
+  SELECT bkt,
+         round(ln((ct + 1) / CAST(tt + {b} AS DOUBLE))
+               - ln((cr + 1) / CAST(tr + {b} AS DOUBLE)), 9) AS lr
+  FROM hist CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lr), 6) AS log_ratio
+FROM toked JOIN lr USING (bkt)
+WHERE NOT is_t
+GROUP BY doc_id
+"""
+
+
+@extra_query("documents_dsir_weights", oracle=_dsir_oracle())
+def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py dsir_logratios):
+    every raw-pool document scored by the hashed-unigram log importance
+    ratio against a deterministic 10% target split — the data-SELECTION
+    stage of a training pipeline ("pick web pages that look like the
+    quality corpus"), reduced to two bucket histograms and a broadcast
+    join.  Oracle replays split, hashing, smoothing and scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.dsir_logratios(
+        docs,
+        S.hash_fraction(F.col("doc_id"), DSIR_SEED) < DSIR_TARGET_FRAC,
+        buckets=DSIR_BUCKETS, seed="dsir")

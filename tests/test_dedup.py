@@ -345,3 +345,50 @@ WHERE greatest(round(CAST(nc AS DOUBLE) / sa.n, 6),
     capped = dict((p[:2], p[2]) for p in jac_spark)
     assert unc[(0, 1)] == 1.0
     assert capped[(0, 1)] < 1.0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Passage-level dedup keeps exactly the globally-first occurrence
+    (min (doc_id, idx)) of each distinct chunk — including a chunk
+    repeated WITHIN one document."""
+    # chunk size 2: doc 0 = [a b][c d][a b]  (self-repeat)
+    #               doc 1 = [c d][x y]       (cross-doc repeat)
+    docs = _docs(spark, ["a b c d a b", "c d x y"])
+    occ = {(r.doc_id, r.idx): (r.chunk, r.keep)
+           for r in D.chunk_occurrences(docs, chunk_tokens=2).collect()}
+    assert occ[(0, 0)] == ("a b", True)
+    assert occ[(0, 1)] == ("c d", True)
+    assert occ[(0, 2)] == ("a b", False)   # within-doc repeat dropped
+    assert occ[(1, 0)] == ("c d", False)   # cross-doc repeat dropped
+    assert occ[(1, 1)] == ("x y", True)
+
+    stats = {r.doc_id: r for r in
+             D.chunk_dedup_docs(docs, chunk_tokens=2).collect()}
+    assert (stats[0].n_chunks, stats[0].n_kept) == (3, 2)
+    assert (stats[1].n_chunks, stats[1].n_kept) == (2, 1)
+    import hashlib
+    assert stats[0].scrubbed_md5 == hashlib.md5(b"a b c d").hexdigest()
+    assert stats[1].scrubbed_md5 == hashlib.md5(b"x y").hexdigest()
+
+
+def test_chunk_dedup_full_duplicate_doc_scrubs_to_empty(spark):
+    """An exact duplicate document loses every chunk; its scrubbed
+    text is the empty string (md5(''), the oracle's coalesce twin)."""
+    import hashlib
+
+    docs = _docs(spark, ["a b c d", "a b c d"])
+    stats = {r.doc_id: r for r in
+             D.chunk_dedup_docs(docs, chunk_tokens=2).collect()}
+    assert stats[1].n_kept == 0
+    assert stats[1].drop_frac == 1.0
+    assert stats[1].scrubbed_md5 == hashlib.md5(b"").hexdigest()
+    assert stats[0].n_kept == 2
+
+
+def test_chunk_dedup_partial_tail_chunk(spark):
+    """Token counts not divisible by the chunk size produce a short
+    tail chunk (slice clamps on both engines)."""
+    docs = _docs(spark, ["a b c"])
+    occ = sorted((r.idx, r.chunk) for r in
+                 D.chunk_occurrences(docs, chunk_tokens=2).collect())
+    assert occ == [(0, "a b"), (1, "c")]

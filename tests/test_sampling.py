@@ -211,3 +211,31 @@ def test_upsample_epochs_rejects_nonpositive_counts(spark):
         upsample_epochs(df, "lang", {"en": -2})
     with pytest.raises(ValueError, match="epoch count"):
         upsample_epochs(df, "lang", {"en": 2}, default=0)
+
+
+def test_dsir_logratios_favors_target_like_docs(spark):
+    """DSIR sanity on a planted vocabulary: raw docs sharing the
+    target corpus's vocabulary must outscore raw docs that don't, and
+    n_tokens counts occurrences (bag semantics)."""
+    from pyspark.sql import functions as F
+
+    from currency_market_pulse_spark.operators.sampling import (
+        dsir_logratios,
+    )
+
+    rows = [
+        Row(doc_id=0, text="quality prose words"),       # target
+        Row(doc_id=1, text="quality prose words again"),  # target
+        Row(doc_id=2, text="quality prose quality prose"),  # raw, like-target
+        Row(doc_id=3, text="spam junk spam junk"),          # raw, unlike
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in dsir_logratios(
+        df, F.col("doc_id") < 2, buckets=64).collect()}
+    assert set(out) == {2, 3}          # only raw-pool docs scored
+    assert out[2].n_tokens == 4 and out[3].n_tokens == 4
+    assert out[2].log_ratio > out[3].log_ratio
+    # deterministic across runs
+    out2 = {r.doc_id: r.log_ratio for r in dsir_logratios(
+        df, F.col("doc_id") < 2, buckets=64).collect()}
+    assert out2 == {k: v.log_ratio for k, v in out.items()}
