@@ -172,6 +172,22 @@ EXPECTATIONS = {
     "dedup_incremental": [
         ("verify stage aggregate partially combined", r"partial_count"),
     ],
+    "text_chunk_dedup": [
+        # the first-owner relation is a hash AGGREGATE on md5(chunk)
+        # joined back — not a row_number window, so a hot boilerplate
+        # chunk costs one agg buffer, never a per-partition sort
+        ("chunk owner is a partial-combined hash aggregate",
+         r"partial_min"),
+        ("no Python in the chunk path", r"^(?!(.|\n)*InPandas)(.|\n)*$"),
+    ],
+    "documents_dsir_weights": [
+        # both histograms and the per-bucket log-ratio relation are
+        # broadcast back onto the token stream — the corpus-sized side
+        # never shuffles for the scoring join
+        ("log-ratio table broadcast onto the token stream",
+         r"BroadcastHashJoin"),
+        ("histograms partially combined", r"partial_sum"),
+    ],
 }
 
 #: query -> (description, max number of plan lines containing an
