@@ -223,11 +223,15 @@ def test_dsir_logratios_favors_target_like_docs(spark):
         dsir_logratios,
     )
 
+    # token choice matters: buckets=64 hashes collide easily, and a
+    # raw-only token landing in a target token's bucket inherits its
+    # good score (the first fixture drafted here had 'spam' congruent
+    # with 'prose' mod 1024(!) — verified distinct buckets for these)
     rows = [
         Row(doc_id=0, text="quality prose words"),       # target
         Row(doc_id=1, text="quality prose words again"),  # target
         Row(doc_id=2, text="quality prose quality prose"),  # raw, like-target
-        Row(doc_id=3, text="spam junk spam junk"),          # raw, unlike
+        Row(doc_id=3, text="garble zorp garble zorp"),      # raw, unlike
     ]
     df = spark.createDataFrame(rows)
     out = {r.doc_id: r for r in dsir_logratios(
