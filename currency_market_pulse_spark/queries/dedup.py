@@ -640,3 +640,56 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-owner choice and reassembly bit-for-bit."""
     return D.chunk_dedup_docs(load_table(spark, sf_dir, "documents"),
                               chunk_tokens=CHUNK_TOKENS)
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH {_TOKS}, {_SH3}, {_SH3CAP},
+{_minhash_band_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS MATERIALIZED (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+            AS BIGINT) AS n_found,
+       round((SELECT count(*) FROM exact JOIN cand USING (id_a, id_b))
+             / CAST(greatest((SELECT count(*) FROM exact), 1) AS DOUBLE),
+             6) AS recall
+"""
+
+
+@extra_query("dedup_lsh_recall", oracle=_LSH_RECALL_ORACLE)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate recall as a regression-gated number (the dedup
+    twin of sim_ann_recall): of the exact jaccard>=0.5 pairs, how many
+    appear in the MinHash band candidate set.  The band-collision
+    formula 1-(1-j^3)^4 predicts the trade; this query MEASURES it
+    every round, so a band/row re-tune that silently tanks recall
+    fails the gate instead of shipping.  Both relations come from the
+    family's shared token pass."""
+    exact = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    bands = _shared_derived(
+        spark, sf_dir, "minhash_bands",
+        lambda toks: D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
+    cand = D.pairs_from_bands(bands)
+    found = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+            .select("n_exact", "n_candidates", "n_found",
+                    F.round(F.col("n_found")
+                            / F.greatest(F.col("n_exact"), F.lit(1)), 6)
+                    .alias("recall")))
