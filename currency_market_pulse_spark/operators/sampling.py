@@ -260,9 +260,16 @@ def dsir_logratios(docs: DataFrame, target_pred: Column,
     DuckDB oracle replays bit-for-bit); per-bucket probabilities are
     add-1 smoothed; a doc's log importance ratio is the sum over its
     token OCCURRENCES (multiplicity counts, bag-of-words) of
-    log p_target(bucket) - log p_raw(bucket).  Per-token log-ratios
-    round to 9 before the sum and the sum to 6 (the repo's float-order
-    determinism pattern, queries/text.py NLL).
+    log p_target(bucket) - log p_raw(bucket).
+
+    Float-order determinism, the STRONG form: each per-bucket
+    log-ratio is fixed to an INTEGER (round(lr * 1e9) as long — the
+    per-bucket double math is deterministic and identical on both
+    engines), the per-doc total is an order-independent integer sum,
+    and only the final value divides back to a double.  The weaker
+    round-9-then-sum-doubles pattern (queries/text.py NLL) left the
+    sum order-dependent at the last bit, and a doc at sf0.001 landed
+    exactly on a .5e-6 rounding boundary — a found-by-gate defect.
 
     Scale shape: the two bucket histograms are ``buckets``-row
     aggregates (map-side partial, then broadcast back onto the token
@@ -291,14 +298,16 @@ def dsir_logratios(docs: DataFrame, target_pred: Column,
                       F.sum("_cr").alias("_tr"))
     lr = (hist.crossJoin(F.broadcast(totals))
           .select("_b", F.round(
-              F.log((F.col("_ct") + 1)
-                    / (F.col("_tt") + F.lit(buckets)))
-              - F.log((F.col("_cr") + 1)
-                      / (F.col("_tr") + F.lit(buckets))), 9)
-              .alias("_lr")))
+              (F.log((F.col("_ct") + 1)
+                     / (F.col("_tt") + F.lit(buckets)))
+               - F.log((F.col("_cr") + 1)
+                       / (F.col("_tr") + F.lit(buckets))))
+              * F.lit(1_000_000_000), 0).cast("long")
+              .alias("_lri")))
     return (toked.filter(~F.col("_is_t"))
             .join(F.broadcast(lr), "_b")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.round(F.sum("_lr"), 6).alias("log_ratio"))
+                 F.round(F.sum("_lri") / F.lit(1_000_000_000.0), 6)
+                 .alias("log_ratio"))
             .select(id_col, "n_tokens", "log_ratio"))

@@ -273,12 +273,16 @@ hist AS MATERIALIZED (
 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
                CAST(sum(cr) AS BIGINT) AS tr FROM hist),
 lr AS MATERIALIZED (
+  -- integer-fixed per-bucket ratio (x 1e9): per-doc totals sum as
+  -- order-independent integers, so no float-summation-order boundary
+  -- can split the engines (found at sf0.001)
   SELECT bkt,
-         round(ln((ct + 1) / CAST(tt + {b} AS DOUBLE))
-               - ln((cr + 1) / CAST(tr + {b} AS DOUBLE)), 9) AS lr
+         CAST(round((ln((ct + 1) / CAST(tt + {b} AS DOUBLE))
+                     - ln((cr + 1) / CAST(tr + {b} AS DOUBLE)))
+                    * 1000000000, 0) AS BIGINT) AS lri
   FROM hist CROSS JOIN tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(lr), 6) AS log_ratio
+       round(sum(lri) / 1000000000.0, 6) AS log_ratio
 FROM toked JOIN lr USING (bkt)
 WHERE NOT is_t
 GROUP BY doc_id
