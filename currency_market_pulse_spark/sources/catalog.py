@@ -68,13 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes event-time to ms-precision
     TimestampType (see module docstring).  Cached per
     (application, sf_dir, table) — see _TABLE_CACHE."""
+    # confs are (re)pinned on every load, cache hit or miss: the UTC
+    # timezone is read at EXECUTION time, so a caller that reset it
+    # between loads would otherwise execute a cached plan wrong
+    ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     with _TABLE_LOCK:
         df = _TABLE_CACHE.get(key)
         if df is not None:
             _TABLE_CACHE.move_to_end(key)
             return df
-    ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
