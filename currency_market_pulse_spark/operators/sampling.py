@@ -263,13 +263,17 @@ def dsir_logratios(docs: DataFrame, target_pred: Column,
     log p_target(bucket) - log p_raw(bucket).
 
     Float-order determinism, the STRONG form: each per-bucket
-    log-ratio is fixed to an INTEGER (round(lr * 1e9) as long — the
-    per-bucket double math is deterministic and identical on both
-    engines), the per-doc total is an order-independent integer sum,
-    and only the final value divides back to a double.  The weaker
-    round-9-then-sum-doubles pattern (queries/text.py NLL) left the
-    sum order-dependent at the last bit, and a doc at sf0.001 landed
-    exactly on a .5e-6 rounding boundary — a found-by-gate defect.
+    log-ratio is fixed to an INTEGER (round(lr * 1e4) as long), the
+    per-doc total is an order-independent integer sum, and only the
+    final value divides back to a double.  Two gate-found defects
+    shaped this: summing rounded DOUBLES left the total order-
+    dependent at the last bit (an sf0.001 doc landed on a .5e-6
+    boundary), and a 1e-9 quantum was finer than the CROSS-ENGINE
+    ``ln`` divergence — JVM Math.log and DuckDB/libm log disagree by
+    up to ~5e-13 on identical inputs, which flipped one of 1024
+    bucket values at the integer-fixing boundary at sf1.  The 1e-4
+    quantum gives ~5e4x margin over that divergence; the ~0.5e-4
+    per-term quantization is noise for a selection weight.
 
     Scale shape: the two bucket histograms are ``buckets``-row
     aggregates (map-side partial, then broadcast back onto the token
@@ -302,12 +306,12 @@ def dsir_logratios(docs: DataFrame, target_pred: Column,
                      / (F.col("_tt") + F.lit(buckets)))
                - F.log((F.col("_cr") + 1)
                        / (F.col("_tr") + F.lit(buckets))))
-              * F.lit(1_000_000_000), 0).cast("long")
+              * F.lit(10_000), 0).cast("long")
               .alias("_lri")))
     return (toked.filter(~F.col("_is_t"))
             .join(F.broadcast(lr), "_b")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.round(F.sum("_lri") / F.lit(1_000_000_000.0), 6)
+                 F.round(F.sum("_lri") / F.lit(10_000.0), 6)
                  .alias("log_ratio"))
             .select(id_col, "n_tokens", "log_ratio"))

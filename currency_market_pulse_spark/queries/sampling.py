@@ -273,16 +273,18 @@ hist AS MATERIALIZED (
 tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
                CAST(sum(cr) AS BIGINT) AS tr FROM hist),
 lr AS MATERIALIZED (
-  -- integer-fixed per-bucket ratio (x 1e9): per-doc totals sum as
-  -- order-independent integers, so no float-summation-order boundary
-  -- can split the engines (found at sf0.001)
+  -- integer-fixed per-bucket ratio (x 1e4): per-doc totals sum as
+  -- order-independent integers (sf0.001 found the double-sum-order
+  -- boundary) and the coarse quantum rides out the ~5e-13 JVM-vs-libm
+  -- ln() divergence (sf1 found the 1e-9-quantum flip) — see
+  -- operators/sampling.py dsir_logratios
   SELECT bkt,
          CAST(round((ln((ct + 1) / CAST(tt + {b} AS DOUBLE))
                      - ln((cr + 1) / CAST(tr + {b} AS DOUBLE)))
-                    * 1000000000, 0) AS BIGINT) AS lri
+                    * 10000, 0) AS BIGINT) AS lri
   FROM hist CROSS JOIN tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(lri) / 1000000000.0, 6) AS log_ratio
+       round(sum(lri) / 10000.0, 6) AS log_ratio
 FROM toked JOIN lr USING (bkt)
 WHERE NOT is_t
 GROUP BY doc_id

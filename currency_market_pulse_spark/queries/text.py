@@ -258,7 +258,11 @@ f AS (SELECT doc_id,
           AS stopword_ratio,
         round(CAST(list_aggregate(list_transform(t, x -> length(x)),
               'sum') AS DOUBLE) / len(t), 6) AS avg_token_len,
-        round(ln(len(t)), 6) AS log_tokens
+        -- round 4, not 6: ln() is the one feature where the engines'
+        -- libms can disagree (~5e-13 on identical inputs — measured,
+        -- it flipped a 6-decimal boundary at sf1); the coarse quantum
+        -- makes the flip probability negligible (~1e-8/doc)
+        round(ln(len(t)), 4) AS log_tokens
       FROM toks)
 SELECT doc_id, {score} AS quality_score, ({score}) >= 0 AS keep
 FROM f
@@ -274,12 +278,15 @@ def documents_quality_classifier(spark: SparkSession,
     the shape of a fastText/logistic quality gate.  The linear score
     is monotone in the sigmoid, so thresholding the score IS the
     classifier; one scan, zero shuffle, whole-stage codegen.  Each
-    feature is rounded to 6 before the weighted sum (summed in the
-    declared weight order) so both engines fold identical values."""
+    feature is rounded before the weighted sum (summed in the declared
+    weight order) so both engines fold identical values — log_tokens
+    at 4 decimals, because ln() is transcendental and JVM/libm
+    disagree at ~5e-13 (every other feature is +,*,/ on identical
+    doubles, which IEEE defines bit-exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = (X.quality_features(docs)
              .withColumn("log_tokens",
-                         F.round(F.log(F.col("n_tokens")), 6)))
+                         F.round(F.log(F.col("n_tokens")), 4)))
     score = None
     for feat, w in QUALITY_WEIGHTS:
         term = F.lit(w) * F.col(feat)
