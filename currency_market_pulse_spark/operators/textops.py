@@ -156,9 +156,11 @@ def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
           ln(count(token) / total_tokens)
 
     Determinism discipline (Spark<->DuckDB): each token's log-prob is
-    rounded to 9 decimals BEFORE the per-doc sum, the final mean to 6 —
-    identical inputs on both sides, fold-order noise absorbed by the
-    final rounding (the k-means lesson, operators/kmeans.py).
+    fixed to an INTEGER (round(lp * 1e4) as long) so the per-doc total
+    is an order-independent integer sum, divided back to a double only
+    at the end.  The quantum also rides out the ~5e-13 cross-engine
+    ln() divergence the sf1 gate measured (JVM Math.log vs libm — see
+    sampling.dsir_logratios, where both failure modes were caught).
 
     Scale: one explode of the corpus, one (token) aggregate, one
     broadcast-sized join back (the vocabulary is tiny relative to the
@@ -171,11 +173,14 @@ def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
     vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
     total = vocab.agg(F.sum("tc").alias("_n"))
     scored = (occ.join(vocab, "tok").crossJoin(F.broadcast(total))
-              .withColumn("_lp", F.round(
-                  F.log(F.col("tc").cast("double") / F.col("_n")), 9)))
+              .withColumn("_lpi", F.round(
+                  F.log(F.col("tc").cast("double") / F.col("_n"))
+                  * F.lit(10_000), 0).cast("long")))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.round(-F.avg("_lp"), 6).alias("unigram_nll")))
+                 F.round(-(F.sum("_lpi")
+                           / (F.lit(10_000.0) * F.count(F.lit(1)))), 6)
+                 .alias("unigram_nll")))
 
 
 def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
@@ -191,8 +196,9 @@ def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
     by construction.  Docs with < 2 tokens have no bigrams and drop
     out, mirroring the oracle.
 
-    Determinism: per-occurrence log-prob rounded to 9 before the
-    per-doc mean (rounded to 6) — the unigram query's discipline.
+    Determinism: per-occurrence log-prob integer-fixed at a 1e-4
+    quantum before the order-independent per-doc integer sum — the
+    unigram query's discipline.
 
     Scale: one bigram explode, one (bigram) count aggregate, one
     (head) roll-up of that aggregate (vocabulary-sized input, not
@@ -209,11 +215,14 @@ def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
     scored = (occ.join(bc, "bg")
               .withColumn("_h", F.substring_index("bg", " ", 1))
               .join(heads, "_h")
-              .withColumn("_lp", F.round(
-                  F.log(F.col("_c").cast("double") / F.col("_hc")), 9)))
+              .withColumn("_lpi", F.round(
+                  F.log(F.col("_c").cast("double") / F.col("_hc"))
+                  * F.lit(10_000), 0).cast("long")))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.round(-F.avg("_lp"), 6).alias("bigram_nll")))
+                 F.round(-(F.sum("_lpi")
+                           / (F.lit(10_000.0) * F.count(F.lit(1)))), 6)
+                 .alias("bigram_nll")))
 
 
 #: PII patterns chosen to mean the same thing in Java regex (Spark),

@@ -139,11 +139,14 @@ occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
 vocab AS (SELECT tok, count(*) AS tc FROM occ GROUP BY tok),
 total AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM vocab),
 scored AS (
+  -- integer-fixed log-probs (x 1e4): order-independent integer sums,
+  -- and the quantum rides out the ~5e-13 JVM-vs-libm ln() divergence
+  -- the sf1 gate measured (see operators/sampling.py dsir_logratios)
   SELECT occ.doc_id,
-         round(ln(CAST(tc AS DOUBLE) / n), 9) AS lp
+         CAST(round(ln(CAST(tc AS DOUBLE) / n) * 10000, 0) AS BIGINT) AS lpi
   FROM occ JOIN vocab USING (tok) CROSS JOIN total)
 SELECT doc_id, count(*) AS n_tokens,
-       round(-avg(lp), 6) AS unigram_nll
+       round(-(sum(lpi) / (10000.0 * count(*))), 6) AS unigram_nll
 FROM scored GROUP BY doc_id
 """
 
@@ -152,8 +155,8 @@ FROM scored GROUP BY doc_id
 def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality score: per-doc mean negative log-prob
     under the corpus's own unigram distribution (outlier docs score
-    high).  Token log-probs rounded to 9 before the sum so both
-    engines aggregate identical values."""
+    high).  Token log-probs integer-fixed at a 1e-4 quantum so both
+    engines sum identical integers in any order."""
     return X.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
 
 
@@ -167,12 +170,13 @@ bc AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
 hc AS (SELECT split_part(bg, ' ', 1) AS head, CAST(sum(c) AS BIGINT) AS hcnt
        FROM bc GROUP BY 1),
 scored AS (
+  -- integer-fixed log-probs — same rationale as the unigram oracle
   SELECT o.doc_id,
-         round(ln(CAST(c AS DOUBLE) / hcnt), 9) AS lp
+         CAST(round(ln(CAST(c AS DOUBLE) / hcnt) * 10000, 0) AS BIGINT) AS lpi
   FROM bg o JOIN bc USING (bg)
   JOIN hc ON hc.head = split_part(o.bg, ' ', 1))
 SELECT doc_id, count(*) AS n_bigrams,
-       round(-avg(lp), 6) AS bigram_nll
+       round(-(sum(lpi) / (10000.0 * count(*))), 6) AS bigram_nll
 FROM scored GROUP BY doc_id
 """
 

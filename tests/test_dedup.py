@@ -260,11 +260,16 @@ def test_bigram_logprob_scores_known_values(spark):
     docs = _docs(spark, ["a b", "a b", "a c", "x"])
     got = {r.doc_id: (r.n_bigrams, r.bigram_nll)
            for r in bigram_logprob_scores(docs).collect()}
-    # the 1-token doc has no bigrams and drops out
+    # the 1-token doc has no bigrams and drops out.  Expected values
+    # follow the operator's integer-fixed discipline: log-probs become
+    # round(lp * 1e4) integers, the per-doc mean divides back.
+    def nll(p, n=1):
+        return round(-(round(math.log(p) * 10_000) / (10_000.0 * n)), 6)
+
     assert set(got) == {0, 1, 2}
-    assert got[0] == (1, round(-round(math.log(2 / 3), 9), 6))
+    assert got[0] == (1, nll(2 / 3))
     assert got[1] == got[0]
-    assert got[2] == (1, round(-round(math.log(1 / 3), 9), 6))
+    assert got[2] == (1, nll(1 / 3))
 
 
 def test_df_cap_differential_where_cap_binds(spark):
