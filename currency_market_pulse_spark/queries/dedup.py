@@ -693,3 +693,47 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_found")
                             / F.greatest(F.col("n_exact"), F.lit(1)), 6)
                     .alias("recall")))
+
+
+_SUBSTR_DEDUP_ORACLE = f"""
+WITH wins AS MATERIALIZED (
+  SELECT doc_id, pos, h,
+         doc_id * 1000000000 + pos AS k
+  FROM (SELECT doc_id, pos,
+               md5(substr(text, CAST(pos AS INT), {D.SPAN_CHARS})) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {D.SPAN_CHARS} + 2))
+                       AS pos
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(text) >= {D.SPAN_CHARS}) p) s
+  WHERE CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {D.SPAN_MODP} = 0),
+grp AS MATERIALIZED (
+  SELECT h, count(*) AS c, min(k) AS owner FROM wins GROUP BY h)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_fingerprints,
+       CAST(sum(CASE WHEN c >= 2 AND k <> owner THEN 1 ELSE 0 END)
+            AS BIGINT) AS removable_fingerprints,
+       round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM wins w JOIN grp USING (h)
+GROUP BY w.doc_id
+"""
+
+
+@extra_query("text_substring_dedup", oracle=_SUBSTR_DEDUP_ORACLE)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.py
+    substring_span_stats — Lee et al. 2021 ExactSubstr, distributed):
+    every SPAN_CHARS-wide character window hashed, the content-selected
+    1/SPAN_MODP kept (shift-invariant, unlike stride sampling — see the
+    operator docstring for the alignment bug that rules out strides),
+    grouped corpus-wide.  Finer-grained than token-chunk dedup
+    (text_chunk_dedup): windows cross chunk boundaries, so a duplicated
+    run straddling two chunks — invisible to the chunk operator — still
+    collides here.  Per doc: selected fingerprints, duplicated ones,
+    removable (non-first) occurrences, duplicated fraction.  Linear in
+    corpus size; no pairwise join."""
+    return D.substring_span_stats(load_table(spark, sf_dir, "documents"))

@@ -397,3 +397,46 @@ def test_chunk_dedup_partial_tail_chunk(spark):
     occ = sorted((r.idx, r.chunk) for r in
                  D.chunk_occurrences(docs, chunk_tokens=2).collect())
     assert occ == [(0, "a b"), (1, "c")]
+
+
+def test_substring_span_stats_shift_invariant_collision(spark):
+    """The SAME long run planted at different, non-stride-aligned
+    offsets in two docs must still collide: content-defined (mod-p)
+    window selection picks identical run-relative positions in both
+    copies — the property that killed the fixed-stride first cut of
+    this operator.  Doc 2 is shorter than one window and drops out."""
+    # non-periodic 120-char run (periodic text collapses to ~10
+    # distinct windows and can dodge selection entirely)
+    run = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
+                  for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, "x" * 37 + run + "z" * 13),   # run at 1-based offset 38
+         (1, run + "y" * 41),              # run at offset 1
+         (2, "tiny")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in D.substring_span_stats(docs).collect()}
+    assert 2 not in rows
+    # both docs carry >= 1 selected window inside the shared run, and
+    # those windows collide across docs; doc 0 (lower doc_id => lower
+    # packed key) owns, so the removable occurrences land on doc 1.
+    assert rows[0].dup_fingerprints >= 1
+    assert rows[1].dup_fingerprints >= 1
+    assert rows[1].removable_fingerprints >= 1
+    assert rows[0].removable_fingerprints == 0
+
+
+def test_substring_span_stats_no_dups_without_shared_runs(spark):
+    """Distinct non-self-repeating docs have zero duplicated windows
+    (an all-same-char doc would self-collide: within-doc repeats count,
+    as in ExactSubstr)."""
+    import hashlib
+    t0 = "".join(hashlib.sha256(f"t0{j}".encode()).hexdigest()
+                 for j in range(2))
+    t1 = "".join(hashlib.sha256(f"t1{j}".encode()).hexdigest()
+                 for j in range(2))
+    docs = spark.createDataFrame(
+        [(0, t0), (1, t1)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in D.substring_span_stats(docs).collect()}
+    for r in rows.values():
+        assert r.dup_fingerprints == 0
+        assert r.dup_frac == 0.0
