@@ -315,3 +315,56 @@ def dsir_logratios(docs: DataFrame, target_pred: Column,
                  F.round(F.sum("_lri") / F.lit(10_000.0), 6)
                  .alias("log_ratio"))
             .select(id_col, "n_tokens", "log_ratio"))
+
+
+#: Quantum for the sqrt(n) mass terms of ``temperature_sample``: each
+#: stratum's mass becomes an exact integer (floor(sqrt(n) * 1e6)), so
+#: the cross-stratum total is an order-independent integer sum — the
+#: same strong-determinism discipline as the NLL/DSIR log scores
+#: (only transcendentals and SUM ORDER are engine-divergent; +,*,/ and
+#: sqrt are IEEE exactly-rounded and portable).
+TEMP_MASS_QUANTUM = 1_000_000
+
+
+def temperature_sample(df: DataFrame, strata_col: str, id_col: str,
+                       budget: int, seed: str = "alpha") -> DataFrame:
+    """Temperature-based (alpha-mixing) stratified sampling at
+    alpha = 0.5: each stratum's target share of a ``budget``-row sample
+    is proportional to sqrt(n_stratum) rather than n_stratum — the
+    multilingual rebalancing rule of Conneau & Lample 2019 (XLM) /
+    Arivazhagan et al. 2019, which damps head languages and boosts the
+    tail without the unbounded blow-up of uniform shares.  Adds
+    ``rate`` (the stratum's per-row keep probability, capped at 1.0)
+    and ``keep`` (deterministic per-row hash Bernoulli).
+
+    alpha is FIXED at 0.5 because sqrt is IEEE-exactly-rounded and so
+    bit-portable across engines; a general pow(n, alpha) goes through
+    exp/ln, whose cross-engine ~5e-13 divergence this repo has already
+    caught flipping comparisons at scale (SURVEY round-5 log).  A
+    different alpha needs the quantized-log discipline of
+    ``dsir_logratios``, not a naive pow.
+
+    Determinism bound: rate arithmetic stays in exact BIGINTs until one
+    final double division; ``S * n`` must fit in int64, which holds to
+    ~1e9 rows per stratum at this quantum — beyond that, shrink
+    TEMP_MASS_QUANTUM (the rate precision cost is 1/quantum).
+
+    Scale shape: one tiny stratum-count aggregate (partial, ~|strata|
+    rows), rates broadcast-joined back, keep fused into the scan
+    projection — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    mass = counts.withColumn(
+        "_s", F.floor(F.sqrt(F.col("_n").cast("double"))
+                      * F.lit(float(TEMP_MASS_QUANTUM))).cast("long"))
+    tot = mass.agg(F.sum("_s").alias("_tot"))
+    rates = (mass.crossJoin(F.broadcast(tot))
+             .withColumn("rate", F.least(
+                 F.lit(1.0),
+                 (F.col("_s") * F.lit(budget)).cast("double")
+                 / (F.col("_tot") * F.col("_n")).cast("double")))
+             .select(strata_col, "rate"))
+    return (df.join(F.broadcast(rates), strata_col)
+            .withColumn("keep",
+                        hash_fraction(F.col(id_col), seed)
+                        < F.col("rate")))

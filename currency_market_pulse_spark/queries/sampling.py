@@ -304,3 +304,60 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         S.hash_fraction(F.col("doc_id"), DSIR_SEED) < DSIR_TARGET_FRAC,
         buckets=DSIR_BUCKETS, seed="dsir")
+
+
+#: Target sample size (rows) for the alpha = 0.5 temperature sampler —
+#: half of sf0.01's corpus, so every language's rate lands strictly
+#: inside (0, 1) and the cap branch stays inert at gate scale (the
+#: cap itself is unit-tested).
+ALPHA_BUDGET = 250
+
+_ALPHA_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mass AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+  FROM counts),
+tot AS (SELECT CAST(sum(s) AS BIGINT) AS stot FROM mass),
+rates AS (
+  SELECT lang, n,
+         least(1.0, CAST({ALPHA_BUDGET} * s AS DOUBLE)
+                    / CAST(stot * n AS DOUBLE)) AS rate
+  FROM mass CROSS JOIN tot),
+flagged AS (
+  SELECT d.lang, d.doc_id, r.rate,
+         ({_frac_sql("alpha", "d.doc_id")}) < r.rate AS keep
+  FROM documents d JOIN rates r USING (lang))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(max(rate), 6) AS sample_rate,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(sum(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+         AS selected_id_sum
+FROM flagged
+GROUP BY lang
+"""
+
+
+@extra_query("documents_alpha_sampling", oracle=_ALPHA_ORACLE)
+def documents_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) language rebalancing
+    (operators/sampling.py temperature_sample): per-language keep
+    rates proportional to sqrt(n)/n, deterministic hash Bernoulli per
+    doc.  The per-language summary proves the exact selected SET, not
+    just its size: selected_id_sum is an order-independent integer
+    checksum of the chosen doc_ids, so one flipped selection anywhere
+    fails the gate.  Head language (en) is damped hardest, tail (fr)
+    least — the XLM mixing rule."""
+    flagged = S.temperature_sample(
+        load_table(spark, sf_dir, "documents"),
+        "lang", "doc_id", budget=ALPHA_BUDGET, seed="alpha")
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.max("rate"), 6).alias("sample_rate"),
+                 F.sum(F.col("keep").cast("long")).alias("n_selected"),
+                 F.sum(F.when(F.col("keep"), F.col("doc_id"))
+                       .otherwise(F.lit(0)).cast("long"))
+                 .alias("selected_id_sum")))

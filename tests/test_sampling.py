@@ -9,7 +9,7 @@ from pyspark.sql import Row, functions as F
 
 from currency_market_pulse_spark.operators.sampling import (
     budget_prefix_sample, hash_split, per_group_budget, per_group_cap,
-    running_total, stratified_sample,
+    running_total, stratified_sample, temperature_sample,
 )
 
 
@@ -243,3 +243,32 @@ def test_dsir_logratios_favors_target_like_docs(spark):
     out2 = {r.doc_id: r.log_ratio for r in dsir_logratios(
         df, F.col("doc_id") < 2, buckets=64).collect()}
     assert out2 == {k: v.log_ratio for k, v in out.items()}
+
+
+def test_temperature_sample_damps_head_boosts_tail(spark):
+    """alpha = 0.5 rates order inversely with stratum size (tail keeps
+    a larger fraction), and every rate is a deterministic pure function
+    of the counts — rerunning yields the identical selected set."""
+    rows = [(i, "big" if i < 160 else "small") for i in range(170)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", budget=50)
+    rates = {r.lang: r.rate for r in
+             out.select("lang", "rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    # sqrt shares: s_big/s_small = 4 but n_big/n_small = 16, so the
+    # big stratum's PER-ROW rate is 4x smaller (up to the 1e-6 mass
+    # quantum's rounding)
+    assert abs(rates["big"] * 4 - rates["small"]) < 1e-5
+    again = temperature_sample(df, "lang", "doc_id", budget=50)
+    assert sorted(r.doc_id for r in out.filter("keep").collect()) == \
+        sorted(r.doc_id for r in again.filter("keep").collect())
+
+
+def test_temperature_sample_rate_caps_at_one(spark):
+    """A budget at or above the corpus size drives every stratum's
+    rate to the 1.0 cap: everything is kept."""
+    rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", budget=1000)
+    assert out.filter(~F.col("keep")).count() == 0
+    assert out.select("rate").distinct().collect()[0].rate == 1.0
