@@ -212,3 +212,42 @@ def ann_lsh_topk(emb: DataFrame, query_filter, k: int = 3,
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .orderBy("query_id", "rn"))
+
+
+def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / metric learning: for each
+    query row, the k nearest vectors whose ``label_col`` DIFFERS from
+    the query's — the most-confusable wrong-class examples, the
+    training signal in-batch random negatives lack (the retrieval
+    dual of ANCE/DPR negative selection).
+
+    Same cost shape as ``topk_bruteforce`` (broadcast queries x one
+    candidate scan, per-query TakeOrdered): the label inequality is one
+    extra predicate on the broadcast join, evaluated before the cosine
+    fold.  The exact baseline — at corpus scale, route candidate
+    generation through the IVF/LSH paths (queries/ivf.py) and apply
+    the label filter inside the probed cells."""
+    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    q = nz.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"))
+    c = nz.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("cvec"),
+                  F.col(label_col).alias("clabel"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .select("query_id", "qlabel",
+                F.col("neighbor_id"), F.col("clabel"),
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "qlabel", "neighbor_id", "clabel",
+                    "cos_sim", "rn")
+            .orderBy("query_id", "rn"))

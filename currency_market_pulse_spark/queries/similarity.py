@@ -146,3 +146,31 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane buckets + in-bucket cosine + rank replay in DuckDB."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)
+
+
+_HARDNEG_ORACLE = f"""
+WITH {ORACLE_EMB_CTE},
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS clabel,
+         round({_COS}, 6) AS cos_sim
+  FROM emb q JOIN emb c ON c.label <> q.label
+  WHERE q.vec_id < 10)
+SELECT query_id, qlabel, neighbor_id, clabel, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_hard_negatives", oracle=_HARDNEG_ORACLE)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py
+    topk_hard_negatives): for queries vec_id < 10, the 5 nearest
+    vectors of a DIFFERENT label — the most-confusable wrong-class
+    neighbors contrastive training mines for (ANCE/DPR-style).  Exact
+    broadcast baseline; the scale path routes candidates through
+    IVF/LSH cells with the label predicate applied in-cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_hard_negatives(emb, F.col("vec_id") < 10, k=5)

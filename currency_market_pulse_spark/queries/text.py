@@ -327,3 +327,68 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = redact_pii(load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
                       F.md5("redacted_text").alias("redacted_md5"))
+
+
+_DIVERSITY_ORACLE = rf"""
+WITH {_TOKS},
+bi AS (
+  SELECT lang, t[i] || ' ' || t[i+1] AS g
+  FROM (SELECT lang, t,
+               unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+        FROM toks) s),
+tri AS (
+  SELECT lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT lang, t,
+               unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+        FROM toks) s),
+bs AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_bigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+       FROM bi GROUP BY lang),
+ts AS (SELECT lang, CAST(count(*) AS BIGINT) AS total_trigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_trigrams
+       FROM tri GROUP BY lang),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY lang)
+SELECT lang, n_docs, total_bigrams, distinct_bigrams,
+       round(distinct_bigrams / CAST(total_bigrams AS DOUBLE), 6)
+         AS bigram_ttr,
+       total_trigrams, distinct_trigrams,
+       round(distinct_trigrams / CAST(total_trigrams AS DOUBLE), 6)
+         AS trigram_ttr
+FROM nd JOIN bs USING (lang) JOIN ts USING (lang)
+"""
+
+
+@extra_query("documents_ngram_diversity", oracle=_DIVERSITY_ORACLE)
+def documents_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity card, per language: distinct/total
+    bigram and trigram ratios (corpus-level type-token ratios) — the
+    repetitiveness diagnostic LLM data work runs before training (a
+    template-farm source shows high volume but collapsing distinct
+    ratios; cf. the Gopher/MassiveText corpus analyses).  Two explode +
+    hash-aggregate passes (countDistinct partials dedup map-side) and
+    a tiny per-lang join — no pairwise anything, linear at 100 TB."""
+    from currency_market_pulse_spark.functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", tokens(F.col("text")).alias("_t"))
+
+    def gram_stats(n: int, pref: str) -> DataFrame:
+        g = toks.select("lang",
+                        F.explode(shingles(F.col("_t"), n)).alias("_g"))
+        return g.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(f"total_{pref}"),
+            F.countDistinct("_g").alias(f"distinct_{pref}"))
+
+    nd = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (nd.join(gram_stats(2, "bigrams"), "lang")
+            .join(gram_stats(3, "trigrams"), "lang")
+            .select(
+                "lang", "n_docs", "total_bigrams", "distinct_bigrams",
+                F.round(F.col("distinct_bigrams")
+                        / F.col("total_bigrams").cast("double"), 6)
+                 .alias("bigram_ttr"),
+                "total_trigrams", "distinct_trigrams",
+                F.round(F.col("distinct_trigrams")
+                        / F.col("total_trigrams").cast("double"), 6)
+                 .alias("trigram_ttr")))

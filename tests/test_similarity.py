@@ -110,3 +110,24 @@ def test_multiprobe_recall_dominates_single_probe(spark):
           for r in sim_ivf_topk_probe2(spark, SF_DIR).collect()}
     assert len(exact & p2) >= len(exact & p1)
     assert p2
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """The nearest neighbor overall (same label) must NOT appear;
+    the top hard negative is the nearest DIFFERENT-label vector."""
+    from currency_market_pulse_spark.operators.similarity import (
+        topk_hard_negatives,
+    )
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),   # query
+        (1, [0.99, 0.14, 0.0], 7),  # nearest overall, same label
+        (2, [0.9, 0.43, 0.0], 3),   # nearest other-label
+        (3, [0.0, 1.0, 0.0], 3),
+        (4, [0.0, 0.0, 0.0], 5),    # zero vector: no cosine, dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    out = topk_hard_negatives(df, F.col("vec_id") == 0, k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.clabel != 7 for r in out)
+    assert out[0].qlabel == 7 and out[0].rn == 1
