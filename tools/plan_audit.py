@@ -214,6 +214,30 @@ MAX_EXCHANGES = {
     "documents_budget_per_lang": ("one group shuffle only", 2),
 }
 
+# round-5 wave: the new operators' declared scale shapes
+EXPECTATIONS.update({
+    "text_substring_dedup": [
+        # the 1/modp selection must run in the scan/explode stage,
+        # BEFORE any exchange — shuffle volume is len/modp by contract
+        ("mod-p selection pre-shuffle", r"Filter.*pmod"),
+        ("partial agg on window hash", r"partial_min"),
+    ],
+    "documents_alpha_sampling": [
+        # per-stratum rates join back to the corpus as a broadcast —
+        # the corpus side must not shuffle for the join
+        ("rates broadcast to corpus", r"BroadcastHashJoin"),
+        ("partial final lang agg", r"partial_count"),
+    ],
+    "sim_hard_negatives": [
+        ("query set broadcast", r"BroadcastNestedLoopJoin"),
+    ],
+    "documents_ngram_diversity": [
+        # countDistinct partials dedup n-grams map-side before the
+        # lang shuffle
+        ("two-phase distinct agg", r"partial_count\(distinct"),
+    ],
+})
+
 #: checks that must run against the POST-EXECUTION adaptive plan
 #: (AQE decides these at runtime).  All four dedup self-joins are
 #: audited through FRESH_BUILDERS: the operator contract is that both
