@@ -737,3 +737,52 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removable (non-first) occurrences, duplicated fraction.  Linear in
     corpus size; no pairwise join."""
     return D.substring_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+_XSOURCE_ORACLE = rf"""
+WITH toksnn AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL),
+chunks AS MATERIALIZED (
+  SELECT source,
+         md5(array_to_string(t[idx * {CHUNK_TOKENS} + 1 :
+                               idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                             ' ')) AS h
+  FROM (SELECT source, t,
+               unnest(range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0)
+                                    AS BIGINT))) AS idx
+        FROM toksnn WHERE len(t) > 0) s),
+ds AS MATERIALIZED (SELECT DISTINCT h, source FROM chunks),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM pairs GROUP BY src_a, src_b
+"""
+
+
+@extra_query("dedup_cross_source", oracle=_XSOURCE_ORACLE)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source passage-contamination matrix: for every source
+    pair, how many distinct CHUNK_TOKENS-token passages appear verbatim
+    in both — the provenance card (mirror sites, syndication, shared
+    boilerplate) that decides which SOURCE to drop or down-weight,
+    rather than which documents.  Whole-document cross-source overlap
+    is empty on this corpus (exact dup groups stay within one source),
+    which is exactly why real pipelines run this at passage granularity.
+
+    Shape: the chunk relation (one explode), distinct (chunk-hash,
+    source) projection, self-join on the hash.  Per-hash fanout is
+    bounded by the SOURCE count (handfuls, not data-sized), so unlike
+    a document self-join this stays linear — the df-bound argument of
+    the capped shingle join with the cap structural, not configured."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = D.chunk_occurrences(docs, chunk_tokens=CHUNK_TOKENS)
+    ds = (occ.join(docs.select("doc_id", "source"), "doc_id")
+          .select(F.md5("chunk").alias("_h"), "source").distinct())
+    a = ds.select(F.col("_h"), F.col("source").alias("src_a"))
+    b = ds.select(F.col("_h"), F.col("source").alias("src_b"))
+    return (a.join(b, "_h")
+            .filter(F.col("src_a") < F.col("src_b"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_chunks")))

@@ -392,3 +392,61 @@ def documents_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("distinct_trigrams")
                         / F.col("total_trigrams").cast("double"), 6)
                  .alias("trigram_ttr")))
+
+
+_CURRICULUM_ORACLE = f"""
+WITH {_TOKS},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vocab AS (SELECT tok, count(*) AS tc FROM occ GROUP BY tok),
+total AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM vocab),
+scored AS (
+  SELECT occ.doc_id,
+         CAST(round(ln(CAST(tc AS DOUBLE) / n) * 10000, 0) AS BIGINT) AS lpi
+  FROM occ JOIN vocab USING (tok) CROSS JOIN total),
+nll AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-(sum(lpi) / (10000.0 * count(*))), 6) AS s
+  FROM scored GROUP BY doc_id),
+q AS (SELECT quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.50) AS q2,
+             quantile_cont(s, 0.75) AS q3 FROM nll)
+SELECT CAST(1 + CASE WHEN s > q1 THEN 1 ELSE 0 END
+              + CASE WHEN s > q2 THEN 1 ELSE 0 END
+              + CASE WHEN s > q3 THEN 1 ELSE 0 END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(s) AS min_nll, max(s) AS max_nll
+FROM nll CROSS JOIN q
+GROUP BY 1
+"""
+
+
+@extra_query("documents_curriculum_buckets", oracle=_CURRICULUM_ORACLE)
+def documents_curriculum_buckets(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Curriculum construction: docs bucketed into difficulty quartiles
+    by unigram NLL (easy = most corpus-typical first — the
+    competence-based curriculum ordering of Platanios et al. 2019),
+    with per-bucket doc/token mass and score range.  Thresholds are
+    EXACT interpolated quartiles broadcast back over the score
+    relation; per-bucket stats are min/max/integer-sum only — all
+    order-independent, no mean-of-doubles to diverge cross-engine.
+    At 100 TB the one scale-hostile piece is exact percentile (a
+    sort-heavy buffer agg); the production swap is approx_percentile,
+    the registered approx-twin pattern (queries/analytics.py)."""
+    scores = X.unigram_logprob_scores(load_table(spark, sf_dir,
+                                                 "documents"))
+    q = scores.agg(
+        F.percentile("unigram_nll", 0.25).alias("q1"),
+        F.percentile("unigram_nll", 0.50).alias("q2"),
+        F.percentile("unigram_nll", 0.75).alias("q3"))
+    s = F.col("unigram_nll")
+    bucket = (F.lit(1)
+              + (s > F.col("q1")).cast("int")
+              + (s > F.col("q2")).cast("int")
+              + (s > F.col("q3")).cast("int"))
+    return (scores.crossJoin(F.broadcast(q))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min(s).alias("min_nll"),
+                 F.max(s).alias("max_nll")))

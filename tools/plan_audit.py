@@ -236,6 +236,15 @@ EXPECTATIONS.update({
         # lang shuffle
         ("two-phase distinct agg", r"partial_count\(distinct"),
     ],
+    "documents_curriculum_buckets": [
+        # the quartile thresholds are a single broadcast row
+        ("thresholds broadcast", r"BroadcastNestedLoopJoin"),
+        ("partial bucket agg", r"partial_count"),
+    ],
+    "dedup_cross_source": [
+        # (chunk-hash, source) dedups map-side before the hash shuffle
+        ("distinct partial agg", r"partial_"),
+    ],
 })
 
 #: checks that must run against the POST-EXECUTION adaptive plan
