@@ -691,8 +691,20 @@ def substring_span_stats(docs: DataFrame, span_chars: int = SPAN_CHARS,
     bound pos < 1e9 chars/doc).
     """
     ln = F.length(F.col(text_col))
+    # repartition the narrow PRE-EXPLODE corpus to full parallelism:
+    # a text corpus is small on disk (compressed parquet — sf0.1's 5k
+    # docs are ONE input split) but this operator's per-row work
+    # (~len md5 evaluations per doc) is heavy, so scan-aligned
+    # partitioning strands 31 of 32 cores — the same input-split
+    # starvation the dedup family measured and fixed (queries/dedup.py
+    # _corpus; here: sf0.1 wall 34.5s -> 7.3s cold / 1.7s warm, sf1
+    # 96s -> ~6s, and AQE then reuses the window exchange across the
+    # aggregate and the join-back, so windows compute ONCE).  The
+    # shuffle moves corpus rows, not windows.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     wins = (docs
             .filter(F.col(text_col).isNotNull() & (ln >= span_chars))
+            .repartition(par, F.col(id_col))
             .select(
                 F.col(id_col),
                 F.explode(F.sequence(

@@ -450,3 +450,46 @@ def documents_curriculum_buckets(spark: SparkSession,
                  F.sum("n_tokens").alias("total_tokens"),
                  F.min(s).alias("min_nll"),
                  F.max(s).alias("max_nll")))
+
+
+#: Top-N adjacent-pair merges reported by the BPE statistics query.
+BPE_TOP_PAIRS = 50
+
+_BPE_PAIRS_ORACLE = f"""
+WITH {_TOKS},
+tok AS (SELECT unnest(t) AS tk FROM toks),
+pairs AS (
+  SELECT substr(tk, CAST(i AS INT), 2) AS pair
+  FROM (SELECT tk,
+               unnest(range(1, greatest(length(tk) - 1, 0) + 1)) AS i
+        FROM tok) s)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@extra_query("text_bpe_pair_stats", oracle=_BPE_PAIRS_ORACLE)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistics: corpus-wide adjacent character
+    pair frequencies within whitespace tokens — the merge-decision
+    relation of BPE training (Sennrich et al. 2016): the top pair IS
+    the first merge, and re-running after each merge replays the
+    algorithm.  One explode + one hash aggregate per iteration, the
+    shape a distributed tokenizer trainer loops; top-N with a total
+    (count desc, pair asc) order so the cut is deterministic.
+    Pure Catalyst — substring enumeration via higher-order sequence/
+    transform, no UDF."""
+    from currency_market_pulse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tk"))
+    pairs = (tok.filter(F.length("tk") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), F.length("tk") - 1),
+                 lambda i: F.col("tk").substr(i, F.lit(2)))).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "pair")
+            .limit(BPE_TOP_PAIRS))

@@ -275,6 +275,12 @@ RUNTIME_EXPECTATIONS = {
     "dedup_containment": [
         ("shingle exchange reused across self-join", r"ReusedExchange"),
     ],
+    # windows must compute ONCE: the aggregate and the join-back both
+    # shuffle on the window hash, and AQE reuses that exchange (without
+    # it the len-sized explode+md5 chain runs twice)
+    "text_substring_dedup": [
+        ("window exchange reused across agg/join-back", r"ReusedExchange"),
+    ],
 }
 
 
