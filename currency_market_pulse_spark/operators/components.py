@@ -125,9 +125,18 @@ def connected_components(pairs: DataFrame,
              .distinct()
              .repartition("v")
              .persist())
-    labels = (edges.select(F.col("u").alias("node"))
-              .distinct()
-              .withColumn("comp", F.col("node")))
+    # round-0 fusion: with every label initially = its node id, the
+    # first round's neighbor-min is just min over neighbor IDS — one
+    # aggregate on the symmetric edge relation, no join, no checkpoint.
+    # Seeding labels with least(node, min(neighbors)) is therefore the
+    # state AFTER round 1 at the cost of round 0's aggregate alone:
+    # one fewer full join+checkpoint+count pass over the edges both
+    # here and at corpus scale.  (Symmetrized edges ⇒ every node
+    # appears on the u side, so the groupBy covers the node set.)
+    labels = (edges.groupBy(F.col("u").alias("node"))
+              .agg(F.min("v").alias("_nmin"))
+              .select("node",
+                      F.least(F.col("node"), F.col("_nmin")).alias("comp")))
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (

@@ -246,12 +246,25 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
     first join fans each pair out to side A's shingles (~|cand| x
     shingles/doc rows), the second probes side B on (id, shingle).
     No df cap is needed — the candidate restriction already bounds the
-    join — so the verified jaccard is the uncapped exact value."""
+    join — so the verified jaccard is the uncapped exact value.
+
+    Both shingle sides are semi-join-pruned to the candidate ids BEFORE
+    the (id, shingle) join: without the prune, side B is the FULL
+    corpus shingle relation and the equality join shuffles all of it on
+    (id_b, sh) — a corpus-sized exchange the candidate set was supposed
+    to bound.  The prune keeps only candidate docs' shingles (candidate
+    ids are near-dup-density-sized, far below corpus size), so the
+    shuffled relations are candidate-bounded on both sides; AQE picks a
+    broadcast for the id list when it is small."""
     sh = shingles_df
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
-                  "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
-                  "sh")
+    a_ids = candidates.select(F.col("id_a").alias(id_col)).distinct()
+    b_ids = candidates.select(F.col("id_b").alias(id_col)).distinct()
+    a = (sh.join(a_ids, id_col, "left_semi")
+         .select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                 "sh"))
+    b = (sh.join(b_ids, id_col, "left_semi")
+         .select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                 "sh"))
     return (
         candidates.join(a, "id_a").join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -287,11 +300,17 @@ def cross_jaccard_verify(new_shingles: DataFrame, corpus_shingles: DataFrame,
     shingle relations — the verify stage of incremental dedup.  Work
     is bounded by the candidate set exactly as in
     jaccard_verify_candidates; the two sides just come from different
-    relations (batch vs standing corpus)."""
+    relations (batch vs standing corpus).  The corpus side is
+    semi-join-pruned to candidate corpus ids first — the standing
+    corpus is the 100 TB relation, and without the prune its whole
+    shingle set shuffles on (corpus_id, sh) even when only a few docs
+    ever matched a band."""
+    b_ids = candidates.select(F.col("corpus_id").alias(id_col)).distinct()
     a = new_shingles.select(F.col(id_col).alias("new_id"),
                             F.col("n_sh").alias("n_a"), "sh")
-    b = corpus_shingles.select(F.col(id_col).alias("corpus_id"),
-                               F.col("n_sh").alias("n_b"), "sh")
+    b = (corpus_shingles.join(b_ids, id_col, "left_semi")
+         .select(F.col(id_col).alias("corpus_id"),
+                 F.col("n_sh").alias("n_b"), "sh"))
     return (
         candidates.join(a, "new_id").join(b, ["corpus_id", "sh"])
         .groupBy("new_id", "corpus_id", "n_a", "n_b")
