@@ -214,6 +214,57 @@ def ann_lsh_topk(emb: DataFrame, query_filter, k: int = 3,
             .orderBy("query_id", "rn"))
 
 
+def knn_graph_lsh(emb: DataFrame, k: int = 3,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Corpus-wide approximate k-NN graph: every vector's top-k cosine
+    neighbors WITHIN its hyperplane-LSH bucket — the graph-construction
+    step for SNN clustering / graph-based dedup, where every node is a
+    query (unlike the broadcast top-k paths, whose query set is small).
+
+    Shape: one bucket self-join (each side the full corpus, joined on
+    the 8-bit bucket id — candidates per node are bucket-sized, never
+    corpus-sized), per-node window top-k on the join's own shuffle key.
+    At 100 TB the bucket relation is the partition layout (write
+    bucketed by `bucket` and the self-join is co-located, zero extra
+    shuffle); hot buckets are bounded by adding planes or AQE skew
+    split.  Returns directed edges (node_id, neighbor_id, cos_sim, rn).
+    """
+    nz = (emb.filter(norm(F.col(vec_col)) > 0)
+          .withColumn("bucket", lsh_bucket(F.col(vec_col))))
+    a = nz.select(F.col(id_col).alias("node_id"),
+                  F.col(vec_col).alias("avec"), "bucket")
+    b = nz.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("bvec"),
+                  F.col("bucket").alias("bbucket"))
+    scored = (a.join(b, F.col("bucket") == F.col("bbucket"))
+              .filter(F.col("node_id") != F.col("neighbor_id"))
+              .select("node_id", "neighbor_id",
+                      F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("node_id").orderBy(F.desc("cos_sim"),
+                                              "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def mutual_knn_edges(edges: DataFrame) -> DataFrame:
+    """Symmetric (mutual) k-NN edges from a directed k-NN graph: keep
+    (a, b) only when b is in a's top-k AND a is in b's top-k — the
+    standard densification filter before SNN/graph clustering (mutual
+    edges are far more likely to be true neighbors than one-sided
+    ones).  Output one row per unordered pair, id_a < id_b.  One
+    self-join of the (tiny, n*k-row) edge relation on the reversed key
+    pair; the corpus itself is never touched again."""
+    fwd = edges.select(F.col("node_id").alias("id_a"),
+                       F.col("neighbor_id").alias("id_b"), "cos_sim")
+    rev = edges.select(F.col("neighbor_id").alias("id_a"),
+                       F.col("node_id").alias("id_b"))
+    return (fwd.join(rev, ["id_a", "id_b"], "left_semi")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .orderBy("id_a", "id_b"))
+
+
 def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",

@@ -148,6 +148,58 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)
 
 
+def _knn_graph_oracle(k: int = 3) -> str:
+    """Replay of knn_graph_lsh + mutual_knn_edges: the fixed-literal
+    hyperplane buckets, in-bucket cosine rank per node, then the
+    mutual (both-directions) filter and canonical id_a < id_b pairs."""
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    cos = oracle_cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},
+nz AS (SELECT * FROM emb
+       WHERE sqrt(list_dot_product(embedding, embedding)) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nz),
+bkt AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
+scored AS (
+  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM bkt a JOIN bkt b
+    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+topk AS MATERIALIZED (
+  SELECT node_id, neighbor_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY node_id
+              ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rn
+    FROM scored) t
+  WHERE rn <= {k})
+SELECT f.node_id AS id_a, f.neighbor_id AS id_b, f.cos_sim
+FROM topk f
+WHERE f.node_id < f.neighbor_id
+  AND EXISTS (SELECT 1 FROM topk r
+              WHERE r.node_id = f.neighbor_id
+                AND r.neighbor_id = f.node_id)
+ORDER BY id_a, id_b
+"""
+
+
+@extra_query("sim_knn_graph", oracle=_knn_graph_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the whole corpus (operators/similarity.py
+    knn_graph_lsh + mutual_knn_edges): every vector's top-3 in-bucket
+    cosine neighbors, kept only when reciprocal — the graph that SNN /
+    graph-clustering dedup consumes.  Unlike the broadcast top-k
+    queries every node is a query here, so the candidate generator is
+    the bucket SELF-join (bucket-bounded fanout), never a broadcast of
+    the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mutual_knn_edges(S.knn_graph_lsh(emb, k=3))
+
+
 _HARDNEG_ORACLE = f"""
 WITH {ORACLE_EMB_CTE},
 scored AS (

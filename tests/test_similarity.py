@@ -131,3 +131,21 @@ def test_hard_negatives_exclude_same_label(spark):
     assert [r.neighbor_id for r in out] == [2, 3]
     assert all(r.clabel != 7 for r in out)
     assert out[0].qlabel == 7 and out[0].rn == 1
+
+
+def test_knn_graph_mutual_edges_reciprocal(spark):
+    """Every mutual edge must appear in BOTH directions of the directed
+    k-NN graph, be canonically ordered, and carry the same rounded
+    cosine as the direct pair computation."""
+    emb = _emb(spark)
+    directed = S.knn_graph_lsh(emb, k=3)
+    fwd = {(r.node_id, r.neighbor_id): r.cos_sim for r in directed.collect()}
+    mutual = S.mutual_knn_edges(directed).collect()
+    assert mutual, "fixture should produce at least one mutual edge"
+    for r in mutual:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) in fwd and (r.id_b, r.id_a) in fwd
+        assert r.cos_sim == fwd[(r.id_a, r.id_b)]
+    # one-sided edges must NOT survive the mutual filter
+    n_onesided = sum(1 for (a, b) in fwd if (b, a) not in fwd and a < b)
+    assert len(mutual) <= len(fwd) - n_onesided
