@@ -148,6 +148,62 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)
 
 
+def _covariance_oracle(dim: int = 64) -> str:
+    """Relational replay of the fixed-point covariance: DuckDB unnests
+    each vector to (vec_id, dim, x_fix) and self-joins on vec_id —
+    the d^2-blowup formulation the Spark side deliberately avoids (its
+    mapInPandas partials emit d^2 rows per PARTITION, not per row).
+    All sums are exact int64 (cast back from DuckDB's HUGEINT), so the
+    two shapes agree bit-for-bit; the closing float division is the
+    same IEEE expression on both engines."""
+    return f"""
+WITH f AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS v
+           FROM embeddings WHERE len(embedding) = {dim}),
+e AS MATERIALIZED (
+  SELECT vec_id, i, v[i] AS x
+  FROM f, (SELECT unnest(range(1, {dim + 1})) AS i) ii),
+p AS (SELECT a.i - 1 AS i0, b.i - 1 AS j0,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.x) AS BIGINT) AS si,
+             CAST(sum(b.x) AS BIGINT) AS sj,
+             CAST(sum(a.x * b.x) AS BIGINT) AS sij
+      FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY 1, 2)
+SELECT CAST(i0 AS INT) AS i, CAST(j0 AS INT) AS j, n,
+       round(CAST(si AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+         AS mean_i,
+       round(CAST(sj AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+         AS mean_j,
+       round((CAST(sij AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 / 1000000.0, 6)
+         AS cov
+FROM p ORDER BY i, j
+"""
+
+
+@extra_query("embedding_covariance", oracle=_covariance_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mean + upper-triangle covariance of the embedding column
+    (operators/embstats.py) — the whitening/PCA statistics anisotropic
+    encoder embeddings need before cosine-threshold dedup is
+    trustworthy.  One corpus scan; each Arrow batch contributes its
+    partial sum-of-outer-products via a single BLAS matmul (d^2 rows
+    per partition, never per row), one hash aggregate combines them.
+    Fixed-point int64 arithmetic end to end, so the result is
+    independent of partitioning and fold order."""
+    from currency_market_pulse_spark.operators.embstats import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, dim=64)
+
+
 def _knn_graph_oracle(k: int = 3) -> str:
     """Replay of knn_graph_lsh + mutual_knn_edges: the fixed-literal
     hyperplane buckets, in-bucket cosine rank per node, then the
