@@ -167,6 +167,76 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
+def _silhouette_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                       dim: int = _DIM) -> str:
+    """Simplified-silhouette replay: the shared Lloyd chain to its
+    final centroids/assignment, then per vector a = assigned (min)
+    squared distance, b = min squared distance to any OTHER centroid,
+    s = (b - a) / max(a, b) — aggregated per cell."""
+    dist = ("round(list_aggregate(list_transform(range(1, {n}), "
+            "i -> (e.embedding[i] - c.centroid[i]) * "
+            "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
+            ).format(n=dim + 1)
+    return (f"WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)}" + f"""
+, alld AS (SELECT e.vec_id, c.cell, {dist} AS dist
+           FROM emb e CROSS JOIN cent{n_iter} c),
+bmin AS (SELECT d.vec_id, min(d.dist) AS b
+         FROM alld d JOIN a{n_iter} a
+           ON a.vec_id = d.vec_id AND d.cell <> a.cell
+         GROUP BY d.vec_id),
+s AS (SELECT a.cell,
+             CASE WHEN greatest(a.dist, bmin.b) > 0
+                  THEN round((bmin.b - a.dist)
+                             / greatest(a.dist, bmin.b), 6)
+                  ELSE 0.0 END AS sil
+      FROM a{n_iter} a JOIN bmin USING (vec_id))
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sil), 6) AS mean_silhouette
+FROM s GROUP BY cell ORDER BY cell
+""")
+
+
+@extra_query("sim_kmeans_silhouette", oracle=_silhouette_oracle())
+def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality gate for the trained coarse quantizer:
+    per-cell simplified silhouette (Vendramin et al. 2010 — centroid
+    distances instead of all-pairs, the only silhouette computable at
+    corpus scale: all-pairs silhouette is O(n^2), this is one
+    broadcast join).  s = (b - a) / max(a, b) with a = squared
+    distance to the assigned centroid, b = min squared distance to any
+    other centroid; mean s per cell.  A re-tune of k / iterations that
+    degrades cell cohesion now fails a differential gate instead of
+    shipping silently — the clustering twin of sim_ann_recall.  The
+    corpus never shuffles: distances come from the same broadcast
+    centroid join the assignment uses."""
+    from currency_market_pulse_spark.operators.kmeans import (
+        _sq_dist, kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER)
+    alld = (emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cell",
+                    F.round(_sq_dist(F.col("embedding"), F.col("centroid")),
+                            6).alias("d")))
+    own = assigned.select("vec_id", F.col("cell").alias("own"),
+                          F.col("dist").alias("a"))
+    bmin = (alld.join(own, "vec_id")
+            .filter(F.col("cell") != F.col("own"))
+            .groupBy("vec_id", "own", "a")
+            .agg(F.min("d").alias("b")))
+    sil = bmin.select(
+        F.col("own").alias("cell"),
+        F.when(F.greatest("a", "b") > 0,
+               F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6))
+        .otherwise(F.lit(0.0)).alias("sil"))
+    return (sil.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("sil"), 6).alias("mean_silhouette"))
+            .orderBy("cell"))
+
+
 def _kmeans_ivf_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
                        dim: int = _DIM) -> str:
     """Trained-IVF search replay: the Lloyd chain (shared CTEs) to its

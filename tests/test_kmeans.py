@@ -70,3 +70,38 @@ def test_kmeans_deterministic_across_runs(spark):
     b = sorted((r.vec_id, r.cell) for r in
                kmeans_assign(emb, k=3, n_iter=1).collect())
     assert a == b
+
+
+def test_silhouette_bounds_and_separated_clusters(spark):
+    """Silhouette values stay in [-1, 1] on the fixture corpus; a
+    synthetic corpus of two far-apart blobs scores near-perfect
+    cohesion (b >> a ⇒ s → 1)."""
+    from currency_market_pulse_spark.queries.ivf import (
+        sim_kmeans_silhouette,
+    )
+
+    rows = sim_kmeans_silhouette(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    assert all(-1.0 <= r.mean_silhouette <= 1.0 for r in rows)
+
+    from currency_market_pulse_spark.operators.kmeans import (
+        _sq_dist, kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    blob_a = [(i, [float(10 + (i % 3))] * 4) for i in range(6)]
+    blob_b = [(10 + i, [float(-10 - (i % 3))] * 4) for i in range(6)]
+    emb = spark.createDataFrame(blob_a + blob_b, "vec_id long, embedding array<float>")
+    cents, assigned = kmeans_fit(emb, k=2, n_iter=2)
+    alld = (emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cell",
+                    F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
+                    .alias("d")))
+    own = assigned.select("vec_id", F.col("cell").alias("own"),
+                          F.col("dist").alias("a"))
+    b = (alld.join(own, "vec_id").filter(F.col("cell") != F.col("own"))
+         .groupBy("vec_id", "a").agg(F.min("d").alias("b")))
+    for r in b.collect():
+        s = (r.b - r.a) / max(r.a, r.b) if max(r.a, r.b) > 0 else 0.0
+        assert s > 0.9, (r.a, r.b)
