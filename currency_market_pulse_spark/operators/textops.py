@@ -8,7 +8,7 @@ whole-stage codegen end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from currency_market_pulse_spark.functions.text import (
     STOPWORDS, seeded_md5, shingles, tokens,
@@ -181,6 +181,72 @@ def unigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",
                  F.round(-(F.sum("_lpi")
                            / (F.lit(10_000.0) * F.count(F.lit(1)))), 6)
                  .alias("unigram_nll")))
+
+
+#: ranks fitted by zipf_fit (top-R head of the frequency table).
+ZIPF_RANKS = 300
+
+#: fixed-point quantum for the log coordinates (same 1e-4 discipline
+#: as the NLL scores — rides out cross-engine ln() ulp divergence).
+ZIPF_FIX = 10_000
+
+
+def zipf_fit(docs: DataFrame, n_ranks: int = ZIPF_RANKS,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-row corpus token-distribution card: least-squares fit of
+    ln(count) against ln(rank) over the top ``n_ranks`` tokens — the
+    Zipf exponent (slope ≈ -alpha, alpha ≈ 1 for natural language).
+    A corpus whose head deviates hard from the power law is a red flag
+    (template storms flatten the head, dedup failures steepen it), so
+    the slope and its r^2 belong on the per-source data card.
+
+    Determinism: both log coordinates are integer-fixed
+    (round(ln(v) * ZIPF_FIX) as long), so every regression sum is an
+    exact order-independent integer and the closed-form slope /
+    intercept / r^2 are single identical IEEE expressions on both
+    engines.  Ranking ties break by token text.
+
+    Scale: one corpus explode + one (token) count aggregate — the
+    TF-IDF cost shape — then TakeOrdered for the top-R head (never a
+    global sort of the vocabulary) and a regression over R rows."""
+    occ = (docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+           .select(F.explode_outer("_t").alias("tok"))
+           .filter(F.col("tok").isNotNull()))
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    totals = vocab.agg(
+        F.sum("tc").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"))
+    head = vocab.orderBy(F.desc("tc"), "tok").limit(n_ranks)
+    w = Window.orderBy(F.desc("tc"), "tok")  # n_ranks rows — post-limit
+    fix = F.lit(float(ZIPF_FIX))
+    xy = (head.withColumn("rank", F.row_number().over(w))
+          .select(
+              F.round(F.log(F.col("rank").cast("double")) * fix, 0)
+              .cast("long").alias("x"),
+              F.round(F.log(F.col("tc").cast("double")) * fix, 0)
+              .cast("long").alias("y")))
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n = F.col("n_ranks").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col("sxy").cast("double"),
+                     F.col("sxx").cast("double"),
+                     F.col("syy").cast("double"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return (sums.crossJoin(F.broadcast(totals))
+            .select(
+                "n_ranks", "vocab_size", "total_tokens",
+                F.round(slope, 6).alias("zipf_slope"),
+                F.round((sy - slope * sx) / n / fix, 6)
+                .alias("zipf_intercept"),
+                F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2")))
 
 
 def bigram_logprob_scores(docs: DataFrame, id_col: str = "doc_id",

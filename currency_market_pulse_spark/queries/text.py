@@ -151,6 +151,66 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _zipf_oracle() -> str:
+    from currency_market_pulse_spark.operators.textops import (
+        ZIPF_FIX, ZIPF_RANKS,
+    )
+
+    return f"""
+WITH {_TOKS},
+occ AS (SELECT unnest(t) AS tok FROM toks),
+vocab AS MATERIALIZED (SELECT tok, count(*) AS tc FROM occ GROUP BY tok),
+totals AS (SELECT CAST(sum(tc) AS BIGINT) AS total_tokens,
+                  CAST(count(*) AS BIGINT) AS vocab_size FROM vocab),
+head AS (SELECT tc,
+                row_number() OVER (ORDER BY tc DESC, tok) AS rank
+         FROM vocab ORDER BY tc DESC, tok LIMIT {ZIPF_RANKS}),
+xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {ZIPF_FIX}, 0)
+                   AS BIGINT) AS x,
+              CAST(round(ln(CAST(tc AS DOUBLE)) * {ZIPF_FIX}, 0)
+                   AS BIGINT) AS y
+       FROM head),
+sums AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM xy)
+SELECT n_ranks, vocab_size, total_tokens,
+       round((CAST(n_ranks AS DOUBLE) * sxy
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n_ranks AS DOUBLE) * sxx
+                - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_ranks AS DOUBLE) * sxy
+                 - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n_ranks AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx)
+                * CAST(sx AS DOUBLE))
+             / CAST(n_ranks AS DOUBLE) / {ZIPF_FIX}.0, 6)
+         AS zipf_intercept,
+       round((CAST(n_ranks AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n_ranks AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n_ranks AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n_ranks AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM sums CROSS JOIN totals
+"""
+
+
+@extra_query("text_zipf_fit", oracle=_zipf_oracle())
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf card (operators/textops.py zipf_fit): least-squares
+    slope / intercept / r^2 of ln(count) vs ln(rank) over the top-300
+    token-frequency head — slope ≈ -1 for natural language; template
+    storms flatten it, dedup failures steepen it.  Regression sums are
+    integer-fixed logs, so the fit is an exact function of the
+    frequency table on both engines."""
+    return X.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 @extra_query("text_unigram_nll", oracle=_NLL_ORACLE)
 def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality score: per-doc mean negative log-prob

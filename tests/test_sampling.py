@@ -272,3 +272,21 @@ def test_temperature_sample_rate_caps_at_one(spark):
     out = temperature_sample(df, "lang", "doc_id", budget=1000)
     assert out.filter(~F.col("keep")).count() == 0
     assert out.select("rate").distinct().collect()[0].rate == 1.0
+
+
+def test_zipf_fit_recovers_synthetic_power_law(spark):
+    """A corpus built from an exact count = C * rank^-1 frequency table
+    must fit slope ~ -1 with r^2 ~ 1 (the fit is least-squares on the
+    integer-fixed logs, so small quantization residue is expected)."""
+    from currency_market_pulse_spark.operators.textops import zipf_fit
+
+    words = []
+    for rank in range(1, 41):
+        words += [f"w{rank:03d}"] * max(1, round(4000 / rank))
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::20])) for i in range(20)],
+        "doc_id long, text string")
+    row = zipf_fit(docs, n_ranks=40).collect()[0]
+    assert row.n_ranks == 40 and row.vocab_size == 40
+    assert -1.1 < row.zipf_slope < -0.9, row.zipf_slope
+    assert row.r2 > 0.99, row.r2
