@@ -245,6 +245,28 @@ EXPECTATIONS.update({
         # (chunk-hash, source) dedups map-side before the hash shuffle
         ("distinct partial agg", r"partial_"),
     ],
+    "sim_knn_graph": [
+        # the corpus-x-corpus candidate join is the BUCKET equi-join,
+        # never a nested-loop / broadcast of the corpus
+        ("bucket self-join is hash equi-join",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*bucket"),
+    ],
+    "embedding_covariance": [
+        # partial outer products reduce in a two-phase hash aggregate:
+        # the shuffle carries d^2 rows per task, not per vector
+        ("partial sum of outer products", r"partial_sum"),
+        ("only the vector column read", r"ReadSchema: (?!.*vec_id)"),
+    ],
+    "sim_kmeans_silhouette": [
+        # every centroid relation joins broadcast — the corpus never
+        # shuffles for distance computation
+        ("centroids broadcast", r"BroadcastNestedLoopJoin"),
+    ],
+    "text_zipf_fit": [
+        # top-R head via TakeOrdered, never a global vocabulary sort
+        ("head is TakeOrdered", r"TakeOrderedAndProject"),
+        ("two-phase vocab count", r"partial_count"),
+    ],
 })
 
 #: checks that must run against the POST-EXECUTION adaptive plan
