@@ -1,0 +1,109 @@
+"""Streaming near-duplicate detection: every micro-batch of documents
+probes the standing MinHash band index for near-dups against the
+already-ingested corpus, then appends its own bands + shingles to the
+index — the streaming run-loop of the incremental dedup shape
+(queries/dedup.py dedup_incremental documents the batch-vs-corpus
+cost argument; this module is what executes it continuously).
+
+The standing index is two parquet relations the stream maintains:
+
+- bands:    (doc_id, band, band_sig, batch_id) — the LSH probe index;
+            at 100 TB stored bucketed by band_sig so a probe reads
+            only matching buckets.
+- shingles: (doc_id, n_sh, sh, batch_id) — the verify relation; the
+            exact-jaccard check is candidate-bounded
+            (operators/dedup.py cross_jaccard_verify semi-join prune).
+
+Idempotency contract (the importer's batch-id discipline,
+streaming/importer.py): every write lands under batch_id=<id> with
+dynamic partition overwrite, and a replayed batch EXCLUDES its own
+prior writes from the probe — so crash-replay neither duplicates
+index rows nor flags a document against its own previous ingest.
+
+Within-batch duplicates are deliberately out of scope here: the batch
+self-join operators (minhash_lsh_candidates et al.) handle intra-batch
+dedup; this module owns the batch-vs-history half.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from currency_market_pulse_spark.functions.text import tokens
+from currency_market_pulse_spark.operators import dedup as D
+
+_DUP_SCHEMA = "new_id long, dup_of long, jaccard double"
+
+
+@dataclass
+class StreamingNearDup:
+    """foreachBatch handler maintaining the incremental dedup index.
+
+    Outputs per batch: ``dups_path`` gains one batch_id partition of
+    (new_id, dup_of, jaccard) — each flagged document's best standing
+    match at ``threshold`` — while ``bands_path`` / ``shingles_path``
+    gain the batch's index contribution."""
+
+    bands_path: str
+    shingles_path: str
+    dups_path: str
+    threshold: float = 0.5
+
+    def _read_index(self, spark, path: str, batch_id: int) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:  # first batch: no index yet
+            return None
+        # replay safety: never probe rows this batch wrote before a crash
+        return df.filter(F.col("batch_id") != batch_id)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        toks = batch.select("doc_id", tokens(F.col("text")).alias("_t"))
+        sh = D.shingles_from_tokens(toks).persist()
+        try:
+            bands = D.minhash_bands(D.minhash_signatures(
+                None, shingles_df=sh))
+            idx_bands = self._read_index(spark, self.bands_path, batch_id)
+            idx_sh = self._read_index(spark, self.shingles_path, batch_id)
+            if idx_bands is not None and idx_sh is not None:
+                cand = D.cross_corpus_candidates(bands, idx_bands)
+                ver = D.cross_jaccard_verify(
+                    sh, idx_sh.select("doc_id", "n_sh", "sh"), cand,
+                    threshold=self.threshold)
+                w = Window.partitionBy("new_id").orderBy(
+                    F.desc("jaccard"), "corpus_id")
+                dups = (ver.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1)
+                        .select("new_id",
+                                F.col("corpus_id").alias("dup_of"),
+                                "jaccard"))
+            else:
+                dups = spark.createDataFrame([], _DUP_SCHEMA)
+
+            def _write(df: DataFrame, path: str) -> None:
+                (df.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id")
+                 .parquet(path))
+
+            _write(dups, self.dups_path)
+            _write(bands, self.bands_path)
+            _write(sh, self.shingles_path)
+        finally:
+            sh.unpersist()
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger: str | None = None):
+        """Wire onto a streaming DataFrame of (doc_id, text)."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("update"))
+        if trigger:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()
