@@ -252,19 +252,26 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
     the (id, shingle) join: without the prune, side B is the FULL
     corpus shingle relation and the equality join shuffles all of it on
     (id_b, sh) — a corpus-sized exchange the candidate set was supposed
-    to bound.  The prune keeps only candidate docs' shingles (candidate
-    ids are near-dup-density-sized, far below corpus size), so the
-    shuffled relations are candidate-bounded on both sides; AQE picks a
-    broadcast for the id list when it is small."""
+    to bound.  ONE id set (union of both candidate roles — computing
+    per-role sets would evaluate the candidate plan once more for no
+    benefit) is broadcast into both semi-joins, so the corpus-side
+    scans never shuffle for the prune; candidate ids are
+    near-dup-density-sized, far below corpus size.  (First measured
+    variant: un-hinted per-role sets compiled to TWO shuffles of the
+    full shingle relation on doc_id plus a THIRD evaluation of the
+    candidate plan — worse than no prune at gate scale.)  If a corpus
+    ever has too many candidate ids to broadcast, that is the regime
+    where the un-pruned shuffle join was correct anyway — drop the
+    prune, not the operator."""
     sh = shingles_df
-    a_ids = candidates.select(F.col("id_a").alias(id_col)).distinct()
-    b_ids = candidates.select(F.col("id_b").alias(id_col)).distinct()
-    a = (sh.join(a_ids, id_col, "left_semi")
-         .select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
-                 "sh"))
-    b = (sh.join(b_ids, id_col, "left_semi")
-         .select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
-                 "sh"))
+    ids = (candidates
+           .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
+    pruned = sh.join(F.broadcast(ids), id_col, "left_semi")
+    a = pruned.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "sh")
+    b = pruned.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"), "sh")
     return (
         candidates.join(a, "id_a").join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -308,7 +315,7 @@ def cross_jaccard_verify(new_shingles: DataFrame, corpus_shingles: DataFrame,
     b_ids = candidates.select(F.col("corpus_id").alias(id_col)).distinct()
     a = new_shingles.select(F.col(id_col).alias("new_id"),
                             F.col("n_sh").alias("n_a"), "sh")
-    b = (corpus_shingles.join(b_ids, id_col, "left_semi")
+    b = (corpus_shingles.join(F.broadcast(b_ids), id_col, "left_semi")
          .select(F.col(id_col).alias("corpus_id"),
                  F.col("n_sh").alias("n_b"), "sh"))
     return (

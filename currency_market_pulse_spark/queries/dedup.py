@@ -138,6 +138,25 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _shared_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate PAIR relation, persisted in the corpus
+    cache: `dedup_minhash_lsh` returns it verbatim, the LSH pipeline
+    probes it twice (semi-join prune ids + verify join), and the
+    recall gate compares against it — without the share, each consumer
+    re-runs the band self-join."""
+    bands = _shared_derived(
+        spark, sf_dir, "minhash_bands",
+        lambda toks: D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
+    entry = _corpus(spark, sf_dir)
+    with _CORPUS_LOCK:
+        df = entry.get("minhash_cand")
+        if df is None:
+            df = D.pairs_from_bands(bands).persist()
+            entry["minhash_cand"] = df
+    return df
+
+
 def _shared_derived(spark: SparkSession, sf_dir: str, key: str,
                     build) -> DataFrame:
     """Persist a small derived relation (minhash bands, simhash sigs)
@@ -262,12 +281,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles come from the shared persisted token relation (one
     tokenize pass across the whole dedup family); the band relation is
     itself persisted so the candidate self-join's two sides read it
-    instead of re-running the signature aggregation (_shared_derived)."""
-    bands = _shared_derived(
-        spark, sf_dir, "minhash_bands",
-        lambda toks: D.minhash_bands(D.minhash_signatures(
-            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
-    return D.pairs_from_bands(bands)
+    instead of re-running the signature aggregation (_shared_derived),
+    and the resulting PAIR relation is persisted for the pipeline and
+    recall-gate consumers (_shared_band_pairs)."""
+    return _shared_band_pairs(spark, sf_dir)
 
 
 @query(
@@ -459,11 +476,7 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    bands = _shared_derived(
-        spark, sf_dir, "minhash_bands",
-        lambda toks: D.minhash_bands(D.minhash_signatures(
-            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
-    cand = D.pairs_from_bands(bands)
+    cand = _shared_band_pairs(spark, sf_dir)
     verified = D.jaccard_verify_candidates(
         _shared_shingles(spark, sf_dir), cand, threshold=0.5)
     return (connected_components(verified)
@@ -680,11 +693,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the gate instead of shipping.  Both relations come from the
     family's shared token pass."""
     exact = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    bands = _shared_derived(
-        spark, sf_dir, "minhash_bands",
-        lambda toks: D.minhash_bands(D.minhash_signatures(
-            None, shingles_df=D.shingles_from_tokens(toks, n=3))))
-    cand = D.pairs_from_bands(bands)
+    cand = _shared_band_pairs(spark, sf_dir)
     found = exact.join(cand, ["id_a", "id_b"], "left_semi")
     return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
             .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
