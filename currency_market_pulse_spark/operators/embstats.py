@@ -47,6 +47,52 @@ _PARTIAL_SCHEMA = T.StructType([
 ])
 
 
+def mean_vector(emb: DataFrame, dim: int,
+                vec_col: str = "embedding",
+                scale: int = EMB_SCALE) -> DataFrame:
+    """One-row (mvec: array<double>) corpus mean of the embedding
+    column, from exact fixed-point per-dimension sums (order-
+    independent ints; the closing s/n/scale division is the same IEEE
+    expression on both engines).  The per-pos aggregate shuffles d
+    rows per task (partial aggregation), the assembly aggregate sees d
+    rows total."""
+    fx = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+        .cast("long"))
+    stats = (emb.filter(F.size(vec_col) == dim)
+             .select(F.posexplode(fx).alias("pos", "xf"))
+             .groupBy("pos")
+             .agg(F.sum("xf").alias("s"), F.count(F.lit(1)).alias("n")))
+    return (stats.groupBy()
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "pos",
+                    (F.col("s") / F.col("n") / F.lit(float(scale)))
+                    .alias("m")))),
+                lambda s: s["m"]).alias("mvec")))
+
+
+def centered_embeddings(emb: DataFrame, dim: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, embedding) with the corpus mean vector subtracted — the
+    cheapest anisotropy correction (encoder embeddings share a large
+    common component that inflates every pairwise cosine; centering
+    removes it, the standard first step before cosine-threshold dedup
+    is trustworthy).  The 1-row mean broadcasts; the corpus never
+    shuffles."""
+    mv = mean_vector(emb, dim, vec_col)
+    return (emb.filter(F.size(vec_col) == dim)
+            .crossJoin(F.broadcast(mv))
+            .select(F.col(id_col),
+                    F.zip_with(
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")),
+                        F.col("mvec"),
+                        lambda a, m: a - m).alias(vec_col)))
+
+
 def covariance_matrix(emb: DataFrame, dim: int,
                       vec_col: str = "embedding",
                       scale: int = EMB_SCALE) -> DataFrame:

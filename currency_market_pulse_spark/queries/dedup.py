@@ -506,6 +506,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _centered_cosine_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+    from currency_market_pulse_spark.functions.vectors import (
+        oracle_cosine_sql,
+    )
+
+    cos = oracle_cosine_sql("a.c", "b.c")
+    return f"""
+WITH {ORACLE_EMB_CTE},
+fx AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+       FROM emb WHERE len(embedding) = {dim}),
+st AS (SELECT i, CAST(sum(v[i]) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n
+       FROM fx, (SELECT unnest(range(1, {dim + 1})) AS i) ii
+       GROUP BY i),
+mv AS (SELECT list(m ORDER BY i) AS mvec
+       FROM (SELECT i, s / n / 1000000.0 AS m FROM st) t),
+cen AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim + 1}),
+                        i -> e.embedding[i] - mv.mvec[i]) AS c
+  FROM emb e CROSS JOIN mv WHERE len(e.embedding) = {dim})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cos}, 6) AS cos_sim
+FROM cen a JOIN cen b ON a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+@extra_query("dedup_centered_cosine", oracle=_centered_cosine_oracle())
+def dedup_centered_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered embedding-cosine near-dup (>= 0.4): the corpus
+    mean vector (operators/embstats.py mean_vector — exact fixed-point
+    sums, 1-row broadcast) is subtracted before scoring, removing the
+    shared common component that inflates every raw cosine on real
+    encoder embeddings.  Same distributed block self-join kernel as
+    dedup_embedding_cosine; the full-whitening upgrade uses
+    embedding_covariance's matrix in place of the diagonal."""
+    from currency_market_pulse_spark.operators.embstats import (
+        centered_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(
+        centered_embeddings(emb, dim=64), threshold=0.4)
+
+
 @extra_query(
     "dedup_containment",
     oracle=f"""

@@ -48,3 +48,24 @@ def test_covariance_diagonal_is_variance(spark):
             if r.i == r.j]
     assert len(diag) == 64
     assert all(r.cov > 0 for r in diag)
+
+
+def test_mean_vector_and_centering(spark):
+    """The broadcast mean matches numpy; centered vectors sum to ~0
+    per dimension (within the fixed-point quantum)."""
+    from currency_market_pulse_spark.operators.embstats import (
+        centered_embeddings, mean_vector,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    mv = mean_vector(emb, dim=64).collect()[0].mvec
+    v = mat * EMB_SCALE
+    fx = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    want = fx.sum(axis=0) / len(mat) / EMB_SCALE
+    assert np.allclose(mv, want, atol=0)  # exact: same integer sums
+    cen = np.array(
+        [r.embedding for r in
+         centered_embeddings(emb, dim=64).orderBy("vec_id").collect()])
+    # centering is mean-subtraction up to the 1e-6 fixed-point quantum
+    assert np.abs(cen.mean(axis=0)).max() < 1e-6
