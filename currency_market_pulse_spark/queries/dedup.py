@@ -585,6 +585,138 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_df=_shared_shingles(spark, sf_dir))
 
 
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE
+{_TOKS}, {_SH3}, {_SH3CAP},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE component_id <> node)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN x.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@extra_query("dedup_survivors", oracle=_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT artifact: per source, how much of the corpus
+    survives keep-one-per-component near-dedup (component minimum
+    kept, the rest dropped).  This is the relation a training run
+    actually consumes — pairs and components are diagnostics; the
+    survivor card is the deliverable.  Caveat shared with the whole
+    shingle family: docs shorter than the shingle width never pair, so
+    exact duplicates of sub-3-token docs survive (the exact-dedup
+    operator owns those).
+
+    Shape: drop list = components where node != min-label (near-dup
+    density-sized), LEFT-joined to the corpus — the corpus side joins
+    against a broadcast-scale relation and never shuffles for it; one
+    source aggregate ends the plan."""
+    from currency_market_pulse_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_shared_jaccard_pairs(spark, sf_dir))
+    dropped = (comp.filter(F.col("node") != F.col("comp"))
+               .select(F.col("node").alias("doc_id"),
+                       F.lit(True).alias("_drop")))
+    return (docs.join(F.broadcast(dropped), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+                 .alias("n_dropped"),
+                 F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("_drop").isNull(), F.col("n_chars"))
+                       .otherwise(0)).alias("kept_chars"))
+            .orderBy("source"))
+
+
+def _split_leakage_oracle() -> str:
+    from currency_market_pulse_spark.queries.sampling import (
+        _frac_sql, _split_case_sql,
+    )
+
+    case = _split_case_sql()
+    return f"""
+WITH {_TOKS}, {_SH3}, {_SH3CAP},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh3c a JOIN sh3c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) >= 0.5),
+sp AS (SELECT doc_id, split FROM (
+  SELECT doc_id, {_frac_sql('split', 'doc_id')} AS frac FROM documents) f,
+  LATERAL (SELECT {case} AS split)),
+lab AS (SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi
+        FROM pairs p JOIN sp a ON a.doc_id = p.id_a
+                     JOIN sp b ON b.doc_id = p.id_b)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (split_lo <> split_hi) AS is_leak
+FROM lab GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi
+"""
+
+
+@extra_query("documents_split_leakage", oracle=_split_leakage_oracle())
+def documents_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination card: near-dup pairs (jaccard >= 0.5)
+    whose endpoints land in DIFFERENT train/val/test splits — the
+    leakage a hash split cannot prevent (hash splits are stable per
+    document; near-DUPLICATES of a test doc still land in train and
+    leak the eval).  Off-diagonal rows are the leaks; the fix is
+    dedup-BEFORE-split or component-level split assignment.  Reuses
+    the family's shared pair relation and the zero-shuffle split
+    projection — the only new work is one broadcast-scale join and a
+    9-cell aggregate."""
+    from currency_market_pulse_spark.operators.sampling import hash_split
+    from currency_market_pulse_spark.queries.sampling import SPLIT_WEIGHTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = hash_split(docs, "doc_id", SPLIT_WEIGHTS).select("doc_id", "split")
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    a = sp.select(F.col("doc_id").alias("id_a"),
+                  F.col("split").alias("_sa"))
+    b = sp.select(F.col("doc_id").alias("id_b"),
+                  F.col("split").alias("_sb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select(F.least("_sa", "_sb").alias("split_lo"),
+                    F.greatest("_sa", "_sb").alias("split_hi"))
+            .groupBy("split_lo", "split_hi")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+            .orderBy("split_lo", "split_hi"))
+
+
 #: Incremental-dedup split: docs whose hash fraction under this seed
 #: falls below the threshold play the "newly ingested batch"; the rest
 #: are the standing corpus the batch is checked against.

@@ -440,3 +440,26 @@ def test_substring_span_stats_no_dups_without_shared_runs(spark):
     for r in rows.values():
         assert r.dup_fingerprints == 0
         assert r.dup_frac == 0.0
+
+
+def test_survivors_and_split_leakage_consistency(spark):
+    """Survivor counts partition the corpus; the leakage matrix's pair
+    total equals the family pair-relation count and contains at least
+    one cross-split (leaking) cell at fixture scale."""
+    from currency_market_pulse_spark.queries.dedup import (
+        _shared_jaccard_pairs, dedup_survivors, documents_split_leakage,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    surv = dedup_survivors(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in surv) == docs.count()
+    assert all(r.n_dropped + r.n_kept == r.n_docs for r in surv)
+    assert sum(r.n_dropped for r in surv) > 0  # fixture has near-dups
+
+    leak = documents_split_leakage(spark, SF_DIR).collect()
+    n_pairs = _shared_jaccard_pairs(spark, SF_DIR).count()
+    assert sum(r.n_pairs for r in leak) == n_pairs
+    assert any(r.is_leak for r in leak)
+    assert all((r.split_lo != r.split_hi) == r.is_leak for r in leak)
