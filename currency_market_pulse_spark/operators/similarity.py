@@ -214,6 +214,62 @@ def ann_lsh_topk(emb: DataFrame, query_filter, k: int = 3,
             .orderBy("query_id", "rn"))
 
 
+def ann_multiprobe_topk(emb: DataFrame, query_filter, k: int = 3,
+                        n_probes: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): each query searches its
+    own bucket PLUS the buckets reached by flipping the ``n_probes-1``
+    hyperplane bits with the smallest |margin| — the planes the vector
+    sits closest to, i.e. where a true neighbor most likely landed on
+    the other side.  Recall rises toward brute force at cost
+    n_probes/2^planes of the corpus per query, without adding planes
+    or rebuilding the index.
+
+    All probe selection is Catalyst HOFs (per-plane |dot| structs,
+    array_sort, slice, bit flip) — deterministic, so the oracle
+    replays it exactly.  Candidate buckets are disjoint, so no
+    post-join dedup is needed."""
+    weights = plane_weights()
+    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    c = (nz.withColumn("cbucket", lsh_bucket(F.col(vec_col)))
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("cvec"), "cbucket"))
+    dots = [dot(F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in w]))
+            for w in weights]
+    margins = F.array(*[
+        F.struct(F.abs(d).alias("a"), F.lit(p).alias("p"))
+        for p, d in enumerate(dots)])
+    q = (nz.filter(query_filter)
+         .withColumn("bucket", lsh_bucket(F.col(vec_col)))
+         .withColumn("_flips", F.slice(F.array_sort(margins), 1,
+                                       n_probes - 1))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qvec"),
+                 F.explode(F.array_union(
+                     F.array(F.col("bucket")),
+                     F.transform(
+                         "_flips",
+                         # shiftleft() takes only a literal shift, so
+                         # 1<<p is spelled pow(2,p) — exact for p < 31
+                         lambda s: F.col("bucket").bitwiseXOR(
+                             F.pow(F.lit(2.0), s["p"].cast("double"))
+                             .cast("int"))))
+                 ).alias("probe")))
+    scored = (
+        F.broadcast(q).join(c, F.col("probe") == F.col("cbucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .orderBy("query_id", "rn"))
+
+
 def knn_graph_lsh(emb: DataFrame, k: int = 3,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

@@ -256,6 +256,68 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mutual_knn_edges(S.knn_graph_lsh(emb, k=3))
 
 
+def _multiprobe_oracle(k: int = 3, n_probes: int = 3) -> str:
+    """Replay of ann_multiprobe_topk: buckets, per-plane |margin|
+    ranking, the n_probes-1 bit flips, probe-bucket join, cosine
+    rank.  Deterministic end to end (fixed-literal planes; margin
+    ties break by plane index on both engines)."""
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    margin_union = " UNION ALL ".join(
+        f"SELECT vec_id, bucket, {p} AS p, abs(d{p}) AS a FROM qb"
+        for p in range(len(planes)))
+    cos = oracle_cosine_sql("q.embedding", "c.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},
+nz AS (SELECT * FROM emb
+       WHERE sqrt(list_dot_product(embedding, embedding)) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nz),
+bkt AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket,
+         {", ".join(f"d{p}" for p in range(len(planes)))}
+  FROM dots),
+qb AS (SELECT * FROM bkt WHERE vec_id < 10),
+qm AS ({margin_union}),
+flips AS (
+  SELECT vec_id, xor(bucket, (1 << p)) AS probe FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY a, p) AS rn
+    FROM qm) t
+  WHERE rn <= {n_probes - 1}),
+probes AS (SELECT vec_id, bucket AS probe FROM qb
+           UNION SELECT vec_id, probe FROM flips),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM probes p
+  JOIN qb q ON q.vec_id = p.vec_id
+  JOIN bkt c ON c.bucket = p.probe AND c.vec_id <> p.vec_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= {k} ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_ann_multiprobe_topk", oracle=_multiprobe_oracle())
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3 (operators/similarity.py
+    ann_multiprobe_topk — Lv et al. 2007): each query also probes the
+    two buckets across its lowest-|margin| hyperplanes, where a missed
+    true neighbor most likely landed.  Recall rises toward brute force
+    at 3/256 of the corpus per query, with no index change; the test
+    suite asserts recall(multi) >= recall(single-bucket) on the
+    fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_multiprobe_topk(emb, F.col("vec_id") < 10, k=3,
+                                 n_probes=3)
+
+
 _HARDNEG_ORACLE = f"""
 WITH {ORACLE_EMB_CTE},
 scored AS (

@@ -149,3 +149,21 @@ def test_knn_graph_mutual_edges_reciprocal(spark):
     # one-sided edges must NOT survive the mutual filter
     n_onesided = sum(1 for (a, b) in fwd if (b, a) not in fwd and a < b)
     assert len(mutual) <= len(fwd) - n_onesided
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark):
+    """Multi-probe candidates are a superset of the single-bucket
+    candidates, so recall vs exact top-3 can only rise; assert both
+    the superset property and the recall ordering on the fixture."""
+    emb = _emb(spark)
+    flt = F.col("vec_id") < 10
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.topk_bruteforce(emb, flt, k=3).collect()}
+    single = {(r.query_id, r.neighbor_id)
+              for r in S.ann_lsh_topk(emb, flt, k=3).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in S.ann_multiprobe_topk(emb, flt, k=3,
+                                            n_probes=3).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
