@@ -267,6 +267,11 @@ EXPECTATIONS.update({
         ("head is TakeOrdered", r"TakeOrderedAndProject"),
         ("two-phase vocab count", r"partial_count"),
     ],
+    "sim_ann_multiprobe_topk": [
+        # the exploded query-probe side broadcasts into the bucketed
+        # candidate scan — the corpus never shuffles per query
+        ("probe side broadcast", r"BroadcastHashJoin"),
+    ],
 })
 
 #: checks that must run against the POST-EXECUTION adaptive plan
