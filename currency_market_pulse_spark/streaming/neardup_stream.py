@@ -20,9 +20,10 @@ dynamic partition overwrite, and a replayed batch EXCLUDES its own
 prior writes from the probe — so crash-replay neither duplicates
 index rows nor flags a document against its own previous ingest.
 
-Within-batch duplicates are deliberately out of scope here: the batch
-self-join operators (minhash_lsh_candidates et al.) handle intra-batch
-dedup; this module owns the batch-vs-history half.
+Within-batch near-dups are ALSO flagged (batch-internal band self-join
++ verify, lower doc_id wins), so a batch carrying two copies of a new
+document does not ingest both silently — the dup log's best-match rank
+runs over the union of batch-vs-corpus and batch-internal hits.
 """
 
 from __future__ import annotations
@@ -34,8 +35,6 @@ from pyspark.sql.utils import AnalysisException
 
 from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
-
-_DUP_SCHEMA = "new_id long, dup_of long, jaccard double"
 
 
 @dataclass
@@ -67,22 +66,30 @@ class StreamingNearDup:
         try:
             bands = D.minhash_bands(D.minhash_signatures(
                 None, shingles_df=sh))
+            # batch-internal near-dups: lower doc_id wins, the higher
+            # id is flagged as its dup (same first-owner convention as
+            # the batch chunk/substring dedup operators)
+            intra = (D.jaccard_verify_candidates(
+                sh, D.pairs_from_bands(bands), threshold=self.threshold)
+                .select(F.col("id_b").alias("new_id"),
+                        F.col("id_a").alias("dup_of"), "jaccard"))
+            hits = [intra]
             idx_bands = self._read_index(spark, self.bands_path, batch_id)
             idx_sh = self._read_index(spark, self.shingles_path, batch_id)
             if idx_bands is not None and idx_sh is not None:
                 cand = D.cross_corpus_candidates(bands, idx_bands)
-                ver = D.cross_jaccard_verify(
+                hits.append(D.cross_jaccard_verify(
                     sh, idx_sh.select("doc_id", "n_sh", "sh"), cand,
                     threshold=self.threshold)
-                w = Window.partitionBy("new_id").orderBy(
-                    F.desc("jaccard"), "corpus_id")
-                dups = (ver.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") == 1)
-                        .select("new_id",
-                                F.col("corpus_id").alias("dup_of"),
-                                "jaccard"))
-            else:
-                dups = spark.createDataFrame([], _DUP_SCHEMA)
+                    .select("new_id",
+                            F.col("corpus_id").alias("dup_of"),
+                            "jaccard"))
+            union = hits[0] if len(hits) == 1 else hits[0].unionAll(hits[1])
+            w = Window.partitionBy("new_id").orderBy(
+                F.desc("jaccard"), "dup_of")
+            dups = (union.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("new_id", "dup_of", "jaccard"))
 
             def _write(df: DataFrame, path: str) -> None:
                 (df.withColumn("batch_id", F.lit(batch_id))

@@ -60,6 +60,19 @@ def test_stream_flags_cross_batch_near_dup(spark, tmp_path):
         == {1, 2, 3}
 
 
+def test_within_batch_near_dup_flagged(spark, tmp_path):
+    """Two near-identical docs arriving in the SAME micro-batch: the
+    higher id is flagged against the lower (first-owner convention),
+    even with no standing index yet."""
+    nd = _handler(tmp_path)
+    b0 = spark.createDataFrame([(10, BASE), (11, NEAR), (12, DISTINCT)],
+                               "doc_id long, text string")
+    nd.process_batch(b0, 0)
+    dups = {r.new_id: r.dup_of
+            for r in spark.read.parquet(nd.dups_path).collect()}
+    assert dups == {11: 10}
+
+
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     nd = _handler(tmp_path)
     b0 = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
