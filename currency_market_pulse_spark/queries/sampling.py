@@ -77,6 +77,41 @@ def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split"))
 
 
+#: docs per language in the held-out eval carve-out.
+EVAL_K = 20
+
+
+@extra_query(
+    "documents_eval_sample_k",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_hash_long_sql('eval', 'doc_id')}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {EVAL_K} ORDER BY lang, doc_id
+""",
+)
+def documents_eval_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-language eval carve-out (operators/sampling.py
+    per_group_cap): EXACTLY {EVAL_K} docs per language, chosen by
+    deterministic hash order — unlike fraction sampling, the eval-set
+    SIZE is guaranteed, and a doc's membership only changes if a
+    lower-hash doc enters its language (append-mostly corpora keep
+    eval sets near-frozen).  One shuffle on the (tiny-cardinality)
+    language key; AQE splits any skewed language."""
+    from currency_market_pulse_spark.operators.sampling import (
+        per_group_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (per_group_cap(docs.select("doc_id", "lang"),
+                          "lang", "doc_id", EVAL_K, seed="eval")
+            .select("doc_id", "lang")
+            .orderBy("lang", "doc_id"))
+
+
 def _strata_case_sql() -> str:
     whens = " ".join(f"WHEN lang = '{k}' THEN {v!r}"
                      for k, v in STRATA_FRACTIONS.items())

@@ -290,3 +290,39 @@ def test_zipf_fit_recovers_synthetic_power_law(spark):
     assert row.n_ranks == 40 and row.vocab_size == 40
     assert -1.1 < row.zipf_slope < -0.9, row.zipf_slope
     assert row.r2 > 0.99, row.r2
+
+
+def test_eval_sample_exact_k_and_growth_stability(spark):
+    """Exactly EVAL_K docs per language; membership is stable when
+    higher-hash documents are appended (the append-mostly property the
+    docstring promises)."""
+    from currency_market_pulse_spark.operators.sampling import (
+        hash_long, per_group_cap,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)],
+        "doc_id long, lang string")
+    base = per_group_cap(docs, "lang", "doc_id", 5, seed="eval")
+    counts = {r.lang: r.n for r in
+              base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    picked = {(r.doc_id, r.lang) for r in base.collect()}
+    # append docs whose hash is larger than every currently-picked one:
+    # the carve-out must not change.  The hash is the portable md5
+    # family, so replicate it in pure python to pick such ids.
+    import hashlib
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"eval|{i}".encode()).hexdigest()[:15], 16)
+
+    max_h = max(r.h for r in base.select(
+        hash_long(F.col("doc_id"), "eval").alias("h")).collect())
+    extra_ids = [i for i in range(200, 2000) if h(i) > max_h][:3]
+    grown = docs.unionAll(spark.createDataFrame(
+        [(i, "en") for i in extra_ids], "doc_id long, lang string"))
+    picked2 = {(r.doc_id, r.lang) for r in
+               per_group_cap(grown, "lang", "doc_id", 5,
+                             seed="eval").collect()}
+    assert picked2 == picked
