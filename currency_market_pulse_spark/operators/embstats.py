@@ -117,6 +117,17 @@ def covariance_matrix(emb: DataFrame, dim: int,
             # would diverge from Spark/DuckDB round() at exact .5
             fx = np.where(v >= 0, np.floor(v + 0.5),
                           np.ceil(v - 0.5)).astype(np.int64)
+            # numpy int64 sums wrap SILENTLY on overflow (only the
+            # cross-partition Spark sum is ANSI-checked), so bound the
+            # in-batch stage explicitly: the worst |sij| partial is
+            # rows * max|fx|^2 — refuse any batch where that can
+            # exceed int64 rather than emit corrupted statistics.
+            amax = int(np.abs(fx).max(initial=0))
+            if amax and fx.shape[0] * amax * amax > np.iinfo(np.int64).max:
+                raise OverflowError(
+                    f"covariance partial would overflow int64: batch of "
+                    f"{fx.shape[0]} rows with max|fixed-point| {amax} "
+                    f"(scale={scale}); reduce scale or batch size")
             s = fx.sum(axis=0)
             prod = fx.T @ fx
             yield pd.DataFrame({

@@ -194,8 +194,16 @@ def lsh_buckets(emb: DataFrame, id_col: str = "vec_id",
 def ann_lsh_topk(emb: DataFrame, query_filter, k: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
-    Recall < 1 by design; cost drops from N to N/2^planes per query."""
-    with_b = emb.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    Recall < 1 by design; cost drops from N to N/2^planes per query.
+
+    Zero-norm vectors are dropped from BOTH sides (same ``nz`` filter
+    as topk_bruteforce and ann_multiprobe_topk), so the single-probe
+    and multi-probe operators search the identical corpus and the
+    documented multi-probe-candidates ⊇ single-bucket-candidates
+    recall-ordering invariant holds exactly — not merely because NULL
+    cosines happen to sort last."""
+    with_b = (emb.filter(norm(F.col(vec_col)) > 0)
+              .withColumn("bucket", lsh_bucket(F.col(vec_col))))
     q = with_b.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         F.col("bucket"))

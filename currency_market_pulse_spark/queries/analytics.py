@@ -67,7 +67,7 @@ def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "user_event_pivot",
     oracle=f"""
 SELECT user_id,
@@ -90,7 +90,7 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "orders_unpivot",
     oracle="""
 SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value

@@ -485,7 +485,7 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-@query(
+@extra_query(
     "dedup_embedding_cosine",
     oracle=f"""
 WITH {ORACLE_EMB_CTE}
@@ -501,7 +501,10 @@ WHERE round(list_dot_product(a.embedding, b.embedding) /
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4), brute pairwise
-    baseline (the LSH-bucketed variant is the 100 TB path)."""
+    baseline — EXACT-recall oracle for the cell-bounded registered
+    slot (queries/ivf.py dedup_embedding_cells).  Measured quadratic
+    (SCALE.md sf10: 21x for 10x data), so it lives in the library
+    tier, exactly as sim_topk_bruteforce backs the ANN ladder."""
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -631,9 +634,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator owns those).
 
     Shape: drop list = components where node != min-label (near-dup
-    density-sized), LEFT-joined to the corpus — the corpus side joins
-    against a broadcast-scale relation and never shuffles for it; one
-    source aggregate ends the plan."""
+    density-sized), LEFT-joined to the corpus.  The drop list on a
+    real web corpus is a large FRACTION of the corpus (tens of
+    percent), NOT bounded-small — so no forced broadcast hint here:
+    AQE's size-based planning broadcasts it when it measures small and
+    falls back to a shuffle join when it doesn't, instead of a forced
+    hint OOM-ing the driver at 100 TB.  (Contrast the verify-prune id
+    set in jaccard_verify_candidates, which is candidate-bounded and
+    safely hinted.)  One source aggregate ends the plan."""
     from currency_market_pulse_spark.operators.components import (
         connected_components,
     )
@@ -643,7 +651,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (comp.filter(F.col("node") != F.col("comp"))
                .select(F.col("node").alias("doc_id"),
                        F.lit(True).alias("_drop")))
-    return (docs.join(F.broadcast(dropped), "doc_id", "left")
+    return (docs.join(dropped, "doc_id", "left")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("_drop"), 1).otherwise(0))
@@ -912,7 +920,7 @@ GROUP BY w.doc_id
 """
 
 
-@extra_query("text_substring_dedup", oracle=_SUBSTR_DEDUP_ORACLE)
+@query("text_substring_dedup", oracle=_SUBSTR_DEDUP_ORACLE)
 def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (operators/dedup.py
     substring_span_stats — Lee et al. 2021 ExactSubstr, distributed):

@@ -507,6 +507,43 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
 
 
+def _cell_pairs_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+                       dim: int = _DIM, threshold: float = 0.4) -> str:
+    """Replay of the cell-bounded near-dup pair generation: shared
+    Lloyd chain -> in-cell pair join at the rounded-cosine threshold,
+    pairs emitted (not just per-cell counts)."""
+    cos = oracle_cosine_sql("x.embedding", "y.embedding")
+    return f"""
+WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)},
+mem AS (SELECT a.vec_id, a.cell, e.embedding
+        FROM a{n_iter} a JOIN emb e USING (vec_id))
+SELECT x.cell AS cell, x.vec_id AS id_a, y.vec_id AS id_b,
+       round({cos}, 6) AS cos_sim
+FROM mem x JOIN mem y
+  ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE round({cos}, 6) >= {threshold}
+ORDER BY x.cell, id_a, id_b
+"""
+
+
+@query("dedup_embedding_cells", oracle=_cell_pairs_oracle())
+def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded embedding-cosine near-dup pairs (>= 0.4): the
+    SemDeDup candidate stage (operators/semdedup.py, Abbas et al.
+    2023) registered as THE production embedding-dedup slot.  The
+    corpus is k-means-partitioned first and pairs are generated only
+    WITHIN each cell — one shuffle on cell id, ~n^2/k pair work with k
+    scaled to the corpus, vs the measured-quadratic exact all-pairs
+    kernel (library tier ``dedup_embedding_cosine``, kept as the
+    recall oracle exactly as brute-force backs the ANN ladder).
+    Oracle replays train -> in-cell pair join end to end."""
+    from currency_market_pulse_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, pairs = semdedup(emb, k=KMEANS_K, n_iter=KMEANS_ITER, threshold=0.4)
+    return pairs.orderBy("cell", "id_a", "id_b")
+
+
 def _pq_train_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,
                    n_iter: int = 1, emb: str = "emb") -> str:
     """CTE fragment for PQ TRAINING+ENCODING over the ``emb``-named
@@ -750,7 +787,7 @@ WHERE rn <= 3 ORDER BY query_id, rn
 """
 
 
-@extra_query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (operators/pq.py ivfpq_topk): the production ANN
     composition — trained coarse quantizer prunes to nprobe=2 cells,

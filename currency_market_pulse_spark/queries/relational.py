@@ -484,7 +484,7 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query(
+@extra_query(
     "part_scalar_functions",
     oracle="""
 SELECT p_partkey,

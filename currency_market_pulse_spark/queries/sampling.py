@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import sampling as S
-from currency_market_pulse_spark.queries.registry import extra_query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
 
 #: Flagship 90/5/5 split used by the split query and its oracle.
@@ -218,7 +218,7 @@ def documents_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard", "pos"))
 
 
-@extra_query(
+@query(
     "documents_token_budget",
     oracle=f"""
 WITH r AS (

@@ -122,7 +122,9 @@ def _ann_oracle() -> str:
     cos = oracle_cosine_sql("q.embedding", "c.embedding")
     return f"""
 WITH {ORACLE_EMB_CTE},
-dots AS (SELECT vec_id, embedding, {plane_sql} FROM emb),
+nz AS (SELECT * FROM emb
+       WHERE list_dot_product(embedding, embedding) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nz),
 bkt AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,

@@ -36,6 +36,17 @@ from pyspark.sql.utils import AnalysisException
 from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
 
+# Explicit index schemas: the standing relations are read with these
+# instead of inference, so a dataset whose only partitions so far are
+# EMPTY (zero dups, or every doc shorter than the shingle width —
+# dynamic-partition-overwrite then writes no parquet footers at all)
+# still reads back as a valid empty relation instead of failing with
+# "unable to infer schema".
+_BANDS_SCHEMA = "doc_id bigint, band int, band_sig string, batch_id bigint"
+_SHINGLES_SCHEMA = "doc_id bigint, n_sh bigint, sh string, batch_id bigint"
+_DUPS_SCHEMA = ("new_id bigint, dup_of bigint, jaccard double, "
+                "batch_id bigint")
+
 
 @dataclass
 class StreamingNearDup:
@@ -51,10 +62,11 @@ class StreamingNearDup:
     dups_path: str
     threshold: float = 0.5
 
-    def _read_index(self, spark, path: str, batch_id: int) -> DataFrame | None:
+    def _read_index(self, spark, path: str, batch_id: int,
+                    schema: str) -> DataFrame | None:
         try:
-            df = spark.read.parquet(path)
-        except AnalysisException:  # first batch: no index yet
+            df = spark.read.schema(schema).parquet(path)
+        except AnalysisException:  # first batch: path does not exist yet
             return None
         # replay safety: never probe rows this batch wrote before a crash
         return df.filter(F.col("batch_id") != batch_id)
@@ -74,8 +86,10 @@ class StreamingNearDup:
                 .select(F.col("id_b").alias("new_id"),
                         F.col("id_a").alias("dup_of"), "jaccard"))
             hits = [intra]
-            idx_bands = self._read_index(spark, self.bands_path, batch_id)
-            idx_sh = self._read_index(spark, self.shingles_path, batch_id)
+            idx_bands = self._read_index(
+                spark, self.bands_path, batch_id, _BANDS_SCHEMA)
+            idx_sh = self._read_index(
+                spark, self.shingles_path, batch_id, _SHINGLES_SCHEMA)
             if idx_bands is not None and idx_sh is not None:
                 cand = D.cross_corpus_candidates(bands, idx_bands)
                 hits.append(D.cross_jaccard_verify(
@@ -92,7 +106,8 @@ class StreamingNearDup:
                     .select("new_id", "dup_of", "jaccard"))
 
             def _write(df: DataFrame, path: str) -> None:
-                (df.withColumn("batch_id", F.lit(batch_id))
+                (df.withColumn("batch_id",
+                               F.lit(batch_id).cast("bigint"))
                  .write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("batch_id")
@@ -103,6 +118,12 @@ class StreamingNearDup:
             _write(sh, self.shingles_path)
         finally:
             sh.unpersist()
+
+    def read_dups(self, spark) -> DataFrame:
+        """Schema-safe read of the accumulated dup log — consumers use
+        this (not bare spark.read.parquet) so an all-empty-partition
+        dataset is an empty relation, not an inference error."""
+        return spark.read.schema(_DUPS_SCHEMA).parquet(self.dups_path)
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str,
                trigger: str | None = None):

@@ -5,6 +5,7 @@ straightforward numpy computation."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from currency_market_pulse_spark.operators.embstats import (
     EMB_SCALE, covariance_matrix,
@@ -69,3 +70,19 @@ def test_mean_vector_and_centering(spark):
          centered_embeddings(emb, dim=64).orderBy("vec_id").collect()])
     # centering is mean-subtraction up to the 1e-6 fixed-point quantum
     assert np.abs(cen.mean(axis=0)).max() < 1e-6
+
+
+def test_covariance_overflow_raises_loudly(spark):
+    """In-batch numpy int64 accumulation must refuse out-of-envelope
+    embeddings instead of wrapping silently (ADVICE r5): a vector with
+    |x| far beyond the fixed-point envelope makes rows * max|fx|^2
+    exceed int64, and the partial must raise, not corrupt."""
+    import pytest
+    from pyspark.sql import Row
+
+    big = 4.0e6      # fixed-point 4e12; 4 rows * (4e12)^2 >> 2^63
+    emb = spark.createDataFrame([
+        Row(vec_id=i, embedding=[big, 0.0]) for i in range(4)
+    ]).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    with pytest.raises(Exception, match="(?i)overflow"):
+        covariance_matrix(emb.repartition(1), dim=2).collect()

@@ -57,3 +57,20 @@ def test_extra_query_matches_oracle(spark, con, name):
             spark, con, EXTRA_QUERIES[name], sql, EXTRA_SF_DIR)
         assert verdict == "EXACT", f"{name}: {verdict}"
     assert n > 0, f"{name} returned no rows at {EXTRA_SF_DIR}"
+
+
+def test_operators_md_counts_match_registry():
+    """OPERATORS.md's tier counts are registry-derived facts; this pins
+    them so they can never drift again (VERDICT r5 item 3 — the same
+    artifact-of-record discipline bench claims got in r5)."""
+    import re
+
+    md = open("/root/repo/OPERATORS.md").read()
+    n_extra, n_exact = len(EXTRA_QUERIES), len(EXTRA_QUERIES) - len(EXTRA_RTOL)
+    assert f"**library tier** ({n_extra} entries" in md
+    m = re.search(r"plus (\d+) library-tier entries \(†\) — (\d+) EXACT,"
+                  r"\n(\d+) WITHIN-BOUND", md)
+    assert m, "library-tier count line missing from OPERATORS.md"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == \
+        (n_extra, n_exact, len(EXTRA_RTOL))
+    assert f"{len(QUERIES)} registered queries" in md

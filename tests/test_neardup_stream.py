@@ -89,3 +89,53 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert replay_dups == first_dups == [(2, 1, replay_dups[0][2])]
     # the replay must not have appended a second copy of batch 1's rows
     assert spark.read.parquet(nd.shingles_path).count() == first_idx
+
+
+def test_stream_survives_empty_first_batch(spark, tmp_path):
+    """A first batch whose docs are all shorter than the shingle width
+    produces EMPTY index partitions (no parquet footers); the standing
+    index must still read back (explicit schemas, ADVICE r5) and a
+    later batch must dedup normally."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src / "f1.json", [{"doc_id": 1, "text": "too short"}],
+           1_000_000)
+    _write(src / "f2.json", [{"doc_id": 2, "text": BASE}], 1_000_100)
+    _write(src / "f3.json", [{"doc_id": 3, "text": NEAR}], 1_000_200)
+
+    nd = _handler(tmp_path)
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src)))
+    q = nd.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dups = {r.new_id: r.dup_of for r in nd.read_dups(spark).collect()}
+    assert dups == {3: 2}
+
+
+def test_read_dups_on_all_empty_partitions(spark, tmp_path):
+    """Even when EVERY batch so far flagged nothing, the dup log reads
+    back as an empty typed relation — not an inference error."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(src / "f1.json", [{"doc_id": 1, "text": "x"}], 1_000_000)
+
+    nd = _handler(tmp_path)
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .json(str(src)))
+    q = nd.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = nd.read_dups(spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "new_id", "dup_of", "jaccard", "batch_id"]
