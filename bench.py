@@ -94,22 +94,50 @@ def main() -> None:
         lambda: _lt(spark, sf_dir, "region").groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n")))
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        try:
-            timings[name] = round(run_query(fn, spark, sf_dir), 3)
-        except Exception as e:
-            print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
-            timings[name] = -1.0
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # Multi-run protocol (VERDICT r5 item 4): boot-to-boot variance on
+    # this host is 15-25% (SCALE.md), so a single-run round-over-round
+    # delta under ~1 s is noise.  SPARK_GRAFT_BENCH_RUNS=N (default 1,
+    # the driver's budget) repeats the full timing pass N times in the
+    # SAME session and reports the per-query MEDIAN, with per-run
+    # totals + per-query min/max recorded in BENCH_QUERIES.json so
+    # future deltas can be read against the measured same-session
+    # spread instead of guessed.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    per_run: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        t: dict[str, float] = {}
+        for name, fn in queries.items():
+            try:
+                t[name] = round(run_query(fn, spark, sf_dir), 3)
+            except Exception as e:
+                print(f"bench error {name}: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                t[name] = -1.0
+        per_run.append(t)
 
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: _median([r[name] for r in per_run])
+               for name in per_run[0]}
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    run_totals = [round(sum(v for v in r.values() if v >= 0), 3)
+                  for r in per_run]
+
+    meta = {"sf": sf, "total_sec": total,
+            "floor_scan_sec": floor_scan,
+            "floor_shuffle_sec": floor_shuffle,
+            "n_runs": n_runs, "run_totals_sec": run_totals,
+            "queries": timings}
+    if n_runs > 1:
+        meta["queries_min"] = {n: min(r[n] for r in per_run)
+                               for n in timings}
+        meta["queries_max"] = {n: max(r[n] for r in per_run)
+                               for n in timings}
     with open(os.path.join(_HERE, "BENCH_QUERIES.json"), "w") as f:
-        json.dump({"sf": sf, "total_sec": total,
-                   "floor_scan_sec": floor_scan,
-                   "floor_shuffle_sec": floor_shuffle,
-                   "queries": timings}, f,
-                  indent=1, sort_keys=True)
+        json.dump(meta, f, indent=1, sort_keys=True)
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     # the one-line driver contract object — keep it short, keep it last

@@ -65,15 +65,22 @@ def assign_cells(emb: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """(id, cell, dist): nearest centroid per vector (broadcast join;
-    dist rounded to 6, ties to the lowest cell)."""
+    dist rounded to 6, ties to the lowest cell).
+
+    The argmin is a hash aggregate over lexicographic min(struct(dist,
+    cell)) — NOT a row_number window: the aggregate partially combines
+    map-side (k-fold less shuffle volume) and skips the per-partition
+    sort a window pays, which matters when assignment runs once per
+    Lloyd iteration.  struct ordering = (dist asc, cell asc), exactly
+    the window's tie rule."""
     scored = (emb.select(F.col(id_col), F.col(vec_col))
               .crossJoin(F.broadcast(centroids))
               .withColumn("dist", F.round(
                   _sq_dist(F.col(vec_col), F.col("centroid")), 6)))
-    w = Window.partitionBy(id_col).orderBy("dist", "cell")
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cell", "dist"))
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cell")).alias("_m"))
+            .select(id_col, F.col("_m.cell").alias("cell"),
+                    F.col("_m.dist").alias("dist")))
 
 
 def update_centroids(emb: DataFrame, assigned: DataFrame,
@@ -100,6 +107,14 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 2,
     quantizer plus the corpus partition it induces, i.e. exactly the
     two relations an IVF index stores (queries/ivf.py
     sim_ivf_kmeans_topk probes them)."""
+    # EAGER localCheckpoints, measured deliberately: the lazy variant
+    # (components.py's trick) was tried and is ~2.5x SLOWER here —
+    # each of the chain's downstream branches (assignment, update,
+    # consumers) races to materialize the un-checkpointed centroid
+    # RDD separately under AQE, recomputing the prefix; a k-row eager
+    # checkpoint per hand-off is a sub-0.3s job that every later
+    # stage then reads for free (sf0.1: eager 2.9s vs lazy 7.1s
+    # end-to-end train).
     centroids = seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
     assigned = assign_cells(emb, centroids, id_col, vec_col)
     for _ in range(n_iter):

@@ -180,3 +180,79 @@ def extract_features(docs_with_payload: DataFrame, dim: int = 8,
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     return cols.mapInPandas(kernel, schema)
+
+
+#: Perceptual-hash signature width — 60 bits so the hamming-banded
+#: candidate machinery (operators/dedup.py simhash_hamming_pairs,
+#: k+1 = 4 bands x 15 bits) applies verbatim.
+AHASH_BITS = 60
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def ahash_signatures(docs_with_payload: DataFrame,
+                     bits: int = AHASH_BITS,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Average-hash perceptual signature over the binary payload — the
+    aHash member of the pHash family (the production upgrade is the
+    DCT low-frequency variant; same banding/verify machinery either
+    way).  Per payload:
+
+    1. "decode + resize": pool the raw bytes into ``bits`` contiguous
+       chunks (chunk j covers bytes [j*n//bits, (j+1)*n//bits)) — the
+       STUB stand-in for decode->grayscale->resize (no codecs in this
+       container; a real build swaps a PIL/ffmpeg kernel in here and
+       pools pixels instead of bytes);
+    2. threshold each chunk against the payload average: bit j = 1 iff
+       chunk_sum_j * bits > total_sum — an INTEGER cross-multiply, so
+       the signature is bit-portable with no float anywhere.
+
+    The perceptual property is real w.r.t. the payload: a local byte
+    edit perturbs only the chunks it touches, so near-identical
+    payloads land within small hamming distance while unrelated ones
+    scatter.  mapInPandas over (id, payload) Arrow batches — the same
+    streaming-decode shape as the other multimodal stages."""
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def kernel(batches) :
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                total = int(b.sum())
+                sig = 0
+                for j in range(bits):
+                    lo, hi = j * n // bits, (j + 1) * n // bits
+                    if int(b[lo:hi].sum()) * bits > total:
+                        sig |= 1 << j
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "ahash": sigs})
+
+    return cols.mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def phash_neardup_pairs(docs_with_payload: DataFrame, k: int = 3,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Perceptual near-dup pairs: (id_a, id_b, hamming) with
+    hamming(ahash_a, ahash_b) <= k — image dedup, the one pipeline
+    capability text-side dedup can't cover.  Candidate generation is
+    the recall-COMPLETE pigeonhole banding of
+    operators/dedup.py:simhash_hamming_pairs (k+1 bands; any pair
+    within hamming k agrees exactly on >= 1 band), reused verbatim on
+    the perceptual signatures: one explode + one (band, value)
+    shuffle, never an all-pairs join."""
+    from currency_market_pulse_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sigs = (ahash_signatures(docs_with_payload, AHASH_BITS, id_col)
+            .select(F.col(id_col), F.col("ahash").alias("simhash")))
+    return simhash_hamming_pairs(sigs, k=k, bits=AHASH_BITS,
+                                 id_col=id_col)

@@ -51,17 +51,57 @@ def pq_fit(emb: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
     centroid) relation for subspace ``s`` (k rows, centroid of length
     ``sub_dim``); ``codes`` is (id, c0..c{m-1}) — the compressed
     corpus."""
-    codebooks: list[DataFrame] = []
-    codes: DataFrame | None = None
-    for s in range(m):
+    # The m subspace chains are independent; train them CONCURRENTLY
+    # (thread-per-subspace job submission — the standard Spark pattern
+    # for independent jobs).  Each chain's eager k-row checkpoints are
+    # sub-second scheduling-bound jobs, so serial submission made the
+    # build wall-clock ~m x the chain latency for no reason; the
+    # cluster runs the tiny jobs side by side.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(s: int):
         sub = emb.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col))
-        cents, assigned = kmeans_fit(sub, k, n_iter, id_col, vec_col)
+        return kmeans_fit(sub, k, n_iter, id_col, vec_col)
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        trained = list(pool.map(train, range(m)))
+    codebooks: list[DataFrame] = []
+    codes: DataFrame | None = None
+    for s, (cents, assigned) in enumerate(trained):
         codebooks.append(cents)
         part = assigned.select(F.col(id_col), F.col("cell").alias(f"c{s}"))
         codes = part if codes is None else codes.join(part, id_col)
     return codebooks, codes
+
+
+def ivfpq_fit(emb: DataFrame,
+              coarse_k: int = 8, coarse_iter: int = 2,
+              m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
+              k: int = PQ_K, n_iter: int = PQ_ITER,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              coarse: tuple[DataFrame, DataFrame] | None = None
+              ) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Build the IVF-PQ index: ``(coarse_centroids, codebooks,
+    members)`` where members = (id, c0..c{m-1}, cell) — every vector's
+    RESIDUAL PQ code plus its coarse cell.  This is the relation an
+    IVF-PQ deployment persists; searches (``ivfpq_topk``) only read
+    it.  ``coarse``: optional pretrained (centroids, assigned)."""
+    cents_c, assigned_c = (coarse if coarse is not None
+                           else kmeans_fit(emb, coarse_k, coarse_iter,
+                                           id_col, vec_col))
+    res = (emb.join(assigned_c.select(id_col, "cell"), id_col)
+           .join(F.broadcast(cents_c), "cell")
+           .select(F.col(id_col), F.col("cell"),
+                   F.zip_with(F.col(vec_col), F.col("centroid"),
+                              lambda x, y: x.cast("double") - y)
+                   .alias("_res")))
+    codebooks, codes = pq_fit(
+        res.select(id_col, F.col("_res").alias(vec_col)),
+        m, sub_dim, k, n_iter, id_col, vec_col)
+    members = codes.join(assigned_c.select(id_col, "cell"), id_col)
+    return cents_c, codebooks, members
 
 
 def ivfpq_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
@@ -70,9 +110,14 @@ def ivfpq_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
                m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
                k: int = PQ_K, n_iter: int = PQ_ITER,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               coarse: tuple[DataFrame, DataFrame] | None = None,
+               index: tuple[DataFrame, list[DataFrame], DataFrame]
+               | None = None) -> DataFrame:
     """IVF-PQ: the production ANN composition (coarse quantizer prunes
     candidates, residual PQ compresses them, ADC scores codes).
+    ``coarse``: optional pretrained (centroids, assigned) pair — e.g.
+    the session-shared quantizer — to skip retraining step 1.
 
     1. train the coarse quantizer (Lloyd k-means, operators/kmeans.py)
        and assign every vector to a cell;
@@ -89,19 +134,15 @@ def ivfpq_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
     scanned is codes (m small ints), not vectors.  Every relation that
     meets the corpus is broadcast (centroids, codebooks, per-query
     tables); the corpus shuffles only for the per-query top-k window
-    on the pruned candidate set."""
-    cents_c, assigned_c = kmeans_fit(emb, coarse_k, coarse_iter,
-                                     id_col, vec_col)
-    res = (emb.join(assigned_c.select(id_col, "cell"), id_col)
-           .join(F.broadcast(cents_c), "cell")
-           .select(F.col(id_col), F.col("cell"),
-                   F.zip_with(F.col(vec_col), F.col("centroid"),
-                              lambda x, y: x.cast("double") - y)
-                   .alias("_res")))
-    codebooks, codes = pq_fit(
-        res.select(id_col, F.col("_res").alias(vec_col)),
-        m, sub_dim, k, n_iter, id_col, vec_col)
-    members = codes.join(assigned_c.select(id_col, "cell"), id_col)
+    on the pruned candidate set.
+
+    ``index``: optional prebuilt ``ivfpq_fit`` result — the stored
+    index a deployment builds ONCE and searches many times (e.g. the
+    session-shared instance in queries/ivf.py)."""
+    cents_c, codebooks, members = (
+        index if index is not None
+        else ivfpq_fit(emb, coarse_k, coarse_iter, m, sub_dim, k,
+                       n_iter, id_col, vec_col, coarse=coarse))
 
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))

@@ -318,3 +318,161 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
             F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return docs.select(F.col(id_col), *counts, out.alias("redacted_text"))
+
+
+#: Symbol separator for the BPE encoder's delimited representation —
+#: U+001F (unit separator), absent from natural text by construction.
+BPE_SEP = "\x1f"
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies within
+    whitespace tokens — the merge-decision relation of BPE training
+    (Sennrich et al. 2016 §2).  One explode + one hash aggregate;
+    output size is bounded by the charset squared (a few thousand
+    rows), NOT the corpus — broadcast-scale at any SF."""
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("tk"))
+    pairs = (tok.filter(F.length("tk") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), F.length("tk") - 1),
+                 lambda i: F.col("tk").substr(i, F.lit(2)))).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences")))
+
+
+def bpe_merge_array(docs: DataFrame, n_merges: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """The trained merge table as ONE row carrying an ordered
+    array<struct<pat, rep>> — rank order (count desc, pair asc), top
+    ``n_merges``.  Each merge is pre-rendered as the literal
+    search/replace strings of the delimited symbol representation
+    (see ``bpe_encode_stats``), so application is a pure string fold.
+
+    Built distributed end to end: the pair relation aggregates
+    map-side, the (alphabet^2-bounded) counts collapse into a single
+    array_sort'd collect_list — no driver collect, no window."""
+    ss = BPE_SEP * 2
+    ranked = bpe_pair_counts(docs, text_col).select(
+        F.struct((-F.col("n_occurrences")).cast("long").alias("neg_n"),
+                 "pair").alias("s"))
+    arr = ranked.agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, n_merges).alias("m"))
+    return arr.select(F.transform(F.col("m"), lambda s: F.struct(
+        F.concat(F.lit(BPE_SEP), s.pair.substr(1, 1), F.lit(ss),
+                 s.pair.substr(2, 1), F.lit(BPE_SEP)).alias("pat"),
+        F.concat(F.lit(BPE_SEP), s.pair, F.lit(BPE_SEP)).alias("rep"),
+    )).alias("merges"))
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 20,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """APPLY the trained merges: greedy left-to-right encoding of the
+    corpus with the top-``n_merges`` learned merges, in learned order
+    (Sennrich et al. 2016 §2 — the operator a data pipeline runs after
+    induction).  Per doc: (doc_id, n_tokens, n_chars, n_bpe_symbols,
+    compression_ratio).
+
+    Representation: each token becomes a SEP-delimited symbol string
+    ``SS s1 SS s2 SS ... sk SS`` (SS = double separator); merge
+    (a, b) -> ab is the literal replace of ``SEP a SS b SEP`` with
+    ``SEP ab SEP``.  Because every replacement keeps one separator on
+    each flank, adjacent merge sites re-form valid match sites as the
+    scan proceeds ("abab" -> [ab, ab]) while left-to-right
+    non-rescanning replace() gives exactly BPE's greedy-left pass
+    ("aaa" -> [aa, a]) — semantics proven identical in Spark and
+    DuckDB by the planted tests.  The whole encode is one
+    F.aggregate fold of F.replace over the broadcast merge array:
+    pure codegen'd string ops, zero Python, zero extra shuffles —
+    the corpus is touched once, map-side, then one doc aggregate."""
+    ss = BPE_SEP * 2
+    merges = bpe_merge_array(docs, n_merges, text_col)
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("tk"))
+    sym = F.concat(F.regexp_replace("tk", "(.)", ss + "$1"), F.lit(ss))
+    enc = F.aggregate(F.col("merges"), sym,
+                      lambda acc, m: F.replace(acc, m.pat, m.rep))
+    n_sym = F.size(F.split(enc, ss)) - 2
+    per_tok = (tok.crossJoin(F.broadcast(merges))
+               .select(id_col, "tk", n_sym.alias("_ns")))
+    n_chars = F.sum(F.length("tk")).alias("n_chars")
+    n_syms = F.sum("_ns").alias("n_bpe_symbols")
+    return (per_tok.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"), n_chars, n_syms)
+            .select(id_col, "n_tokens", "n_chars", "n_bpe_symbols",
+                    F.when(F.col("n_bpe_symbols") > 0, F.round(
+                        F.col("n_chars").cast("double")
+                        / F.col("n_bpe_symbols"), 6)).alias(
+                            "compression_ratio")))
+
+
+#: Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", App. A quality
+#: heuristics — token-count analogs of the published rules, stated as
+#: INTEGER comparisons so both engines agree with zero float rounding):
+#:   tokens      30 <= n_tokens <= 2000      (Gopher: 50..100k words)
+#:   word_len    2 <= mean token len <= 12   (sum_len in [2n, 12n])
+#:   stopwords   >= 2 stoplist hits          (Gopher: >= 2 of a small list)
+#:   symbols     symbol chars <= 10% of text (10*n_sym <= n_chars)
+#:   repetition  top token <= 25% of tokens  (4*top_uni <= n_tokens)
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 2000
+
+
+def gopher_flags(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-rule pass flags plus the integer evidence
+    columns they derive from: (id, n_tokens, sum_tok_len, n_stop,
+    n_sym, n_chars, top_uni, pass_tokens, pass_word_len,
+    pass_stopwords, pass_symbols, pass_repetition, keep).
+
+    Every rule is an integer inequality (see thresholds above) —
+    nothing here rounds, so the filter decision is bit-portable by
+    construction.  Cost shape: one row-local projection for four rules
+    + the top-token aggregate (explode -> two hash aggregates, the
+    repetition_metrics unigram pass) joined back on id."""
+    t = tokens(F.col(text_col))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.aggregate(F.transform(t, lambda x: F.length(x)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("sum_tok_len"),
+        F.size(F.filter(t, lambda x: F.array_contains(en_stop, x)))
+         .alias("n_stop"),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                  r"[a-z0-9\s]", "")).alias("n_sym"),
+        F.length(text_col).alias("n_chars"),
+    )
+    uni = (docs.select(F.col(id_col), F.explode(t).alias("g"))
+           .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col).agg(F.max("c").alias("top_uni")))
+    f = base.join(uni, id_col, "left")
+    flags = f.select(
+        "*",
+        ((F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+         & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)).alias("pass_tokens"),
+        ((F.col("sum_tok_len") >= 2 * F.col("n_tokens"))
+         & (F.col("sum_tok_len") <= 12 * F.col("n_tokens")))
+        .alias("pass_word_len"),
+        (F.col("n_stop") >= 2).alias("pass_stopwords"),
+        (10 * F.col("n_sym") <= F.col("n_chars")).alias("pass_symbols"),
+        (4 * F.coalesce("top_uni", F.lit(0)) <= F.col("n_tokens"))
+        .alias("pass_repetition"),
+    )
+    keep = (F.col("pass_tokens") & F.col("pass_word_len")
+            & F.col("pass_stopwords") & F.col("pass_symbols")
+            & F.col("pass_repetition"))
+    return flags.withColumn("keep", keep)
+
+
+def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """The kept corpus: ``docs`` minus every Gopher-rule failure.
+    Row-local rules fuse into the corpus scan; the repetition rule's
+    aggregate joins back on id — one shuffle, the same cost as any
+    per-doc token statistic."""
+    keep_ids = gopher_flags(docs, id_col, text_col) \
+        .filter(F.col("keep")).select(id_col)
+    return docs.join(keep_ids, id_col, "left_semi")

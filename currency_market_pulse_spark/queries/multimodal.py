@@ -82,3 +82,59 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (M.sample_frames(M.with_binary_payload(docs))
             .orderBy("doc_id", "frame_idx"))
+
+
+def _ahash_sig_ctes(bits: int = M.AHASH_BITS) -> str:
+    """CTE chain computing the aHash signature in SQL: byte-chunk sums
+    via ord() over char positions (the fixture payloads are UTF-8 of
+    pure-ASCII text — asserted by the n-bytes==n-chars comparison in
+    multimodal_decode_meta's green oracle — so codepoints == payload
+    bytes; the Spark side pools the actual bytes and is the general
+    path), integer cross-multiply threshold, bit-sum assembly."""
+    return f"""
+base AS (SELECT doc_id, text, length(text) AS n,
+                coalesce(list_aggregate(list_transform(
+                  range(1, length(text) + 1),
+                  i -> ord(substr(text, CAST(i AS INT), 1))), 'sum'), 0)
+                  AS total
+         FROM documents),
+chunks AS (
+  SELECT doc_id, j,
+         coalesce(list_aggregate(list_transform(
+           range(CAST(j * n // {bits} AS INT) + 1,
+                 CAST((j + 1) * n // {bits} AS INT) + 1),
+           i -> ord(substr(text, CAST(i AS INT), 1))), 'sum'), 0) AS cs,
+         total
+  FROM base, (SELECT unnest(range(0, {bits})) AS j) jj),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cs * {bits} > total
+                       THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM chunks GROUP BY doc_id)"""
+
+
+@extra_query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+WITH {_ahash_sig_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over the BINARY payload column: aHash
+    signatures (operators/multimodal.py ahash_signatures — byte-pool
+    "resize" stub + integer average threshold; production swaps a real
+    decoder into the same mapInPandas kernel) -> hamming<=3 pairs via
+    the recall-complete pigeonhole banding reused from
+    simhash_hamming_pairs.  Closes image dedup, the one pipeline
+    capability text dedup can't cover; the oracle computes signatures
+    independently in SQL and brute-forces the hamming join, proving
+    kernel AND banding end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (M.phash_neardup_pairs(M.with_binary_payload(docs), k=3)
+            .orderBy("id_a", "id_b"))

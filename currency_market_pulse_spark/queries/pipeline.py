@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import packing as P
 from currency_market_pulse_spark.operators import sampling as S
 from currency_market_pulse_spark.queries.registry import extra_query
@@ -24,11 +23,39 @@ from currency_market_pulse_spark.sources.catalog import load_table
 MIN_TOKENS = 30
 PIPE_BUDGET = 2048
 
+
+def _gopher_keep_ctes() -> str:
+    """CTE pair (ptoks, us) + the WHERE body of the full Gopher keep
+    decision (operators/textops.py gopher_flags — all five integer
+    rules), shared with the documents_gopher_filter oracle."""
+    from currency_market_pulse_spark.functions.text import STOPWORDS
+    from currency_market_pulse_spark.operators.textops import (
+        GOPHER_MAX_TOKENS, GOPHER_MIN_TOKENS,
+    )
+
+    stop = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+ptoks AS (SELECT doc_id, text, source, n_chars,
+                 string_split_regex(lower(text), '\\s+') AS t
+          FROM documents),
+pus AS (SELECT doc_id, max(c) AS top_uni
+        FROM (SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS g FROM ptoks) u
+              GROUP BY 1, 2) uc GROUP BY 1),
+quality AS (
+  SELECT tk.doc_id, tk.text, tk.source, tk.n_chars
+  FROM ptoks tk LEFT JOIN pus USING (doc_id)
+  WHERE len(tk.t) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+    AND list_aggregate(list_transform(tk.t, x -> length(x)), 'sum')
+        BETWEEN 2 * len(tk.t) AND 12 * len(tk.t)
+    AND len(list_filter(tk.t, x -> list_contains({stop}, x))) >= 2
+    AND 10 * length(regexp_replace(lower(tk.text), '[a-z0-9\\s]', '', 'g'))
+        <= length(tk.text)
+    AND 4 * coalesce(pus.top_uni, 0) <= len(tk.t))"""
+
+
 _PIPELINE_ORACLE = f"""
-WITH quality AS (
-  SELECT doc_id, text, source, n_chars
-  FROM documents
-  WHERE len(string_split_regex(lower(text), '\\s+')) >= {MIN_TOKENS}),
+WITH {_gopher_keep_ctes()},
 deduped AS (
   SELECT doc_id, source, n_chars FROM (
     SELECT doc_id, source, n_chars,
@@ -60,12 +87,16 @@ FROM packed GROUP BY source ORDER BY source
 
 @extra_query("documents_pipeline_stats", oracle=_PIPELINE_ORACLE)
 def documents_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed pipeline: token-count quality gate -> exact dedup
-    (keep lowest doc_id per md5(text)) -> 90/5/5 hash split (train
-    kept) -> chunk packing at {PIPE_BUDGET} chars per shard -> per-
-    shard doc/pack/char totals."""
+    """Composed pipeline: full Gopher-rule quality gate (r6 —
+    operators/textops.py gopher_filter, all five integer rules, not
+    just the token floor) -> exact dedup (keep lowest doc_id per
+    md5(text)) -> 90/5/5 hash split (train kept) -> chunk packing at
+    {PIPE_BUDGET} chars per shard -> per-shard doc/pack/char
+    totals."""
+    from currency_market_pulse_spark.operators.textops import gopher_filter
+
     docs = load_table(spark, sf_dir, "documents")
-    quality = docs.filter(F.size(tokens(F.col("text"))) >= MIN_TOKENS)
+    quality = gopher_filter(docs)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (quality.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).drop("_rn"))

@@ -553,3 +553,161 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), "pair")
             .limit(BPE_TOP_PAIRS))
+
+
+#: Merges applied by the BPE ENCODE query (trained top-N, rank order).
+BPE_N_MERGES = 20
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_N_MERGES) -> str:
+    """Replay of operators/textops.py bpe_encode_stats: pair counts ->
+    ranked merge table -> n_merges chained literal replaces over the
+    delimited symbol strings -> per-doc aggregate.  Scalar-subquery
+    coalesce to chr(1) (a never-matching pattern) covers corpora with
+    fewer than n_merges distinct pairs, mirroring the Spark fold over
+    a short merge array."""
+    ss = "chr(31)||chr(31)"
+    chain = []
+    for i in range(1, n_merges + 1):
+        chain.append(
+            f"e{i} AS (SELECT doc_id, tk, replace(enc, "
+            f"coalesce((SELECT pat FROM mg WHERE rk={i}), chr(1)), "
+            f"coalesce((SELECT rep FROM mg WHERE rk={i}), chr(1))) AS enc "
+            f"FROM e{i - 1})")
+    return f"""
+WITH {_TOKS},
+tok AS MATERIALIZED (SELECT doc_id, unnest(t) AS tk FROM toks),
+pairs AS (
+  SELECT substr(tk, CAST(i AS INT), 2) AS pair
+  FROM (SELECT tk,
+               unnest(range(1, greatest(length(tk) - 1, 0) + 1)) AS i
+        FROM tok) s),
+mg AS MATERIALIZED (
+  SELECT pair,
+         chr(31)||substr(pair, 1, 1)||{ss}||substr(pair, 2, 1)||chr(31)
+           AS pat,
+         chr(31)||pair||chr(31) AS rep,
+         row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+  QUALIFY rk <= {n_merges}),
+e0 AS (SELECT doc_id, tk,
+              regexp_replace(tk, '(.)', {ss}||'\\1', 'g')||{ss} AS enc
+       FROM tok),
+{",".join(chain)}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(tk)) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(enc, {ss})) - 2) AS BIGINT)
+         AS n_bpe_symbols,
+       CASE WHEN sum(len(string_split(enc, {ss})) - 2) > 0
+            THEN round(sum(length(tk)) /
+                       CAST(sum(len(string_split(enc, {ss})) - 2)
+                            AS DOUBLE), 6) END AS compression_ratio
+FROM e{n_merges} GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@extra_query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION (closes the induction->application loop of
+    text_bpe_pair_stats): encode the corpus with the trained top-20
+    merges in learned order and report per-doc token/symbol counts and
+    the achieved compression ratio — the operator a training pipeline
+    actually runs after tokenizer induction (Sennrich et al. 2016 §2).
+    One corpus-bounded pair aggregate trains the (broadcast, 1-row)
+    merge table; the encode is a codegen'd string fold, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (X.bpe_encode_stats(docs, n_merges=BPE_N_MERGES)
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_bpe_symbols").cast("long")
+                    .alias("n_bpe_symbols"),
+                    "compression_ratio")
+            .orderBy("doc_id"))
+
+
+def _gopher_oracle() -> str:
+    from currency_market_pulse_spark.operators.textops import (
+        GOPHER_MAX_TOKENS, GOPHER_MIN_TOKENS,
+    )
+
+    stop = _stoplist("en")
+    return f"""
+WITH {_TOKS},
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+us AS (SELECT doc_id, max(c) AS top_uni FROM uc GROUP BY 1),
+m AS (
+  SELECT tk.doc_id, d.source, d.n_chars AS doc_chars,
+         len(tk.t) AS n_tok,
+         list_aggregate(list_transform(tk.t, x -> length(x)), 'sum')
+           AS sum_len,
+         len(list_filter(tk.t, x -> list_contains({stop}, x))) AS n_stop,
+         length(regexp_replace(lower(tk.text), '[a-z0-9\\s]', '', 'g'))
+           AS n_sym,
+         length(tk.text) AS n_chars,
+         coalesce(us.top_uni, 0) AS top_uni
+  FROM toks tk
+  JOIN documents d USING (doc_id)
+  LEFT JOIN us USING (doc_id)),
+fl AS (
+  SELECT *,
+         (n_tok BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+           AS p_tok,
+         (sum_len BETWEEN 2 * n_tok AND 12 * n_tok) AS p_wl,
+         (n_stop >= 2) AS p_stop,
+         (10 * n_sym <= n_chars) AS p_sym,
+         (4 * top_uni <= n_tok) AS p_rep
+  FROM m)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p_tok AND p_wl AND p_stop AND p_sym AND p_rep
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN p_tok AND p_wl AND p_stop AND p_sym AND p_rep
+                     THEN doc_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(sum(CASE WHEN p_tok THEN 0 ELSE 1 END) AS BIGINT)
+         AS drop_tokens,
+       CAST(sum(CASE WHEN p_wl THEN 0 ELSE 1 END) AS BIGINT)
+         AS drop_word_len,
+       CAST(sum(CASE WHEN p_stop THEN 0 ELSE 1 END) AS BIGINT)
+         AS drop_stopwords,
+       CAST(sum(CASE WHEN p_sym THEN 0 ELSE 1 END) AS BIGINT)
+         AS drop_symbols,
+       CAST(sum(CASE WHEN p_rep THEN 0 ELSE 1 END) AS BIGINT)
+         AS drop_repetition
+FROM fl GROUP BY source ORDER BY source
+"""
+
+
+@extra_query("documents_gopher_filter", oracle=_gopher_oracle())
+def documents_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality FILTER as a corpus transform (Rae et al.
+    2021 App. A): per source, total docs, docs/chars surviving ALL
+    five rules, and an independent drop count per rule (a doc failing
+    two rules counts in both — the per-rule counts are the knobs a
+    curation run tunes; the survivors-card shape of dedup_survivors).
+    Every rule is an integer inequality — the filter decision is
+    bit-portable with no rounding anywhere."""
+    from currency_market_pulse_spark.operators.textops import gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    fl = gopher_flags(docs).join(
+        docs.select("doc_id", "source", F.col("n_chars").alias("_dc")),
+        "doc_id")
+
+    def drop(col):
+        return F.sum(F.when(F.col(col), 0).otherwise(1))
+
+    return (fl.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("_dc")).otherwise(0))
+                 .alias("kept_chars"),
+                 drop("pass_tokens").alias("drop_tokens"),
+                 drop("pass_word_len").alias("drop_word_len"),
+                 drop("pass_stopwords").alias("drop_stopwords"),
+                 drop("pass_symbols").alias("drop_symbols"),
+                 drop("pass_repetition").alias("drop_repetition"))
+            .orderBy("source"))

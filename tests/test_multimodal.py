@@ -66,3 +66,36 @@ def test_extract_features_feeds_embedding_dedup(spark):
     pairs = embedding_near_dup_pairs(
         feats, threshold=0.999, id_col="doc_id", vec_col="embedding")
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 1)}
+
+
+def test_phash_neardup_flags_planted_duplicate(spark):
+    """A payload differing by a few bytes from another must land
+    within hamming<=3 of it (perceptual property of the byte-pooled
+    aHash); an unrelated payload must not pair with either.  Also pins
+    banding completeness: pair set equals brute-force hamming<=3."""
+    from pyspark.sql import Row, functions as F
+
+    from currency_market_pulse_spark.operators.multimodal import (
+        ahash_signatures, phash_neardup_pairs, with_binary_payload,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rivers "
+            "flow past old stone bridges at dawn and birds circle") * 3
+    near = base.replace("dawn", "dusk")          # local byte edit
+    other = ("zzzz completely different payload AAAA 0101 ~~~ !!! "
+             "unrelated bytes with another distribution entirely") * 4
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=near),
+        Row(doc_id=3, text=other),
+    ])
+    wp = with_binary_payload(docs)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_neardup_pairs(wp, k=3).collect()}
+    assert (1, 2) in pairs
+    assert all({3} - {a, b} for (a, b) in pairs)
+    # banding completeness vs brute force over the signatures
+    sigs = {r.doc_id: r.ahash for r in ahash_signatures(wp).collect()}
+    brute = {(a, b) for a in sigs for b in sigs if a < b
+             and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert set(pairs) == brute

@@ -53,3 +53,28 @@ def test_semdedup_threshold_one_keeps_everything(spark):
     emb = _corpus(spark)
     out = semdedup_cell_stats(emb, k=2, n_iter=1, threshold=1.0000001)
     assert sum(r.n_dropped for r in out.collect()) == 0
+
+
+def test_blas_cell_pairs_match_catalyst(spark):
+    """The per-cell BLAS matmul kernel (registered dedup_embedding_cells
+    path) and the Catalyst sequential-fold join must emit identical
+    pairs and round-6 cosines — including dropping zero-norm vectors."""
+    from pyspark.sql import functions as F
+
+    from currency_market_pulse_spark.operators.kmeans import kmeans_assign
+    from currency_market_pulse_spark.operators.semdedup import (
+        cell_pairs, cell_pairs_blas,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned = kmeans_assign(emb, k=8, n_iter=2)
+    members = (assigned.select("vec_id", "cell")
+               .join(emb.select("vec_id", "embedding"), "vec_id"))
+    key = lambda df: sorted(
+        (r.cell, r.id_a, r.id_b, r.cos_sim) for r in df.collect())
+    a = key(cell_pairs(members, 0.4))
+    b = key(cell_pairs_blas(members, 0.4).withColumn(
+        "cell", F.col("cell").cast("int")))
+    assert a == b and len(a) > 0
