@@ -57,6 +57,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="composed demo: gateway -> normalize -> sink -> live "
+             "trends + streaming near-dup probe")
+    pl.add_argument("--requests-dir", required=True,
+                    help="JSON-lines trade requests (ingest schema)")
+    pl.add_argument("--docs-dir", required=True,
+                    help="JSON-lines (doc_id, text) documents")
+    pl.add_argument("--out-dir", required=True)
+    pl.add_argument("--limit", type=int, default=100)
+    pl.add_argument("--window-ms", type=int, default=1000)
+    pl.add_argument("--once", action="store_true",
+                    help="process available files then exit")
+
     args = p.parse_args(argv)
 
     owns_session = spark is None
@@ -87,6 +101,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 query.stop()
             else:
                 query.awaitTermination()
+        elif args.cmd == "pipeline":
+            from currency_market_pulse_spark.streaming.pipeline import (
+                run_composed_pipeline)
+            pipe = run_composed_pipeline(
+                spark, args.requests_dir, args.docs_dir, args.out_dir,
+                window_ms=args.window_ms, limit=args.limit)
+            if args.once:
+                n_trades, n_dead, n_dups, n_windows = pipe.wait_quiescent()
+                pipe.stop()
+                print(json.dumps({
+                    "trades_imported": n_trades,
+                    "requests_rejected": n_dead,
+                    "near_dups_flagged": n_dups,
+                    "closed_trend_windows": n_windows}))
+            else:
+                for qh in pipe.queries:
+                    qh.awaitTermination()
         elif args.cmd == "query":
             import __spark_entry__ as entrymod
             fn = entrymod.queries().get(args.name)

@@ -1,0 +1,239 @@
+"""The composed streaming pipeline: every streaming piece of the
+engine wired end to end, the way the reference's services compose in
+production (consumer -> Kafka -> importer -> store -> trends API,
+compose.yml) —
+
+    raw trade requests (file-source twin of the Kafka front door)
+      -> rate-limit GATEWAY (stateful sliding window per user,
+         payload carried through; rejects get retry_after)
+      -> parse + normalize admitted payloads (P1..P6 chain)
+      -> ParquetTradesSink (date-partitioned, batch-id idempotent)
+      -> LIVE trends view (file stream OVER THE SINK -> watermarked
+         window aggregation -> in-memory queryable table)
+    + document stream -> streaming near-dup index probe (bands +
+      shingles standing index, batch-id idempotent)
+
+Three chained streaming queries; the trends view consumes the SINK's
+files, not the source — so the composition exercises the storage
+hand-off exactly as the reference's trends service reads what the
+importer wrote.  Rejected requests land in a dead-letter parquet with
+their retry_after_ms, mirroring the consumer's HTTP 429 path
+(ratelimit.go:38-62 via rest/api.go).
+
+At 100 TB nothing here changes shape: the gateway partitions by
+user_id (state ~ in-window requests per user), the sink's dynamic
+partition overwrite keeps replay exactly-once, the live view's state
+is bounded by the watermark, and the near-dup probe runs at
+batch x index cost (queries/dedup.py dedup_incremental).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from currency_market_pulse_spark.functions.normalize import (
+    INGEST_SCHEMA, normalize_trades, parse_ingest_json, parse_time_placed,
+)
+from currency_market_pulse_spark.streaming.importer import ParquetTradesSink
+from currency_market_pulse_spark.streaming.neardup_stream import (
+    StreamingNearDup,
+)
+from currency_market_pulse_spark.streaming.ratelimiter import (
+    DEFAULT_LIMIT, DEFAULT_WINDOW_MS, rate_limit_gateway,
+)
+from currency_market_pulse_spark.streaming.trends_stream import trends_live
+
+#: sink-side schema for the live-view file stream (TRADES_SCHEMA plus
+#: the sink's partition columns, explicit so an empty first batch
+#: cannot break inference — the neardup_stream lesson).
+_SINK_STREAM_SCHEMA = (
+    "user_id string, currency_from string, currency_to string, "
+    "amount_sell_micros long, amount_buy_micros long, rate double, "
+    "originating_country string, time_placed timestamp, "
+    "trade_date date, batch_id long")
+
+_DEAD_LETTER_SCHEMA = (
+    "user_id string, event_id long, ts_ms long, n_in_window int, "
+    "retry_after_ms long, batch_id long")
+
+
+@dataclass
+class ComposedPipeline:
+    """Handles for the running composition.
+
+    NOTE on waiting: ``processAllAvailable`` is NOT usable here — the
+    gateway's processing-time state timeout keeps the engine
+    scheduling timeout-evaluation micro-batches, so the query never
+    reports the idle point PAA waits for (measured: 100+ empty epochs
+    and a blocked caller; the repo's rate-limiter tests poll for the
+    same reason).  Use ``wait_for`` (poll until output targets) or
+    ``wait_quiescent`` (poll until all outputs stop changing)."""
+
+    spark: SparkSession
+    trades_path: str
+    dead_letter_path: str
+    trends_view: str
+    neardup: StreamingNearDup
+    queries: list = field(default_factory=list)
+
+    def counts(self) -> tuple[int, int, int, int]:
+        """(trades, dead_letters, near_dups, closed_trend_windows)."""
+        spark = self.spark
+        return (
+            spark.read.schema(_SINK_STREAM_SCHEMA)
+            .parquet(self.trades_path).count(),
+            self.read_dead_letters(spark).count(),
+            self.neardup.read_dups(spark).count(),
+            spark.table(self.trends_view).count())
+
+    def _raise_if_failed(self) -> None:
+        for q in self.queries:
+            if q.exception() is not None:
+                raise q.exception()
+
+    def wait_for(self, trades: int = 0, dead: int = 0, dups: int = 0,
+                 windows: int = 0, timeout: float = 120.0
+                 ) -> tuple[int, int, int, int]:
+        """Poll until every output reaches its target count."""
+        import time
+
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            self._raise_if_failed()
+            cur = self.counts()
+            if (cur[0] >= trades and cur[1] >= dead
+                    and cur[2] >= dups and cur[3] >= windows):
+                return cur
+            time.sleep(0.5)
+        raise TimeoutError(f"pipeline outputs stuck at {self.counts()}")
+
+    def wait_quiescent(self, stable_secs: float = 5.0,
+                       timeout: float = 120.0) -> tuple[int, int, int, int]:
+        """Poll until no output count changes for ``stable_secs``."""
+        import time
+
+        deadline = time.time() + timeout
+        last, t_last = None, time.time()
+        while time.time() < deadline:
+            self._raise_if_failed()
+            cur = self.counts()
+            if cur != last:
+                last, t_last = cur, time.time()
+            elif time.time() - t_last >= stable_secs:
+                return cur
+            time.sleep(0.5)
+        raise TimeoutError(f"pipeline never quiesced: {self.counts()}")
+
+    def stop(self) -> None:
+        for q in self.queries:
+            q.stop()
+
+    def read_dead_letters(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(_DEAD_LETTER_SCHEMA).parquet(
+            self.dead_letter_path)
+
+
+def run_composed_pipeline(spark: SparkSession, requests_dir: str,
+                          docs_dir: str, out_dir: str,
+                          window_ms: int = DEFAULT_WINDOW_MS,
+                          limit: int = DEFAULT_LIMIT,
+                          trends_view: str = "pipeline_trends_live",
+                          watermark: str = "10 minutes",
+                          trigger: str | None = "1 second"
+                          ) -> ComposedPipeline:
+    """Start the full composition and return its handles.
+
+    ``requests_dir``: JSON-lines files in the ingest schema (the HTTP
+    body shape, api.go:16-25).  ``docs_dir``: JSON-lines (doc_id,
+    text) documents for the near-dup probe.  ``out_dir``: all durable
+    output (trades parquet, dead letters, near-dup index,
+    checkpoints)."""
+    import os
+
+    trades_path = f"{out_dir}/trades"
+    dead_path = f"{out_dir}/dead_letter"
+    # the live-view file stream and the dead-letter reader start
+    # before the first batch writes — pre-create the directories so an
+    # explicit-schema read of the not-yet-written dataset is an empty
+    # relation, not PATH_NOT_FOUND
+    os.makedirs(trades_path, exist_ok=True)
+    os.makedirs(dead_path, exist_ok=True)
+    os.makedirs(f"{out_dir}/dups", exist_ok=True)
+
+    # ---- query 1: gateway -> normalize -> idempotent parquet sink
+    raw = (spark.readStream.schema(INGEST_SCHEMA)
+           .option("maxFilesPerTrigger", "1").json(requests_dir))
+    requests = raw.select(
+        F.col("userId").alias("user_id"),
+        F.xxhash64(F.to_json(F.struct(*raw.columns))).alias("event_id"),
+        (F.unix_timestamp(parse_time_placed(F.col("timePlaced"))) * 1000)
+        .alias("ts_ms"),
+        F.to_json(F.struct(*raw.columns)).alias("payload"),
+    ).filter(F.col("ts_ms").isNotNull())   # malformed -> 400 pre-gate
+    decisions = rate_limit_gateway(requests, window_ms, limit)
+    sink = ParquetTradesSink(trades_path)
+
+    def import_batch(batch: DataFrame, batch_id: int) -> None:
+        # TWO actions consume this micro-batch (sink + dead letter);
+        # persist so the stateful gateway upstream executes ONCE per
+        # epoch — re-running a state-store operator inside the same
+        # epoch is undefined (and measured to crash the worker).
+        batch = batch.persist()
+        try:
+            admitted = batch.filter(F.col("admitted"))
+            trades = normalize_trades(
+                parse_ingest_json(admitted.select("payload"), "payload"))
+            sink.write(trades.filter(F.col("time_placed").isNotNull()),
+                       batch_id)
+            # dead-letter the rejects WITH their retry hint (429 twin)
+            (batch.filter(~F.col("admitted"))
+             .select("user_id", "event_id", "ts_ms", "n_in_window",
+                     "retry_after_ms")
+             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(dead_path))
+        finally:
+            batch.unpersist()
+
+    # The gateway is stateful with a PROCESSING-TIME timeout: under
+    # the default ASAP trigger the engine schedules back-to-back empty
+    # micro-batches to evaluate timeouts, which livelocks
+    # processAllAvailable (measured: 100+ empty epochs, state-store
+    # snapshot maintenance falling behind).  The importer's 1s flush
+    # trigger (T2, streaming/importer.py FLUSH_INTERVAL) paces the
+    # query AND restores an idle point between batches.
+    writer = (decisions.writeStream
+              .option("checkpointLocation", f"{out_dir}/ckpt_import")
+              .outputMode("append").foreachBatch(import_batch))
+    if trigger:
+        writer = writer.trigger(processingTime=trigger)
+    q_import = writer.start()
+
+    # ---- query 2: live trends OVER THE SINK's files (storage hand-off)
+    sink_stream = (spark.readStream.schema(_SINK_STREAM_SCHEMA)
+                   .parquet(trades_path))
+    trends_writer = (trends_live(sink_stream, watermark=watermark)
+                     .writeStream.format("memory").queryName(trends_view)
+                     .option("checkpointLocation", f"{out_dir}/ckpt_trends")
+                     .outputMode("append"))
+    if trigger:
+        trends_writer = trends_writer.trigger(processingTime=trigger)
+    q_trends = trends_writer.start()
+
+    # ---- query 3: streaming near-dup index probe over the doc stream
+    nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
+                          shingles_path=f"{out_dir}/idx_shingles",
+                          dups_path=f"{out_dir}/dups")
+    doc_stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").json(docs_dir))
+    q_dedup = nd.attach(doc_stream, f"{out_dir}/ckpt_neardup",
+                        trigger=trigger)
+
+    return ComposedPipeline(
+        spark=spark,
+        trades_path=trades_path, dead_letter_path=dead_path,
+        trends_view=trends_view, neardup=nd,
+        queries=[q_import, q_trends, q_dedup])

@@ -42,6 +42,13 @@ STATE_SCHEMA = T.StructType([
     T.StructField("recent_ms", T.ArrayType(T.LongType())),
 ])
 
+#: Gateway variant: admission decision + the opaque request payload
+#: carried through, so admitted requests continue down the pipeline
+#: with their full content — the reference consumer's shape (rate-limit
+#: the HTTP request, forward the body to Kafka on admit).
+GATEWAY_OUTPUT_SCHEMA = T.StructType(
+    OUTPUT_SCHEMA.fields + [T.StructField("payload", T.StringType())])
+
 
 def admit_fold(recent: list[int], ts_ms: int, window_ms: int,
                limit: int) -> tuple[list[int], int, bool, int | None]:
@@ -57,7 +64,7 @@ def admit_fold(recent: list[int], ts_ms: int, window_ms: int,
     return recent, n, False, recent[0] + window_ms - ts_ms
 
 
-def _make_fold(window_ms: int, limit: int):
+def _make_fold(window_ms: int, limit: int, with_payload: bool = False):
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -68,6 +75,8 @@ def _make_fold(window_ms: int, limit: int):
         rows = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
         out = {"user_id": [], "event_id": [], "ts_ms": [],
                "n_in_window": [], "admitted": [], "retry_after_ms": []}
+        if with_payload:
+            out["payload"] = []
         for r in rows.itertuples():
             recent, n, ok, retry = admit_fold(
                 recent, int(r.ts_ms), window_ms, limit)
@@ -77,6 +86,8 @@ def _make_fold(window_ms: int, limit: int):
             out["n_in_window"].append(n)
             out["admitted"].append(ok)
             out["retry_after_ms"].append(retry)
+            if with_payload:
+                out["payload"].append(r.payload)
         state.update((recent,))
         state.setTimeoutDuration(window_ms)  # Redis Expire(duration)
         yield pd.DataFrame(out)
@@ -102,6 +113,32 @@ def rate_limit_stream(events: DataFrame,
             .applyInPandasWithState(
                 _make_fold(window_ms, limit),
                 outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def rate_limit_gateway(requests: DataFrame,
+                       window_ms: int = DEFAULT_WINDOW_MS,
+                       limit: int = DEFAULT_LIMIT) -> DataFrame:
+    """Gateway form of the limiter: input carries (user_id, event_id,
+    ts_ms, payload string); output is every request's admission
+    decision WITH its payload, so admitted requests flow onward intact
+    — the reference consumer's exact shape (ratelimit.go gate in front
+    of the Kafka produce).  Same state machine as rate_limit_stream;
+    limit/window <= 0 is the no-op pass-through (T4)."""
+    if limit <= 0 or window_ms <= 0:
+        from pyspark.sql import functions as F
+        return requests.select(
+            "user_id", "event_id", "ts_ms",
+            F.lit(1).alias("n_in_window"),
+            F.lit(True).alias("admitted"),
+            F.lit(None).cast("long").alias("retry_after_ms"),
+            "payload")
+    return (requests.groupBy("user_id")
+            .applyInPandasWithState(
+                _make_fold(window_ms, limit, with_payload=True),
+                outputStructType=GATEWAY_OUTPUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -1,0 +1,102 @@
+"""Composed streaming pipeline (VERDICT r5 item 8): gateway rate
+limiting, normalization, idempotent sink, live trends over the SINK's
+files, and the streaming near-dup probe — one end-to-end run, plus the
+CLI entry that drives it."""
+
+from __future__ import annotations
+
+import json
+
+
+def _write(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _req(user, ts, sell=100.0, buy=150.0):
+    return {"userId": user, "currencyFrom": "EUR", "currencyTo": "USD",
+            "amountSell": sell, "amountBuy": buy, "rate": 1.5,
+            "timePlaced": ts, "originatingCountry": "FR"}
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the calm "
+        "river flows past the old stone bridge at dawn")
+NEAR = BASE.replace("dawn", "dusk")
+
+
+def _plant(tmp_path):
+    req = tmp_path / "req"
+    docs = tmp_path / "docs"
+    req.mkdir()
+    docs.mkdir()
+    # user "hot": 3 requests inside one 1s window at limit=2 -> one 429;
+    # user "calm": admitted.  A much later trade closes the 10:00 window.
+    _write(req / "f1.json", [
+        _req("hot", "12-AUG-24 10:01:01", buy=110.0),
+        _req("hot", "12-AUG-24 10:01:01", buy=120.0),
+        _req("hot", "12-AUG-24 10:01:01", buy=130.0),
+        _req("calm", "12-AUG-24 10:02:00", buy=200.0),
+    ])
+    _write(req / "f2.json", [_req("calm", "12-AUG-24 11:30:00", buy=250.0)])
+    _write(docs / "d1.json", [{"doc_id": 1, "text": BASE}])
+    _write(docs / "d2.json", [{"doc_id": 2, "text": NEAR}])
+    return req, docs
+
+
+def test_composed_pipeline_end_to_end(spark, tmp_path):
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    req, docs = _plant(tmp_path)
+    pipe = run_composed_pipeline(spark, str(req), str(docs),
+                                 str(tmp_path / "out"),
+                                 window_ms=1000, limit=2)
+    try:
+        pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+        trades = spark.read.parquet(pipe.trades_path)
+        got = trades.collect()
+        dead = pipe.read_dead_letters(spark).collect()
+        dups = pipe.neardup.read_dups(spark).collect()
+        trends = {(r.time_window.isoformat(), r.currency_from): r
+                  for r in spark.table(pipe.trends_view).collect()}
+    finally:
+        pipe.stop()
+
+    # gateway: 4 of 5 requests admitted, 1 rejected with a retry hint
+    assert len(got) == 4
+    assert len(dead) == 1
+    assert dead[0].user_id == "hot" and dead[0].retry_after_ms == 1000
+    # normalization: client rate dropped, rate derived from buy/sell
+    rates = sorted(round(r.rate, 6) for r in got)
+    assert rates == [1.1, 1.2, 2.0, 2.5]
+    # live view over the SINK: the 10:00 window closed (the 11:30
+    # trade advanced the watermark) and aggregates exactly the three
+    # ADMITTED trades that fall inside it — the rejected 1.3 trade is
+    # absent, and the 11:30 trade sits in its own (still-open) window
+    w = trends[("2024-08-12T10:00:00", "EUR")]
+    assert (w.n_trades, w.min, w.max) == (3, 1.1, 2.0)
+    # near-dup probe: the second batch's near-copy flagged vs doc 1
+    assert [(d.new_id, d.dup_of) for d in dups] == [(2, 1)]
+
+
+def test_pipeline_cli_once(spark, tmp_path):
+    from currency_market_pulse_spark.__main__ import main
+
+    req, docs = _plant(tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["pipeline", "--requests-dir", str(req),
+                   "--docs-dir", str(docs),
+                   "--out-dir", str(tmp_path / "out"),
+                   "--limit", "2", "--window-ms", "1000", "--once"],
+                  spark=spark)
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary == {"trades_imported": 4, "requests_rejected": 1,
+                       "near_dups_flagged": 1,
+                       "closed_trend_windows": 1}
