@@ -256,3 +256,113 @@ def phash_neardup_pairs(docs_with_payload: DataFrame, k: int = 3,
             .select(F.col(id_col), F.col("ahash").alias("simhash")))
     return simhash_hamming_pairs(sigs, k=k, bits=AHASH_BITS,
                                  id_col=id_col)
+
+
+FRAME_AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("fhash", T.LongType()),
+])
+
+
+def _ahash_bytes(b: bytes, bits: int) -> int:
+    """aHash over raw bytes: byte-pool into ``bits`` chunks, integer
+    average-threshold (the ahash_signatures kernel, factored so the
+    payload-level and frame-level stages share one implementation)."""
+    import numpy as np
+
+    a = np.frombuffer(b, dtype=np.uint8)
+    n = len(a)
+    total = int(a.sum())
+    sig = 0
+    for j in range(bits):
+        lo, hi = j * n // bits, (j + 1) * n // bits
+        if int(a[lo:hi].sum()) * bits > total:
+            sig |= 1 << j
+    return sig
+
+
+def frame_ahash_signatures(docs_with_payload: DataFrame,
+                           bits: int = AHASH_BITS,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Per-FRAME perceptual signatures: the sample_frames explosion
+    (stub frame bytes = payload || '|frame|' || k — a real build
+    decodes actual frames here) with each frame aHash'd.  Output
+    (doc_id, frame_idx, fhash); frames stream out per Arrow batch as
+    in sample_frames."""
+    cols = docs_with_payload.select(id_col, "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                h64 = int(hashlib.md5(b).hexdigest()[:15], 16)
+                for k in range(h64 % MAX_STUB_FRAMES + 1):
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(k)
+                    out["fhash"].append(
+                        _ahash_bytes(b + f"|frame|{k}".encode(), bits))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, FRAME_AHASH_SCHEMA)
+
+
+#: frame-uid packing factor (frame_idx < MAX_STUB_FRAMES + 1 always).
+_FRAME_PACK = MAX_STUB_FRAMES + 1
+
+
+def video_neardup_pairs(docs_with_payload: DataFrame, k: int = 3,
+                        min_frac: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Video-level perceptual near-dup: (id_a, id_b, n_match_a,
+    n_match_b, frac_a, frac_b) for video pairs where EITHER side has
+    >= ``min_frac`` of its frames matched (hamming <= k) by some frame
+    of the other — the clip-dedup shape (re-encodes, trims and
+    overlays perturb frames slightly; the frame-match fraction
+    survives).
+
+    Plan: frame signatures -> recall-complete hamming banding
+    (simhash_hamming_pairs reused on packed frame uids = doc_id *
+    {pack} + frame_idx) -> same-video pairs dropped -> per-pair
+    distinct-matched-frame counts vs each side's frame count.  Work is
+    banded-candidate-bounded at every step; the frame relation is
+    |corpus| x frames-per-clip, never joined all-pairs."""
+    from currency_market_pulse_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sigs = frame_ahash_signatures(docs_with_payload, AHASH_BITS, id_col)
+    per_video = sigs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_frames"))
+    uids = sigs.select(
+        (F.col(id_col) * _FRAME_PACK + F.col("frame_idx")).alias("uid"),
+        F.col("fhash").alias("simhash"))
+    fp = simhash_hamming_pairs(uids, k=k, bits=AHASH_BITS, id_col="uid")
+    pairs = (fp.select(
+        (F.col("id_a") / _FRAME_PACK).cast("long").alias("va"),
+        (F.col("id_a") % _FRAME_PACK).alias("fa"),
+        (F.col("id_b") / _FRAME_PACK).cast("long").alias("vb"),
+        (F.col("id_b") % _FRAME_PACK).alias("fb"))
+        .filter(F.col("va") != F.col("vb"))
+        .select(F.least("va", "vb").alias("id_a"),
+                F.greatest("va", "vb").alias("id_b"),
+                F.when(F.col("va") < F.col("vb"), F.col("fa"))
+                .otherwise(F.col("fb")).alias("frame_in_a"),
+                F.when(F.col("va") < F.col("vb"), F.col("fb"))
+                .otherwise(F.col("fa")).alias("frame_in_b")))
+    agg = (pairs.groupBy("id_a", "id_b")
+           .agg(F.countDistinct("frame_in_a").alias("n_match_a"),
+                F.countDistinct("frame_in_b").alias("n_match_b")))
+    na = per_video.select(F.col(id_col).alias("id_a"),
+                          F.col("n_frames").alias("_na"))
+    nb = per_video.select(F.col(id_col).alias("id_b"),
+                          F.col("n_frames").alias("_nb"))
+    return (agg.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", "n_match_a", "n_match_b",
+                    F.round(F.col("n_match_a") / F.col("_na"), 6)
+                    .alias("frac_a"),
+                    F.round(F.col("n_match_b") / F.col("_nb"), 6)
+                    .alias("frac_b"))
+            .filter(F.greatest("frac_a", "frac_b") >= min_frac)
+            .orderBy("id_a", "id_b"))

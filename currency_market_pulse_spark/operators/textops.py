@@ -476,3 +476,79 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
     keep_ids = gopher_flags(docs, id_col, text_col) \
         .filter(F.col("keep")).select(id_col)
     return docs.join(keep_ids, id_col, "left_semi")
+
+
+#: BM25 parameters (Robertson et al.; the Lucene-default shape).
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: fixed-point quantum for the per-(doc, term) partial score — summed
+#: as integers so the per-doc total is fold-order independent, and the
+#: ln() inside IDF rides out cross-engine ulp divergence (the same
+#: 1e-4/1e-6 discipline as the NLL family).
+BM25_FIX = 1_000_000
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k1: float = BM25_K1, b: float = BM25_B, top_k: int = 10,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 retrieval: top-``top_k`` documents per query —
+    (query_id, doc_id, bm25, rn).
+
+    score(D, q) = sum over t in q of
+        IDF(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with the Lucene IDF ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Determinism: IDF is integer-fixed (x1e4) at the vocabulary level;
+    each (doc, term) partial score is integer-fixed (x1e6) and the
+    per-doc sum runs over LONGS, so the ranking is an exact function
+    of the corpus on both engines — ln() ulp noise and float sum order
+    cannot flip a rank.
+
+    Scale shape: tf/df/length aggregates are the TF-IDF passes (one
+    corpus explode, partial-agg shuffles); the query relation is a
+    literal handful of (query_id, term) rows BROADCAST into the tf
+    relation — the classic inverted-index probe: only postings of
+    query terms survive the join, so scoring work is sum of the query
+    terms' document frequencies, not corpus x queries."""
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(qrows, "query_id int, tok string")
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    occ = (toks.select(F.col(id_col), F.explode_outer("_t").alias("tok"))
+           .filter(F.col("tok").isNotNull()))
+    tf = occ.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("total_len"))
+
+    idf = df_.join(F.broadcast(stats)).select(
+        "tok",
+        F.round(F.log(F.lit(1.0)
+                      + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5))) * F.lit(10_000), 0)
+        .cast("long").alias("idf_fix"))
+
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * (F.lit(k1) + 1.0)
+              / (tfd + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * F.col("dl") / avgdl)))
+    part = (tf.join(F.broadcast(qdf), "tok")
+            .join(F.broadcast(idf.join(F.broadcast(qdf), "tok")
+                              .select("tok", "idf_fix").distinct()), "tok")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .select("query_id", F.col(id_col),
+                    F.round(F.col("idf_fix") / F.lit(10_000.0) * tfnorm
+                            * F.lit(BM25_FIX), 0).cast("long")
+                    .alias("_sfix")))
+    scored = (part.groupBy("query_id", id_col)
+              .agg(F.round(F.sum("_sfix") / F.lit(float(BM25_FIX)), 6)
+                   .alias("bm25")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), id_col)
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_k)
+            .orderBy("query_id", "rn"))

@@ -138,3 +138,78 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (M.phash_neardup_pairs(M.with_binary_payload(docs), k=3)
             .orderBy("id_a", "id_b"))
+
+
+def _video_neardup_oracle(bits: int = M.AHASH_BITS, k: int = 3,
+                          min_frac: float = 0.5) -> str:
+    """Independent SQL replay of frame-aHash video dedup: frame
+    strings re-derived from the stub contract (payload || '|frame|' ||
+    k, frame count from the md5 prefix), signatures via the same
+    integer chunk-threshold math as the payload-level oracle, match
+    via BRUTE-FORCE hamming (the banded Spark plan must equal it —
+    pigeonhole recall-completeness proven again at the video level)."""
+    return f"""
+WITH fr AS (
+  SELECT doc_id, text || '|frame|' || kk AS s, CAST(kk AS INT) AS frame_idx
+  FROM (SELECT doc_id, text,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h64
+        FROM documents) h,
+       LATERAL unnest(range(0, h64 % {M.MAX_STUB_FRAMES} + 1)) AS t(kk)),
+fb AS (SELECT doc_id, frame_idx, s, length(s) AS n,
+              coalesce(list_aggregate(list_transform(
+                range(1, length(s) + 1),
+                i -> ord(substr(s, CAST(i AS INT), 1))), 'sum'), 0)
+                AS total
+       FROM fr),
+fch AS (
+  SELECT doc_id, frame_idx, j,
+         coalesce(list_aggregate(list_transform(
+           range(CAST(j * n // {bits} AS INT) + 1,
+                 CAST((j + 1) * n // {bits} AS INT) + 1),
+           i -> ord(substr(s, CAST(i AS INT), 1))), 'sum'), 0) AS cs,
+         total
+  FROM fb, (SELECT unnest(range(0, {bits})) AS j) jj),
+fsig AS (
+  SELECT doc_id, frame_idx,
+         CAST(sum(CASE WHEN cs * {bits} > total
+                       THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                       ELSE 0 END) AS BIGINT) AS fhash
+  FROM fch GROUP BY 1, 2),
+pv AS (SELECT doc_id, count(*) AS n_frames FROM fsig GROUP BY 1),
+mp AS (
+  SELECT a.doc_id AS va, a.frame_idx AS fa,
+         b.doc_id AS vb, b.frame_idx AS fb2
+  FROM fsig a JOIN fsig b
+    ON a.doc_id < b.doc_id
+   AND bit_count(xor(a.fhash, b.fhash)) <= {k}),
+ag AS (SELECT va AS id_a, vb AS id_b,
+              count(DISTINCT fa) AS n_match_a,
+              count(DISTINCT fb2) AS n_match_b
+       FROM mp GROUP BY 1, 2)
+SELECT ag.id_a, ag.id_b,
+       CAST(n_match_a AS BIGINT) AS n_match_a,
+       CAST(n_match_b AS BIGINT) AS n_match_b,
+       round(n_match_a / CAST(pa.n_frames AS DOUBLE), 6) AS frac_a,
+       round(n_match_b / CAST(pb.n_frames AS DOUBLE), 6) AS frac_b
+FROM ag
+JOIN pv pa ON pa.doc_id = ag.id_a
+JOIN pv pb ON pb.doc_id = ag.id_b
+WHERE greatest(round(n_match_a / CAST(pa.n_frames AS DOUBLE), 6),
+               round(n_match_b / CAST(pb.n_frames AS DOUBLE), 6))
+      >= {min_frac}
+ORDER BY ag.id_a, ag.id_b
+"""
+
+
+@extra_query("multimodal_video_neardup", oracle=_video_neardup_oracle())
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level perceptual dedup (operators/multimodal.py
+    video_neardup_pairs): per-frame aHash signatures through the
+    sample_frames explosion, hamming<=3 frame matches via the banded
+    candidate join, videos paired when either side has >= 50% of its
+    frames matched.  The oracle brute-forces the frame hamming join,
+    so the banding's recall-completeness is re-proven at the video
+    level; the Spark plan never all-pairs the frame relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_neardup_pairs(M.with_binary_payload(docs), k=3,
+                                 min_frac=0.5)

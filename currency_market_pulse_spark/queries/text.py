@@ -711,3 +711,71 @@ def documents_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  drop("pass_symbols").alias("drop_symbols"),
                  drop("pass_repetition").alias("drop_repetition"))
             .orderBy("source"))
+
+
+#: BM25 demo query set — mid/high-frequency fixture vocabulary.
+BM25_QUERIES = [
+    (1, ["hash", "join", "skew"]),
+    (2, ["vector", "scan", "filter"]),
+    (3, ["stream", "window", "state"]),
+]
+
+
+def _bm25_oracle() -> str:
+    from currency_market_pulse_spark.operators.textops import (
+        BM25_B, BM25_FIX, BM25_K1,
+    )
+
+    qvals = ", ".join(f"({qid}, '{t}')"
+                      for qid, terms in BM25_QUERIES for t in terms)
+    return f"""
+WITH {_TOKS},
+occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM occ GROUP BY 1),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+idf AS (SELECT tok, CAST(round(ln(1 + (st.n_docs - df + 0.5)
+                                      / (df + 0.5)) * 10000, 0) AS BIGINT)
+               AS idf_fix
+        FROM df, st),
+q(query_id, tok) AS (VALUES {qvals}),
+part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(idf.idf_fix / 10000.0
+                    * (tf.tf * ({BM25_K1} + 1.0)
+                       / (tf.tf + {BM25_K1}
+                          * ((1.0 - {BM25_B}) + {BM25_B} * dl.dl
+                             / (CAST(st.total_len AS DOUBLE)
+                                / st.n_docs))))
+                    * {BM25_FIX}, 0) AS BIGINT) AS sfix
+  FROM tf
+  JOIN q ON q.tok = tf.tok
+  JOIN idf ON idf.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scored AS (
+  SELECT query_id, doc_id,
+         round(sum(sfix) / CAST({BM25_FIX} AS DOUBLE), 6) AS bm25
+  FROM part GROUP BY 1, 2)
+SELECT query_id, doc_id, bm25, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY bm25 DESC, doc_id) AS rn
+  FROM scored) x
+WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
+@extra_query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/textops.py bm25_topk): top-10
+    documents for three fixed multi-term queries — the lexical
+    retrieval leg next to the embedding-ANN ladder, the shape a RAG /
+    eval-mining pipeline runs over the corpus.  Inverted-index probe
+    cost (only query-term postings survive the broadcast join); every
+    log integer-fixed, every per-doc sum an integer sum."""
+    from currency_market_pulse_spark.operators.textops import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, BM25_QUERIES, top_k=10)
+    return out.select("query_id", "doc_id", "bm25", "rn")

@@ -99,3 +99,28 @@ def test_phash_neardup_flags_planted_duplicate(spark):
     brute = {(a, b) for a in sigs for b in sigs if a < b
              and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
     assert set(pairs) == brute
+
+
+def test_video_neardup_flags_perturbed_clip(spark):
+    """A clip whose payload differs by one token shares most frame
+    signatures within hamming<=3; an unrelated clip pairs with
+    neither.  Fractions are per-side frame-match ratios."""
+    from pyspark.sql import Row
+
+    from currency_market_pulse_spark.operators.multimodal import (
+        frame_ahash_signatures, video_neardup_pairs, with_binary_payload,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rivers "
+            "flow past old stone bridges at dawn and birds circle") * 4
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("dawn", "dusk")),
+            Row(doc_id=3, text="utterly different ~~ bytes !!! 0101 " * 20)]
+    wp = with_binary_payload(spark.createDataFrame(rows))
+    out = {(r.id_a, r.id_b): r
+           for r in video_neardup_pairs(wp, k=3, min_frac=0.5).collect()}
+    assert (1, 2) in out
+    assert all(3 not in p for p in out)
+    r = out[(1, 2)]
+    n1 = frame_ahash_signatures(wp).filter("doc_id = 1").count()
+    assert 0 < r.n_match_a <= n1 and r.frac_a >= 0.5
