@@ -115,12 +115,17 @@ def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 2,
     # checkpoint per hand-off is a sub-0.3s job that every later
     # stage then reads for free (sf0.1: eager 2.9s vs lazy 7.1s
     # end-to-end train).
+    # Assignment runs through the BLAS kernel (assign_cells_blas, the
+    # matmul Lloyd inner loop — n*k*dim flops instead of n*k
+    # interpreted folds; required at the corpus-adaptive k).  The
+    # Catalyst fold twin (assign_cells) stays as the differential
+    # reference, equality pinned by tests/test_kmeans.py.
     centroids = seed_centroids(emb, k, id_col, vec_col).localCheckpoint()
-    assigned = assign_cells(emb, centroids, id_col, vec_col)
+    assigned = assign_cells_blas(emb, centroids, id_col, vec_col)
     for _ in range(n_iter):
         centroids = update_centroids(
             emb, assigned, id_col, vec_col).localCheckpoint()
-        assigned = assign_cells(emb, centroids, id_col, vec_col)
+        assigned = assign_cells_blas(emb, centroids, id_col, vec_col)
     return centroids, assigned
 
 
@@ -130,3 +135,79 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
     """Final (id, cell, dist) after ``n_iter`` Lloyd iterations from
     the deterministic seeds."""
     return kmeans_fit(emb, k, n_iter, id_col, vec_col)[1]
+
+
+def packed_centroids(centroids: DataFrame) -> DataFrame:
+    """ONE-row relation carrying the whole codebook as a cell-ordered
+    array<array<double>> — the broadcastable form the BLAS assignment
+    consumes.  Built relationally (array_sort over (cell, centroid)
+    structs); no driver collect."""
+    packed = F.array_sort(F.collect_list(F.struct("cell", "centroid")))
+    return centroids.agg(
+        F.transform(packed, lambda s: s["cell"]).alias("_cells"),
+        F.transform(packed, lambda s: s["centroid"]).alias("_cents"))
+
+
+def assign_cells_blas(emb: DataFrame, centroids: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      with_alt: bool = False) -> DataFrame:
+    """BLAS twin of ``assign_cells``: per Arrow batch, all n x k
+    squared distances in one |x|^2 + |c|^2 - 2XC^T matmul, rounded to
+    6 and argmin'd with the same tie-to-lowest-cell rule (numpy argmin
+    returns the first minimum; cells are sorted ascending).
+
+    Why it exists: the Catalyst crossJoin+fold assignment is n*k
+    interpreted 64-dim lambda folds — at the corpus-adaptive k
+    (queries/ivf.py coarse_k) that made TRAINING the bottleneck
+    (sf1, k=80: 40s vs 8.7s at k=8).  The matmul form is the standard
+    Lloyd inner loop; the round-6 hand-off keeps it bitwise-aligned
+    with the sequential-fold oracle exactly as the other proven BLAS
+    twins (cell_pairs_blas, topk_numpy).
+
+    ``with_alt``: also emit ``alt_dist`` = min rounded distance to any
+    OTHER cell — the silhouette's ``b`` term for free, replacing a
+    second n x k relation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [T.StructField("vec_id", T.LongType()),
+              T.StructField("cell", T.IntegerType()),
+              T.StructField("dist", T.DoubleType())]
+    if with_alt:
+        fields.append(T.StructField("alt_dist", T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    packed = F.broadcast(packed_centroids(centroids))
+    src = (emb.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_vec"))
+           .crossJoin(packed))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # cells can DROP during Lloyd (non-contiguous ids); map
+            # matrix row -> actual cell id.  Rows are cell-ascending,
+            # so numpy's first-minimum argmin IS tie-to-lowest-cell.
+            cell_ids = np.array(list(pdf["_cells"].iloc[0]),
+                                dtype=np.int32)
+            C = np.array(list(pdf["_cents"].iloc[0]), dtype=np.float64)
+            X = np.array(list(pdf["_vec"]), dtype=np.float64)
+            d = (np.square(X).sum(1)[:, None] + np.square(C).sum(1)[None, :]
+                 - 2.0 * (X @ C.T))
+            d = np.round(d, 6)
+            rows = d.argmin(1)
+            out = {"vec_id": pdf["_id"].to_numpy(),
+                   "cell": cell_ids[rows],
+                   "dist": d[np.arange(len(d)), rows]}
+            if with_alt:
+                d[np.arange(len(d)), rows] = np.inf
+                out["alt_dist"] = d.min(1)
+            yield pd.DataFrame(out)
+
+    out = src.mapInPandas(kernel, out_schema)
+    if id_col != "vec_id":
+        out = out.withColumnRenamed("vec_id", id_col)
+    return out

@@ -97,9 +97,31 @@ KMEANS_K = 8
 KMEANS_ITER = 2
 _DIM = 64
 
+#: Corpus-adaptive coarse-quantizer sizing (the SemDeDup contract:
+#: k grows with the corpus so cells stay executor-sized and the
+#: in-cell pair space stays ~n * CELL_TARGET instead of n^2/const —
+#: LINEAR-class dedup work).  k = max(8, ceil(n / COARSE_CELL_TARGET))
+#: — identical to the old fixed k=8 at the sf0.01 driver gate AND the
+#: sf0.1 bench (500 and 2000 vectors both floor at 8), 80 cells at
+#: sf1, 800 at sf10.  The Spark side computes it from one count at
+#: index-build time; every coarse oracle embeds the SAME rule as a
+#: scalar-subquery LIMIT so the differential holds at every SF.
+COARSE_CELL_TARGET = 250
+
+
+def coarse_k(n: int) -> int:
+    import math
+
+    return max(KMEANS_K, math.ceil(n / COARSE_CELL_TARGET))
+
+
+def _coarse_k_sql(emb: str = "emb") -> str:
+    return (f"(SELECT greatest({KMEANS_K}, CAST(ceil(count(*) / "
+            f"{COARSE_CELL_TARGET}.0) AS BIGINT)) FROM {emb})")
+
 # Session-shared trained coarse quantizer (the queries/dedup.py corpus
-# cache pattern): five query families consume the SAME (k=8, 2-iter)
-# Lloyd chain over the same embeddings table — k-means cells, the
+# cache pattern): five query families consume the SAME corpus-adaptive
+# (k = coarse_k(n), 2-iter) Lloyd chain over the same embeddings table — k-means cells, the
 # silhouette gate, trained-IVF search, IVF-PQ's coarse stage, SemDeDup
 # and the registered cell-bounded embedding dedup.  Training it once
 # per (session, sf_dir) and persisting the two relations an IVF index
@@ -131,7 +153,14 @@ def _shared_coarse(spark: SparkSession, sf_dir: str):
                 except Exception:
                     pass
         emb = load_table(spark, sf_dir, "embeddings")
-        cents, assigned = kmeans_fit(emb, KMEANS_K, KMEANS_ITER)
+        k = coarse_k(emb.count())   # one count at index-BUILD time
+        # compressed parquet makes the corpus 1-2 input splits even at
+        # sf1 (the queries/dedup.py corpus-cache lesson): repartition
+        # so the per-iteration BLAS assignment and mean update use the
+        # full executor pool — the shuffle is corpus rows, trivial
+        # next to the train it parallelizes.
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+        cents, assigned = kmeans_fit(emb, k, KMEANS_ITER)
         assigned = assigned.persist()
         assigned.count()   # materialize once; every consumer reuses
         entry = {"centroids": cents, "assigned": assigned}
@@ -163,7 +192,7 @@ def _shared_ivfpq(spark: SparkSession, sf_dir: str):
     return entry["ivfpq"]
 
 
-def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _kmeans_ctes(k: int | str = KMEANS_K, n_iter: int = KMEANS_ITER,
                  dim: int = _DIM, emb: str = "emb", sfx: str = "") -> str:
     """The Lloyd-iteration CTE chain (assumes the ``emb``-named CTE in
     scope): hash-ordered seeds, per-iteration (round-6 distance argmin
@@ -205,8 +234,10 @@ cent{i + 1}{sfx} AS MATERIALIZED (
     return ",".join(parts)
 
 
-def _kmeans_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _kmeans_oracle(k: int | str | None = None,
+                   n_iter: int = KMEANS_ITER,
                    dim: int = _DIM) -> str:
+    k = _coarse_k_sql() if k is None else k
     """Step-for-step DuckDB replay of operators/kmeans.py, final cell
     histogram."""
     return (f"WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)}" + f"""
@@ -229,8 +260,10 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
-def _silhouette_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _silhouette_oracle(k: int | str | None = None,
+                       n_iter: int = KMEANS_ITER,
                        dim: int = _DIM) -> str:
+    k = _coarse_k_sql() if k is None else k
     """Simplified-silhouette replay: the shared Lloyd chain to its
     final centroids/assignment, then per vector a = assigned (min)
     squared distance, b = min squared distance to any OTHER centroid,
@@ -271,25 +304,22 @@ def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping silently — the clustering twin of sim_ann_recall.  The
     corpus never shuffles: distances come from the same broadcast
     centroid join the assignment uses."""
-    from currency_market_pulse_spark.operators.kmeans import _sq_dist
+    from currency_market_pulse_spark.operators.kmeans import (
+        assign_cells_blas,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assigned = _shared_coarse(spark, sf_dir)
-    alld = (emb.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(centroids))
-            .select("vec_id", "cell",
-                    F.round(_sq_dist(F.col("embedding"), F.col("centroid")),
-                            6).alias("d")))
-    own = assigned.select("vec_id", F.col("cell").alias("own"),
-                          F.col("dist").alias("a"))
-    bmin = (alld.join(own, "vec_id")
-            .filter(F.col("cell") != F.col("own"))
-            .groupBy("vec_id", "own", "a")
-            .agg(F.min("d").alias("b")))
-    sil = bmin.select(
-        F.col("own").alias("cell"),
-        F.when(F.greatest("a", "b") > 0,
-               F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6))
+    centroids, _ = _shared_coarse(spark, sf_dir)
+    # ONE BLAS pass emits a (=own rounded distance) and b (=min rounded
+    # distance to any other cell) together — no n x k relation ever
+    # materializes (the previous crossJoin form was n*k interpreted
+    # folds, the cost the adaptive k made untenable).
+    ab = assign_cells_blas(emb, centroids, with_alt=True)
+    sil = ab.select(
+        "cell",
+        F.when(F.greatest("dist", "alt_dist") > 0,
+               F.round((F.col("alt_dist") - F.col("dist"))
+                       / F.greatest("dist", "alt_dist"), 6))
         .otherwise(F.lit(0.0)).alias("sil"))
     return (sil.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
@@ -297,8 +327,10 @@ def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cell"))
 
 
-def _kmeans_ivf_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _kmeans_ivf_oracle(k: int | str | None = None,
+                       n_iter: int = KMEANS_ITER,
                        dim: int = _DIM) -> str:
+    k = _coarse_k_sql() if k is None else k
     """Trained-IVF search replay: the Lloyd chain (shared CTEs) to its
     final centroids, nprobe=2 probe of the trained quantizer with the
     SAME rounded squared-distance math the trainer uses, then exact
@@ -449,7 +481,9 @@ ivf2 AS (
            row_number() OVER (PARTITION BY query_id
              ORDER BY cos_sim DESC, neighbor_id) AS rn
     FROM ivf) t WHERE rn <= 3),
-dots AS (SELECT vec_id, embedding, {plane_sql} FROM emb),
+nzb AS (SELECT * FROM emb
+        WHERE list_dot_product(embedding, embedding) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nzb),
 bkt AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
 lsh3 AS (
   SELECT query_id, neighbor_id FROM (
@@ -521,8 +555,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("method"))
 
 
-def _semdedup_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _semdedup_oracle(k: int | str | None = None,
+                     n_iter: int = KMEANS_ITER,
                      dim: int = _DIM, threshold: float = 0.4) -> str:
+    k = _coarse_k_sql() if k is None else k
     """Replay of operators/semdedup.py: the shared Lloyd chain to its
     final assignment, in-cell pair join at the rounded-cosine
     threshold, lower-id prune rule, per-cell summary."""
@@ -567,8 +603,10 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  assigned=assigned)
 
 
-def _cell_pairs_oracle(k: int = KMEANS_K, n_iter: int = KMEANS_ITER,
+def _cell_pairs_oracle(k: int | str | None = None,
+                       n_iter: int = KMEANS_ITER,
                        dim: int = _DIM, threshold: float = 0.4) -> str:
+    k = _coarse_k_sql() if k is None else k
     """Replay of the cell-bounded near-dup pair generation: shared
     Lloyd chain -> in-cell pair join at the rounded-cosine threshold,
     pairs emitted (not just per-cell counts)."""
@@ -592,8 +630,10 @@ def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup candidate stage (operators/semdedup.py, Abbas et al.
     2023) registered as THE production embedding-dedup slot.  The
     corpus is k-means-partitioned first and pairs are generated only
-    WITHIN each cell — one shuffle on cell id, ~n^2/k pair work with k
-    scaled to the corpus, vs the measured-quadratic exact all-pairs
+    WITHIN each cell — one shuffle on cell id; k is CORPUS-ADAPTIVE
+    (coarse_k: max(8, ceil(n/250)), embedded in the oracle as a
+    scalar-subquery LIMIT), so cells stay ~250 rows and pair work is
+    ~n * 250 — LINEAR class, vs the measured-quadratic exact all-pairs
     kernel (library tier ``dedup_embedding_cosine``, kept as the
     recall oracle exactly as brute-force backs the ANN ladder).
     Scoring runs the per-cell BLAS matmul kernel (the kernel SemDeDup
@@ -791,10 +831,12 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("buffer"))
 
 
-def _ivfpq_oracle(coarse_k: int = KMEANS_K, coarse_iter: int = KMEANS_ITER,
+def _ivfpq_oracle(ck: int | str | None = None,
+                  coarse_iter: int = KMEANS_ITER,
                   nprobe: int = 2, m: int = 4, sub_dim: int = 16,
                   pk: int = 8, pq_iter: int = 1,
                   dim: int = _DIM) -> str:
+    ck = _coarse_k_sql() if ck is None else ck
     """Replay of operators/pq.py ivfpq_topk end to end: coarse Lloyd
     chain (sfx _c), residual relation, PQ training on residuals
     (_pq_train_ctes over ``res``), nprobe coarse probe, per-probed-cell
@@ -820,7 +862,7 @@ qd{s} AS MATERIALIZED (
         for s in range(m))
     return f"""
 WITH {ORACLE_EMB_CTE},
-{_kmeans_ctes(coarse_k, ci, dim, emb="emb", sfx="_c")},
+{_kmeans_ctes(ck, ci, dim, emb="emb", sfx="_c")},
 res AS MATERIALIZED (
   SELECT e.vec_id,
          list_transform(range(1, {dim + 1}),
@@ -910,4 +952,120 @@ def sim_ivf_topk_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   "neighbor_id")
     return (reranked.withColumn("rn", F.row_number().over(topk))
             .filter(F.col("rn") <= 3)
+            .orderBy("query_id", "rn"))
+
+
+#: RRF constant (Cormack et al. 2009: k=60) and the fixed-point
+#: quantum for per-(system, rank) contributions (integer sums =
+#: fold-order-independent fused scores).
+RRF_K = 60
+RRF_FIX = 1_000_000
+
+
+def _rrf_oracle() -> str:
+    """Replay of the three ANN rankings (nprobe=1 / nprobe=2 /
+    LSH-bucket — the sim_ann_recall CTE block with ranks KEPT) fused
+    by reciprocal-rank: score = sum over systems of 1/(60 + rank),
+    each contribution integer-fixed x1e6."""
+    from currency_market_pulse_spark.operators import similarity as S
+
+    cos = oracle_cosine_sql("q.embedding", "c.embedding")
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    return f"""
+WITH {ORACLE_EMB_CTE}, {_REPS_CTE},
+assigned AS (
+  SELECT query_id, cell, rn AS arn FROM (
+    SELECT q.vec_id AS query_id, r.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round({_ASSIGN}, 6) DESC, r.cell) AS rn
+    FROM emb q CROSS JOIN reps r WHERE q.vec_id < 10) t
+  WHERE rn <= 2),
+ivf AS (
+  SELECT a.arn, a.query_id, c.vec_id AS neighbor_id,
+         round({_RERANK}, 6) AS cos_sim
+  FROM assigned a
+  JOIN emb c ON c.label = a.cell
+  JOIN emb q ON q.vec_id = a.query_id
+  WHERE c.vec_id <> a.query_id),
+ivf1 AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM ivf WHERE arn = 1) t WHERE rn <= 3),
+ivf2 AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM ivf) t WHERE rn <= 3),
+nzb AS (SELECT * FROM emb
+        WHERE list_dot_product(embedding, embedding) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nzb),
+bkt AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
+lsh3 AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos}, 6) DESC NULLS LAST, c.vec_id) AS rn
+    FROM bkt q JOIN bkt c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10) t WHERE rn <= 3),
+meth AS (
+  SELECT query_id, neighbor_id, rn FROM ivf1
+  UNION ALL SELECT query_id, neighbor_id, rn FROM ivf2
+  UNION ALL SELECT query_id, neighbor_id, rn FROM lsh3),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(CAST(round({RRF_FIX}.0 / ({RRF_K} + rn), 0)
+                       AS BIGINT)) AS BIGINT) AS sfix,
+         CAST(count(*) AS BIGINT) AS n_systems
+  FROM meth GROUP BY 1, 2)
+SELECT query_id, neighbor_id,
+       round(sfix / {RRF_FIX}.0, 6) AS rrf_score, n_systems, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sfix DESC, neighbor_id) AS rn
+  FROM fused) x
+WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the ANN ladder:
+    the nprobe=1, nprobe=2 and LSH-bucket top-3 rankings fused by
+    score = sum 1/(60 + rank) — the hybrid-retrieval combiner a
+    production search stack runs over its lexical+vector legs, here
+    demonstrated over three vector systems whose rankings are all
+    oracle-deterministic.  Per-(system, rank) contributions are
+    integer-fixed x1e6, so the fused ordering is exact cross-engine;
+    cost is the three (already cell/bucket-bounded) rankings plus one
+    tiny aggregate over <= 9 rows per query."""
+    from currency_market_pulse_spark.queries.similarity import (
+        sim_ann_lsh_topk,
+    )
+
+    systems = [sim_ivf_topk(spark, sf_dir),
+               sim_ivf_topk_probe2(spark, sf_dir),
+               sim_ann_lsh_topk(spark, sf_dir)]
+    meth = None
+    for df in systems:
+        part = df.select("query_id", "neighbor_id", "rn")
+        meth = part if meth is None else meth.unionAll(part)
+    contrib = F.round(F.lit(float(RRF_FIX)) / (F.lit(RRF_K) + F.col("rn")),
+                      0).cast("long")
+    fused = (meth.groupBy("query_id", "neighbor_id")
+             .agg(F.sum(contrib).alias("sfix"),
+                  F.count(F.lit(1)).alias("n_systems")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sfix"),
+                                               "neighbor_id")
+    return (fused.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("sfix") / F.lit(float(RRF_FIX)), 6)
+                    .alias("rrf_score"), "n_systems", "rn")
             .orderBy("query_id", "rn"))

@@ -105,3 +105,42 @@ def test_silhouette_bounds_and_separated_clusters(spark):
     for r in b.collect():
         s = (r.b - r.a) / max(r.a, r.b) if max(r.a, r.b) > 0 else 0.0
         assert s > 0.9, (r.a, r.b)
+
+
+def test_coarse_k_rule_floors_at_gate_scales():
+    """Adaptive quantizer sizing: floors at 8 for the driver-gate and
+    bench fixtures (result-identical to the historical fixed k), grows
+    linearly past COARSE_CELL_TARGET rows per cell."""
+    from currency_market_pulse_spark.queries.ivf import (
+        COARSE_CELL_TARGET, coarse_k,
+    )
+
+    assert coarse_k(500) == 8          # sf0.01
+    assert coarse_k(2000) == 8         # sf0.1
+    assert coarse_k(20_000) == 80      # sf1
+    assert coarse_k(200_000) == 800    # sf10
+    assert coarse_k(COARSE_CELL_TARGET * 8 + 1) == 9
+
+
+def test_blas_assignment_matches_catalyst(spark):
+    """assign_cells_blas (matmul) must equal assign_cells (sequential
+    fold) bitwise after the round-6 contract — including the
+    tie-to-lowest-cell rule and non-contiguous cell ids."""
+    from pyspark.sql import functions as F
+
+    from currency_market_pulse_spark.operators.kmeans import (
+        assign_cells, assign_cells_blas, seed_centroids,
+    )
+    from currency_market_pulse_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, 8)
+    # non-contiguous ids: drop cell 3 from the codebook
+    cents = cents.filter(F.col("cell") != 3)
+    a = sorted((r.vec_id, r.cell, r.dist)
+               for r in assign_cells(emb, cents).collect())
+    b = sorted((r.vec_id, r.cell, r.dist)
+               for r in assign_cells_blas(emb, cents).collect())
+    assert a == b and len(a) > 0
+    assert any(c > 3 for _, c, _ in a)   # remapped ids exercised
