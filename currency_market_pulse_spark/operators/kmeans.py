@@ -23,8 +23,10 @@ is one explode (vec -> dim rows) + partial-aggregated mean per
 (cell, dim), i.e. the same cost shape as any wide aggregate.  Each
 iteration's centroid relation is localCheckpoint-ed (k rows) so the
 iterative lineage stays O(1)-deep (the components lesson,
-operators/components.py).  No driver-side data dependency at any
-point."""
+operators/components.py).  The only driver-side data is the k-row
+codebook itself, collected once per iteration into the BLAS kernel's
+task closure — broadcast-scale by construction (see
+assign_cells_blas for why a joined column was worse)."""
 
 from __future__ import annotations
 
@@ -137,17 +139,6 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
     return kmeans_fit(emb, k, n_iter, id_col, vec_col)[1]
 
 
-def packed_centroids(centroids: DataFrame) -> DataFrame:
-    """ONE-row relation carrying the whole codebook as a cell-ordered
-    array<array<double>> — the broadcastable form the BLAS assignment
-    consumes.  Built relationally (array_sort over (cell, centroid)
-    structs); no driver collect."""
-    packed = F.array_sort(F.collect_list(F.struct("cell", "centroid")))
-    return centroids.agg(
-        F.transform(packed, lambda s: s["cell"]).alias("_cells"),
-        F.transform(packed, lambda s: s["centroid"]).alias("_cents"))
-
-
 def assign_cells_blas(emb: DataFrame, centroids: DataFrame,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
@@ -179,21 +170,28 @@ def assign_cells_blas(emb: DataFrame, centroids: DataFrame,
         fields.append(T.StructField("alt_dist", T.DoubleType()))
     out_schema = T.StructType(fields)
 
-    packed = F.broadcast(packed_centroids(centroids))
-    src = (emb.select(F.col(id_col).alias("_id"),
-                      F.col(vec_col).alias("_vec"))
-           .crossJoin(packed))
+    # The codebook ships in the TASK CLOSURE, not as a joined column:
+    # a crossJoin against the packed 1-row relation repeats the k*dim
+    # array PER ROW through Arrow (measured at sf10, k=800: ~400 KB x
+    # every corpus row — the serialization, not the math, became the
+    # bottleneck).  Collecting k rows at plan-build time is the same
+    # broadcast-scale data the join hint would ship, fetched once per
+    # task instead of once per row — the pyspark.ml posture.
+    rows = sorted((r["cell"], list(r["centroid"]))
+                  for r in centroids.select("cell", "centroid").collect())
+    cell_ids = np.array([c for c, _ in rows], dtype=np.int32)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    src = emb.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_vec"))
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # cells can DROP during Lloyd (non-contiguous ids); map
-            # matrix row -> actual cell id.  Rows are cell-ascending,
-            # so numpy's first-minimum argmin IS tie-to-lowest-cell.
-            cell_ids = np.array(list(pdf["_cells"].iloc[0]),
-                                dtype=np.int32)
-            C = np.array(list(pdf["_cents"].iloc[0]), dtype=np.float64)
+            # cells can DROP during Lloyd (non-contiguous ids);
+            # cell_ids maps matrix row -> actual id.  Rows are
+            # cell-ascending, so numpy's first-minimum argmin IS
+            # tie-to-lowest-cell.
             X = np.array(list(pdf["_vec"]), dtype=np.float64)
             d = (np.square(X).sum(1)[:, None] + np.square(C).sum(1)[None, :]
                  - 2.0 * (X @ C.T))
