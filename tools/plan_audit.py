@@ -133,8 +133,11 @@ EXPECTATIONS = {
          "shuffles for the contamination join", r"BroadcastHashJoin"),
     ],
     "sim_kmeans_cells": [
-        ("centroid assignment is a broadcast join",
-         r"BroadcastNestedLoopJoin"),
+        # r6: assignment is the BLAS kernel (codebook in the task
+        # closure — operators/kmeans.py assign_cells_blas), not a
+        # crossJoin: one Arrow stage per pass, no n*k relation.
+        ("centroid assignment is the Arrow BLAS kernel",
+         r"MapInPandas"),
         ("mean update partially aggregated", r"partial_avg|partial_sum"),
     ],
     "dedup_containment": [
@@ -148,15 +151,19 @@ EXPECTATIONS = {
         ("vocabulary aggregate partially combined", r"partial_count"),
     ],
     "semdedup_cell_stats": [
-        ("centroid assignment is a broadcast join",
-         r"BroadcastNestedLoopJoin"),
+        ("centroid assignment is the Arrow BLAS kernel",
+         r"MapInPandas"),
         ("cell stats partially aggregated", r"partial_count"),
     ],
     "sim_pq_adc_topk": [
         ("codebook / distance-table joins broadcast",
          r"BroadcastHashJoin"),
-        ("code-only search — no Python anywhere",
-         r"^(?!(.|\n)*InPandas)(.|\n)*$"),
+        # r6: TRAINING runs the BLAS assignment kernel; the SEARCH
+        # side still reads only the 4-int code relation (assertion
+        # below: the ADC distance sum exists as a projection, i.e.
+        # the corpus vectors never re-enter the plan after encoding).
+        ("ADC scoring is a code-relation projection",
+         r"_d0.*_d1.*_d2.*_d3"),
     ],
     "documents_token_budget": [
         ("prefix sum starts with ONE range shuffle",
@@ -258,9 +265,11 @@ EXPECTATIONS.update({
         ("only the vector column read", r"ReadSchema: (?!.*vec_id)"),
     ],
     "sim_kmeans_silhouette": [
-        # every centroid relation joins broadcast — the corpus never
-        # shuffles for distance computation
-        ("centroids broadcast", r"BroadcastNestedLoopJoin"),
+        # r6: ONE BLAS pass emits own- and min-other-distance; no n*k
+        # relation, no crossJoin — the corpus is touched once.
+        ("distances from the Arrow BLAS kernel", r"MapInPandas"),
+        ("no n*k centroid join anywhere",
+         r"^(?!(.|\n)*BroadcastNestedLoopJoin)(.|\n)*$"),
     ],
     "text_zipf_fit": [
         # top-R head via TakeOrdered, never a global vocabulary sort
