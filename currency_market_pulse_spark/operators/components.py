@@ -163,3 +163,62 @@ def connected_components(pairs: DataFrame,
             break
     edges.unpersist()
     return labels
+
+
+#: PageRank fixed-point scale: total mass = PR_UNIT, all arithmetic in
+#: LONG floor-division — bitwise deterministic on any engine, any
+#: partitioning, any fold order (the kmeans round-6 discipline taken
+#: to its integer limit, because rank sums over hub in-degrees would
+#: outgrow a float quantum at scale).
+PR_UNIT = 1_000_000_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # d = 0.85 as a ratio
+
+
+def pagerank_fixed(nodes: DataFrame, edges: DataFrame, n_iter: int = 3,
+                   node_col: str = "node") -> DataFrame:
+    """Deterministic fixed-point PageRank over a directed edge
+    relation (src, dst): ``n_iter`` power iterations of
+
+        pr'(v) = (1-d)*U/n  +  d * (sum_in contrib(u->v) + dang/n)
+
+    with U = PR_UNIT, contrib(u->v) = pr(u) div outdeg(u), dang = the
+    summed mass of dangling (no-out-edge) nodes, and EVERY division a
+    LONG floor division — the whole iteration is integer arithmetic,
+    so the result is an exact function of the graph (cross-engine,
+    order-independent).  Returns (node, pr_fix) with pr_fix the final
+    fixed-point mass.
+
+    Scale shape per iteration: one join of the score relation to the
+    (n*k-row) edge relation on src + one hash aggregate on dst (both
+    partial-combining), a 1-row dangling aggregate broadcast back, and
+    an eager k-row... rather n-row localCheckpoint keeping the
+    iterative lineage O(1)-deep (the components/kmeans lesson).  No
+    driver-side data at any point."""
+    e = edges.select(F.col("src"), F.col("dst"))
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nn = nodes.select(F.col(node_col).alias("node"))
+    n1 = nn.agg(F.count(F.lit(1)).alias("n"))
+
+    pr = (nn.crossJoin(F.broadcast(n1))
+          .select("node", F.expr(f"{PR_UNIT} div n").alias("fix"))
+          .localCheckpoint())
+    for _ in range(n_iter):
+        with_od = pr.join(outd, pr["node"] == outd["src"], "left")
+        dang = (with_od.filter(F.col("od").isNull())
+                .agg(F.coalesce(F.sum("fix"), F.lit(0).cast("long"))
+                     .alias("dang")))
+        contrib = (with_od.filter(F.col("od").isNotNull())
+                   .select(F.col("src"), F.expr("fix div od").alias("c")))
+        insum = (e.join(contrib, "src")
+                 .groupBy("dst").agg(F.sum("c").alias("insum")))
+        pr = (nn.crossJoin(F.broadcast(n1))
+              .crossJoin(F.broadcast(dang))
+              .join(insum, nn["node"] == insum["dst"], "left")
+              .select(
+                  "node",
+                  F.expr(f"({15 * PR_UNIT}) div (100 * n) + "
+                         f"({PR_DAMP_NUM} * (coalesce(insum, 0) + "
+                         f"dang div n)) div {PR_DAMP_DEN}")
+                  .cast("long").alias("fix"))
+              .localCheckpoint())
+    return pr

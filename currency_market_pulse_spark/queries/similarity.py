@@ -346,3 +346,105 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH cells with the label predicate applied in-cell."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.topk_hard_negatives(emb, F.col("vec_id") < 10, k=5)
+
+
+def _pagerank_oracle(k: int = 3, n_iter: int = 3, top: int = 20) -> str:
+    """Replay of knn_graph_lsh edges + operators/components.py
+    pagerank_fixed: the directed in-bucket top-k edge relation, then
+    ``n_iter`` chained integer power iterations (floor divisions
+    everywhere — bitwise portable), final top rank cut."""
+    from currency_market_pulse_spark.operators.components import (
+        PR_UNIT,
+    )
+
+    planes = S.plane_weights()
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {[float(x) for x in w]}) AS d{p}"
+        for p, w in enumerate(planes))
+    bucket = " + ".join(f"(CASE WHEN d{p} > 0 THEN {1 << p} ELSE 0 END)"
+                        for p in range(len(planes)))
+    cos = oracle_cosine_sql("a.embedding", "b.embedding")
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+d{i} AS (SELECT coalesce(sum(p.fix), 0) AS dang
+         FROM pr{i - 1} p LEFT JOIN outd o ON o.src = p.node
+         WHERE o.src IS NULL),
+s{i} AS (SELECT e.dst AS node, sum(p.fix // o.od) AS insum
+         FROM edges e
+         JOIN pr{i - 1} p ON p.node = e.src
+         JOIN outd o ON o.src = e.src
+         GROUP BY 1),
+pr{i} AS (
+  SELECT nd.node,
+         CAST(({15 * PR_UNIT}) // (100 * nc.n)
+              + (85 * (coalesce(s.insum, 0) + dd.dang // nc.n)) // 100
+           AS BIGINT) AS fix
+  FROM nodes nd
+  CROSS JOIN nc CROSS JOIN d{i} dd
+  LEFT JOIN s{i} s ON s.node = nd.node)""")
+    return f"""
+WITH {ORACLE_EMB_CTE},
+nz AS (SELECT * FROM emb
+       WHERE sqrt(list_dot_product(embedding, embedding)) > 0),
+dots AS (SELECT vec_id, embedding, {plane_sql} FROM nz),
+bkt AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM dots),
+scored AS (
+  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM bkt a JOIN bkt b
+    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+edges AS MATERIALIZED (
+  SELECT node_id AS src, neighbor_id AS dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY node_id
+              ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rn
+    FROM scored) t
+  WHERE rn <= {k}),
+nodes AS (SELECT vec_id AS node FROM nz),
+nc AS (SELECT count(*) AS n FROM nodes),
+outd AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+pr0 AS (SELECT node, CAST({PR_UNIT} // nc.n AS BIGINT) AS fix
+        FROM nodes, nc),{",".join(iters)}
+SELECT node AS vec_id,
+       round(fix / {PR_UNIT}.0, 12) AS pagerank, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY fix DESC, node) AS rn
+  FROM pr{n_iter}) x
+WHERE rn <= {top} ORDER BY rn
+"""
+
+
+@extra_query("sim_knn_pagerank", oracle=_pagerank_oracle())
+def sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the approximate k-NN graph (d=0.85, 3 power
+    iterations, dangling redistribution): graph-centrality of every
+    vector — documents whose neighborhoods concentrate rank are hubs
+    (boilerplate/template centers, the things SemDeDup's cells and the
+    near-dup graph orbit), the graph-analytics leg next to connected
+    components.  operators/components.py pagerank_fixed: the whole
+    iteration is LONG floor-division arithmetic, so the ranking is an
+    exact function of the graph on any engine.  Edges are the
+    bucket-bounded knn_graph_lsh relation (n*k rows); each iteration
+    is one edge join + one partial-combining aggregate."""
+    from currency_market_pulse_spark.operators.components import (
+        PR_UNIT, pagerank_fixed,
+    )
+    from currency_market_pulse_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nz = emb.filter(norm(F.col("embedding")) > 0)
+    edges = (S.knn_graph_lsh(emb, k=3)
+             .select(F.col("node_id").alias("src"),
+                     F.col("neighbor_id").alias("dst"))
+             .persist())
+    pr = pagerank_fixed(nz.select(F.col("vec_id").alias("node")), edges,
+                        n_iter=3)
+    from pyspark.sql import Window as W
+    w = W.orderBy(F.desc("fix"), "node")
+    out = (pr.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 20)
+           .select(F.col("node").alias("vec_id"),
+                   F.round(F.col("fix") / F.lit(float(PR_UNIT)), 12)
+                   .alias("pagerank"), "rn")
+           .orderBy("rn"))
+    return out

@@ -81,3 +81,43 @@ def test_star_matches_propagation_with_random_self_loops(spark):
         a = {r.node: r.comp for r in connected_components(df).collect()}
         b = {r.node: r.comp for r in connected_components_star(df).collect()}
         assert a == b, f"trial {trial}: {a} vs {b}"
+
+
+def test_pagerank_mass_conserved_and_hub_ranked(spark):
+    """Fixed-point PageRank: total mass stays ~PR_UNIT (floor-division
+    leakage bounded by n per division site), a node every other node
+    points at out-ranks the periphery, and the integer iteration is
+    partition-invariant."""
+    from pyspark.sql import Row, functions as F
+
+    from currency_market_pulse_spark.operators.components import (
+        PR_UNIT, pagerank_fixed,
+    )
+
+    nodes = spark.createDataFrame([Row(node=i) for i in range(6)])
+    # star: 1..5 all point at 0; 0 points at 1 (no dangling)
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=0) for i in range(1, 6)] + [Row(src=0, dst=1)])
+    pr = {r.node: r.fix for r in pagerank_fixed(nodes, edges, 3).collect()}
+    assert max(pr, key=pr.get) == 0
+    assert abs(sum(pr.values()) - PR_UNIT) < 100   # floor leakage only
+    pr2 = {r.node: r.fix for r in pagerank_fixed(
+        nodes.repartition(5), edges.repartition(3), 3).collect()}
+    assert pr == pr2
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """A dangling node's mass is shared uniformly instead of leaking:
+    with one dangling sink the total still sums to ~PR_UNIT."""
+    from pyspark.sql import Row
+
+    from currency_market_pulse_spark.operators.components import (
+        PR_UNIT, pagerank_fixed,
+    )
+
+    nodes = spark.createDataFrame([Row(node=i) for i in range(4)])
+    edges = spark.createDataFrame([Row(src=0, dst=3), Row(src=1, dst=3),
+                                   Row(src=2, dst=3)])  # 3 is dangling
+    pr = {r.node: r.fix for r in pagerank_fixed(nodes, edges, 3).collect()}
+    assert max(pr, key=pr.get) == 3
+    assert abs(sum(pr.values()) - PR_UNIT) < 100
