@@ -779,3 +779,93 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = bm25_topk(docs, BM25_QUERIES, top_k=10)
     return out.select("query_id", "doc_id", "bm25", "rn")
+
+
+#: fixed-point quantum for per-token JSD contributions (1e-6 — coarse
+#: enough that ln() ulp noise cannot flip a rounded contribution, the
+#: r5 DSIR lesson; fine enough for a drift score reported to 6dp).
+JSD_FIX = 1_000_000
+
+
+def _drift_oracle() -> str:
+    return f"""
+WITH {_TOKS},
+occ AS (SELECT source, unnest(t) AS tok
+        FROM toks JOIN documents USING (doc_id)),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM occ
+          GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t_all FROM occ),
+per_src AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+            FROM occ GROUP BY 1, 2),
+src_tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t_s FROM occ
+            GROUP BY 1),
+grid AS (
+  SELECT st.source, v.tok, v.c_all, st.t_s, coalesce(ps.c_s, 0) AS c_s
+  FROM src_tot st
+  CROSS JOIN vocab v
+  LEFT JOIN per_src ps ON ps.source = st.source AND ps.tok = v.tok),
+contrib AS (
+  SELECT g.source,
+         CAST(round((
+           0.5 * (CASE WHEN g.c_s > 0 THEN
+             (g.c_s / CAST(g.t_s AS DOUBLE))
+             * ln((g.c_s / CAST(g.t_s AS DOUBLE))
+                  / ((g.c_s / CAST(g.t_s AS DOUBLE)
+                      + g.c_all / CAST(t.t_all AS DOUBLE)) / 2))
+             ELSE 0 END)
+           + 0.5 * ((g.c_all / CAST(t.t_all AS DOUBLE))
+             * ln((g.c_all / CAST(t.t_all AS DOUBLE))
+                  / ((g.c_s / CAST(g.t_s AS DOUBLE)
+                      + g.c_all / CAST(t.t_all AS DOUBLE)) / 2)))
+         ) * {JSD_FIX}, 0) AS BIGINT) AS cfix
+  FROM grid g CROSS JOIN tot t)
+SELECT c.source, st.t_s AS n_tokens,
+       round(sum(c.cfix) / {JSD_FIX}.0, 6) AS jsd_vs_corpus
+FROM contrib c JOIN src_tot st ON st.source = c.source
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@extra_query("documents_source_drift", oracle=_drift_oracle())
+def documents_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift card: per source, Jensen-Shannon divergence of its
+    unigram token distribution against the whole corpus — the
+    distribution-shift monitor a recurring-ingest pipeline runs so a
+    source that changes character (scraper broke, template flood,
+    language shift) trips a gate instead of silently skewing the mix.
+
+    Shape: two token aggregates (vocab, per-source counts) and a
+    vocabulary x sources grid — bounded by |V| * |sources|, NOT the
+    corpus (the vocabulary relation is the small side; at 100 TB it is
+    the same broadcast-scale object tf-idf/NLL already rely on).
+    Per-token contributions integer-fixed (x1e6) so the summed
+    divergence is fold-order independent and ln() ulp noise cannot
+    flip it."""
+    from currency_market_pulse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("source",
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    tot = occ.agg(F.count(F.lit(1)).alias("t_all"))
+    per_src = occ.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c_s"))
+    src_tot = occ.groupBy("source").agg(F.count(F.lit(1)).alias("t_s"))
+    grid = (src_tot.crossJoin(F.broadcast(vocab))
+            .join(per_src, ["source", "tok"], "left")
+            .na.fill(0, ["c_s"])
+            .crossJoin(F.broadcast(tot)))
+    p = F.col("c_s") / F.col("t_s").cast("double")
+    q = F.col("c_all") / F.col("t_all").cast("double")
+    m = (p + q) / 2
+    contrib = (F.lit(0.5) * F.when(F.col("c_s") > 0,
+                                   p * F.log(p / m)).otherwise(0.0)
+               + F.lit(0.5) * (q * F.log(q / m)))
+    cfix = F.round(contrib * F.lit(JSD_FIX), 0).cast("long")
+    return (grid.select("source", "t_s", cfix.alias("cfix"))
+            .groupBy("source", "t_s")
+            .agg(F.round(F.sum("cfix") / F.lit(float(JSD_FIX)), 6)
+                 .alias("jsd_vs_corpus"))
+            .select("source", F.col("t_s").alias("n_tokens"),
+                    "jsd_vs_corpus")
+            .orderBy("source"))
