@@ -108,8 +108,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.requests_dir, args.docs_dir, args.out_dir,
                 window_ms=args.window_ms, limit=args.limit)
             if args.once:
-                n_trades, n_dead, n_dups, n_windows = pipe.wait_quiescent()
-                pipe.stop()
+                try:
+                    (n_trades, n_dead, n_dups,
+                     n_windows) = pipe.wait_quiescent()
+                finally:
+                    pipe.stop()   # never leave queries running on error
                 print(json.dumps({
                     "trades_imported": n_trades,
                     "requests_rejected": n_dead,

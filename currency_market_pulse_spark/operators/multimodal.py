@@ -123,6 +123,13 @@ FRAME_INTERVAL_MS = 40
 MAX_STUB_FRAMES = 5
 
 
+def _stub_frame_count(b: bytes) -> int:
+    """STUB frame count: h64(payload) % MAX_STUB_FRAMES + 1 — the one
+    formula sample_frames, its oracle and frame_ahash_signatures must
+    agree on, factored so it cannot drift."""
+    return int(hashlib.md5(b).hexdigest()[:15], 16) % MAX_STUB_FRAMES + 1
+
+
 def sample_frames(docs_with_payload: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
     """1->N explosion stage: each (video) payload yields one row per
@@ -140,8 +147,7 @@ def sample_frames(docs_with_payload: DataFrame,
             out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_md5": []}
             for i, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
-                h64 = int(hashlib.md5(b).hexdigest()[:15], 16)
-                for k in range(h64 % MAX_STUB_FRAMES + 1):
+                for k in range(_stub_frame_count(b)):
                     out["doc_id"].append(i)
                     out["frame_idx"].append(k)
                     out["ts_ms"].append(k * FRAME_INTERVAL_MS)
@@ -217,22 +223,12 @@ def ahash_signatures(docs_with_payload: DataFrame,
     streaming-decode shape as the other multimodal stages."""
     cols = docs_with_payload.select(id_col, "payload")
 
-    def kernel(batches) :
-        import numpy as np
-
+    def kernel(batches):
         for pdf in batches:
             ids, sigs = [], []
             for i, payload in zip(pdf[id_col], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = len(b)
-                total = int(b.sum())
-                sig = 0
-                for j in range(bits):
-                    lo, hi = j * n // bits, (j + 1) * n // bits
-                    if int(b[lo:hi].sum()) * bits > total:
-                        sig |= 1 << j
                 ids.append(i)
-                sigs.append(sig)
+                sigs.append(_ahash_bytes(bytes(payload), bits))
             yield pd.DataFrame({"doc_id": ids, "ahash": sigs})
 
     return cols.mapInPandas(kernel, AHASH_SCHEMA)
@@ -297,8 +293,7 @@ def frame_ahash_signatures(docs_with_payload: DataFrame,
             out = {"doc_id": [], "frame_idx": [], "fhash": []}
             for i, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
-                h64 = int(hashlib.md5(b).hexdigest()[:15], 16)
-                for k in range(h64 % MAX_STUB_FRAMES + 1):
+                for k in range(_stub_frame_count(b)):
                     out["doc_id"].append(i)
                     out["frame_idx"].append(k)
                     out["fhash"].append(
@@ -339,10 +334,13 @@ def video_neardup_pairs(docs_with_payload: DataFrame, k: int = 3,
         (F.col(id_col) * _FRAME_PACK + F.col("frame_idx")).alias("uid"),
         F.col("fhash").alias("simhash"))
     fp = simhash_hamming_pairs(uids, k=k, bits=AHASH_BITS, id_col="uid")
+    # INTEGER division (div), not float '/': a double quotient loses
+    # integer precision past ~2^53/pack and would unpack wrong video
+    # ids at extreme corpus sizes.
     pairs = (fp.select(
-        (F.col("id_a") / _FRAME_PACK).cast("long").alias("va"),
+        F.expr(f"id_a div {_FRAME_PACK}").alias("va"),
         (F.col("id_a") % _FRAME_PACK).alias("fa"),
-        (F.col("id_b") / _FRAME_PACK).cast("long").alias("vb"),
+        F.expr(f"id_b div {_FRAME_PACK}").alias("vb"),
         (F.col("id_b") % _FRAME_PACK).alias("fb"))
         .filter(F.col("va") != F.col("vb"))
         .select(F.least("va", "vb").alias("id_a"),

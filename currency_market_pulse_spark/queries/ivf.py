@@ -147,11 +147,12 @@ def _shared_coarse(spark: SparkSession, sf_dir: str):
     if entry is None:
         while len(_COARSE_CACHE) >= 4:
             _, old = _COARSE_CACHE.popitem(last=False)
-            for df in old.values():
-                try:
-                    df.unpersist(blocking=False)
-                except Exception:
-                    pass
+            # unpersist exactly the DataFrames we persisted; tuples
+            # (the ivfpq index handle) hold only localCheckpointed or
+            # already-listed relations
+            for v in old.values():
+                if isinstance(v, DataFrame):
+                    v.unpersist(blocking=False)
         emb = load_table(spark, sf_dir, "embeddings")
         k = coarse_k(emb.count())   # one count at index-BUILD time
         # compressed parquet makes the corpus 1-2 input splits even at
@@ -187,7 +188,8 @@ def _shared_ivfpq(spark: SparkSession, sf_dir: str):
         members = members.persist()
         members.count()
         entry["ivfpq"] = (cc, codebooks, members)
-        # keep members evictable alongside the other persisted entries
+        # the persisted members relation is listed under its own key
+        # so the eviction loop (isinstance DataFrame) finds it
         entry["ivfpq_members"] = members
     return entry["ivfpq"]
 
@@ -237,9 +239,10 @@ cent{i + 1}{sfx} AS MATERIALIZED (
 def _kmeans_oracle(k: int | str | None = None,
                    n_iter: int = KMEANS_ITER,
                    dim: int = _DIM) -> str:
-    k = _coarse_k_sql() if k is None else k
     """Step-for-step DuckDB replay of operators/kmeans.py, final cell
     histogram."""
+    k = _coarse_k_sql() if k is None else k
+
     return (f"WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)}" + f"""
 SELECT cell, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
 FROM a{n_iter} GROUP BY cell ORDER BY cell
@@ -263,11 +266,12 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _silhouette_oracle(k: int | str | None = None,
                        n_iter: int = KMEANS_ITER,
                        dim: int = _DIM) -> str:
-    k = _coarse_k_sql() if k is None else k
     """Simplified-silhouette replay: the shared Lloyd chain to its
     final centroids/assignment, then per vector a = assigned (min)
     squared distance, b = min squared distance to any OTHER centroid,
     s = (b - a) / max(a, b) — aggregated per cell."""
+    k = _coarse_k_sql() if k is None else k
+
     dist = ("round(list_aggregate(list_transform(range(1, {n}), "
             "i -> (e.embedding[i] - c.centroid[i]) * "
             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
@@ -330,12 +334,13 @@ def sim_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_ivf_oracle(k: int | str | None = None,
                        n_iter: int = KMEANS_ITER,
                        dim: int = _DIM) -> str:
-    k = _coarse_k_sql() if k is None else k
     """Trained-IVF search replay: the Lloyd chain (shared CTEs) to its
     final centroids, nprobe=2 probe of the trained quantizer with the
     SAME rounded squared-distance math the trainer uses, then exact
     cosine rerank within the probed cells' members (membership from
     the final assignment)."""
+    k = _coarse_k_sql() if k is None else k
+
     dist = ("round(list_aggregate(list_transform(range(1, {n}), "
             "i -> (e.embedding[i] - c.centroid[i]) * "
             "(e.embedding[i] - c.centroid[i])), 'sum'), 6)"
@@ -558,10 +563,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_oracle(k: int | str | None = None,
                      n_iter: int = KMEANS_ITER,
                      dim: int = _DIM, threshold: float = 0.4) -> str:
-    k = _coarse_k_sql() if k is None else k
     """Replay of operators/semdedup.py: the shared Lloyd chain to its
     final assignment, in-cell pair join at the rounded-cosine
     threshold, lower-id prune rule, per-cell summary."""
+    k = _coarse_k_sql() if k is None else k
+
     cos = oracle_cosine_sql("x.embedding", "y.embedding")
     return f"""
 WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)},
@@ -606,10 +612,11 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cell_pairs_oracle(k: int | str | None = None,
                        n_iter: int = KMEANS_ITER,
                        dim: int = _DIM, threshold: float = 0.4) -> str:
-    k = _coarse_k_sql() if k is None else k
     """Replay of the cell-bounded near-dup pair generation: shared
     Lloyd chain -> in-cell pair join at the rounded-cosine threshold,
     pairs emitted (not just per-cell counts)."""
+    k = _coarse_k_sql() if k is None else k
+
     cos = oracle_cosine_sql("x.embedding", "y.embedding")
     return f"""
 WITH {ORACLE_EMB_CTE},{_kmeans_ctes(k, n_iter, dim)},
@@ -836,11 +843,12 @@ def _ivfpq_oracle(ck: int | str | None = None,
                   nprobe: int = 2, m: int = 4, sub_dim: int = 16,
                   pk: int = 8, pq_iter: int = 1,
                   dim: int = _DIM) -> str:
-    ck = _coarse_k_sql() if ck is None else ck
     """Replay of operators/pq.py ivfpq_topk end to end: coarse Lloyd
     chain (sfx _c), residual relation, PQ training on residuals
     (_pq_train_ctes over ``res``), nprobe coarse probe, per-probed-cell
     query residuals, per-subspace tables, ADC within probed cells."""
+    ck = _coarse_k_sql() if ck is None else ck
+
     ci = coarse_iter
     cdist = ("round(list_aggregate(list_transform(range(1, {n}), "
              "i -> (e.embedding[i] - c.centroid[i]) * "

@@ -20,7 +20,6 @@ from currency_market_pulse_spark.queries.sampling import (
 )
 from currency_market_pulse_spark.sources.catalog import load_table
 
-MIN_TOKENS = 30
 PIPE_BUDGET = 2048
 
 

@@ -433,18 +433,23 @@ def sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     nz = emb.filter(norm(F.col("embedding")) > 0)
+    # eager localCheckpoint (not persist): the edge relation is read
+    # once per iteration, and a checkpointed RDD is freed with the
+    # DataFrame instead of occupying executor storage for the session
     edges = (S.knn_graph_lsh(emb, k=3)
              .select(F.col("node_id").alias("src"),
                      F.col("neighbor_id").alias("dst"))
-             .persist())
+             .localCheckpoint())
     pr = pagerank_fixed(nz.select(F.col("vec_id").alias("node")), edges,
                         n_iter=3)
     from pyspark.sql import Window as W
+    # top-20 via orderBy+limit (TakeOrderedAndProject) FIRST; the rank
+    # window then runs over 20 rows — never a one-task sort of the
+    # full node relation (the plan shape plan_audit asserts elsewhere)
+    top = pr.orderBy(F.desc("fix"), "node").limit(20)
     w = W.orderBy(F.desc("fix"), "node")
-    out = (pr.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= 20)
-           .select(F.col("node").alias("vec_id"),
-                   F.round(F.col("fix") / F.lit(float(PR_UNIT)), 12)
-                   .alias("pagerank"), "rn")
-           .orderBy("rn"))
-    return out
+    return (top.withColumn("rn", F.row_number().over(w))
+            .select(F.col("node").alias("vec_id"),
+                    F.round(F.col("fix") / F.lit(float(PR_UNIT)), 12)
+                    .alias("pagerank"), "rn")
+            .orderBy("rn"))

@@ -20,6 +20,20 @@ importer wrote.  Rejected requests land in a dead-letter parquet with
 their retry_after_ms, mirroring the consumer's HTTP 429 path
 (ratelimit.go:38-62 via rest/api.go).
 
+Delivery-semantics caveat (documented, not hidden): STORAGE is
+exactly-once (batch-id dynamic partition overwrite — a replayed batch
+overwrites itself), but the LIVE VIEW reading the sink as a file
+stream is at-least-once under crash-replay of the import query: the
+overwrite rewrites a batch partition with NEW file names, which the
+file source (having already ingested the old ones) treats as new
+input.  This is inherent to plain-parquet file streams over
+overwrite-style sinks; the production fix is a transactional table
+format (Delta/Iceberg) whose streaming reader keys on versioned
+commits, or re-pointing the view at the gateway's decision stream.
+Batch queries over the sink (the reference's actual read path,
+PulseEngine.trends) are unaffected — they see the storage, which is
+exactly-once.
+
 At 100 TB nothing here changes shape: the gateway partitions by
 user_id (state ~ in-window requests per user), the sink's dynamic
 partition overwrite keeps replay exactly-once, the live view's state
