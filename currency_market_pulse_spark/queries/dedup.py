@@ -983,3 +983,61 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("src_a") < F.col("src_b"))
             .groupBy("src_a", "src_b")
             .agg(F.count(F.lit(1)).alias("n_shared_chunks")))
+
+
+def _substr_rolling_oracle(span: int = D.SPAN_CHARS,
+                           modp: int = D.SPAN_MODP) -> str:
+    """Replay of substring_span_stats_rolling: per-window double
+    polynomial hash as an exact HUGEINT power sum (term j weighted
+    B^(span-1-j) mod M — identical to the kernel's prefix-sum form by
+    algebra), packed fingerprint, 0-mod-p selection, same owner/stats
+    stages as the md5 oracle."""
+    w1 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M1) for j in range(span)]
+    w2 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M2) for j in range(span)]
+
+    def hexpr(weights, mod):
+        lits = "[" + ", ".join(str(x) for x in weights) + "]"
+        return (f"CAST(list_aggregate(list_transform(range(0, {span}), "
+                f"j -> CAST(ord(substr(text, CAST(pos + j AS INT), 1)) "
+                f"AS HUGEINT) * ({lits}::HUGEINT[])[CAST(j + 1 AS INT)]), "
+                f"'sum') % {mod} AS BIGINT)")
+
+    return f"""
+WITH wins AS MATERIALIZED (
+  SELECT doc_id, pos, fp,
+         doc_id * 1000000000 + pos AS k
+  FROM (SELECT doc_id, pos,
+               {hexpr(w1, D.ROLL_M1)} * 2147483648
+               + {hexpr(w2, D.ROLL_M2)} AS fp
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {span} + 2)) AS pos
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(text) >= {span}) p) s
+  WHERE fp % {modp} = 0),
+grp AS MATERIALIZED (
+  SELECT fp, count(*) AS c, min(k) AS owner FROM wins GROUP BY fp)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_fingerprints,
+       CAST(sum(CASE WHEN c >= 2 AND k <> owner THEN 1 ELSE 0 END)
+            AS BIGINT) AS removable_fingerprints,
+       round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM wins w JOIN grp USING (fp)
+GROUP BY w.doc_id
+"""
+
+
+@extra_query("text_substring_dedup_rolling", oracle=_substr_rolling_oracle())
+def text_substring_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash twin of the registered text_substring_dedup
+    (operators/dedup.py substring_span_stats_rolling): O(1) hash work
+    per window position instead of an md5 over every 40-char window —
+    the upgrade the md5 operator's docstring names for when scan CPU
+    dominates (it is the sf10 table's worst row).  Same selection
+    density, owner rule and stats; the oracle recomputes every window's
+    double polynomial hash as an exact HUGEINT power sum."""
+    return D.substring_span_stats_rolling(
+        load_table(spark, sf_dir, "documents"))

@@ -463,3 +463,36 @@ def test_survivors_and_split_leakage_consistency(spark):
     assert sum(r.n_pairs for r in leak) == n_pairs
     assert any(r.is_leak for r in leak)
     assert all((r.split_lo != r.split_hi) == r.is_leak for r in leak)
+
+
+def test_substring_rolling_twin_shift_invariant_and_fast_path(spark):
+    """The rolling-hash twin keeps both planted-corpus properties the
+    md5 sketch proved: shift-invariant collision of a shared run, and
+    zero duplicated windows on distinct docs.  (Same selection density
+    family, different 1/modp sketch — totals need not match the md5
+    variant, the properties must.)"""
+    import hashlib
+
+    run = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
+                  for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, "x" * 37 + run + "z" * 13),
+         (1, run + "y" * 41),
+         (2, "tiny")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in D.substring_span_stats_rolling(docs).collect()}
+    assert 2 not in rows
+    assert rows[0].dup_fingerprints >= 1
+    assert rows[1].dup_fingerprints >= 1
+    assert rows[1].removable_fingerprints >= 1
+    assert rows[0].removable_fingerprints == 0
+
+    t0 = "".join(hashlib.sha256(f"r0{j}".encode()).hexdigest()
+                 for j in range(2))
+    t1 = "".join(hashlib.sha256(f"r1{j}".encode()).hexdigest()
+                 for j in range(2))
+    distinct = spark.createDataFrame(
+        [(0, t0), (1, t1)], "doc_id long, text string")
+    for r in D.substring_span_stats_rolling(distinct).collect():
+        assert r.dup_fingerprints == 0
