@@ -137,3 +137,50 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
          .alias("chunk_id"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"))
+
+
+#: RAG chunker defaults: window of CHUNK_WIN tokens, stride
+#: CHUNK_STRIDE (overlap = WIN - STRIDE) — overlapping windows so a
+#: passage straddling a boundary is fully contained in some chunk,
+#: the retrieval-chunking shape disjoint chunking can't provide.
+CHUNK_WIN = 12
+CHUNK_STRIDE = 8
+
+
+def overlapping_chunks_udtf():
+    """Python UDTF (Spark 4 ``@udtf``) emitting overlapping token-window
+    chunks: (chunk_idx, start_tok, n_tok, chunk_text) per input doc —
+    the 1->N row-generating shape as a LATERAL-joinable table function
+    (the third Python extension axis next to pandas UDFs and custom
+    data sources).  Chunk starts at multiples of the stride; the final
+    window is emitted iff it starts inside the doc, so every token is
+    covered and short docs yield exactly one chunk.
+
+    Registered per session:
+        spark.udtf.register("overlapping_chunks", overlapping_chunks_udtf())
+        spark.sql("SELECT d.doc_id, c.* FROM documents d, "
+                  "LATERAL overlapping_chunks(d.text, 12, 8) c")
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("chunk_idx int, start_tok int, n_tok int, "
+                      "chunk_text string"))
+    class OverlappingChunks:
+        def eval(self, text: str, win: int, stride: int):
+            if text is None:
+                return
+            toks = text.lower().split()
+            n = len(toks)
+            if n == 0:
+                return
+            idx = 0
+            for start in range(0, max(n - 1, 1), stride):
+                if start >= n:
+                    break
+                chunk = toks[start:start + win]
+                yield idx, start, len(chunk), " ".join(chunk)
+                if start + win >= n:
+                    break
+                idx += 1
+
+    return OverlappingChunks

@@ -91,3 +91,53 @@ def documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode fuses into the scan stage."""
     docs = load_table(spark, sf_dir, "documents")
     return P.chunk_documents(docs, CHUNK_MAX, CHUNK_OVERLAP)
+
+
+def _rag_chunks_oracle(win: int = 12, stride: int = 8) -> str:
+    """SQL twin of the overlapping-chunk UDTF: chunk starts are the
+    stride multiples up to L = the first start whose window reaches the
+    doc end (ceil((n-win)/stride)*stride, 0 for short docs) — the same
+    emit-and-stop rule the UDTF's loop implements."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= {win} THEN 0
+                  ELSE CAST(ceil((len(tk) - {win}) / {stride}.0)
+                       AS BIGINT) * {stride} END AS last_start
+      FROM t WHERE len(tk) > 0),
+c AS (SELECT doc_id, CAST(s / {stride} AS INT) AS chunk_idx,
+             CAST(s AS INT) AS start_tok,
+             CAST(least({win}, n - s) AS INT) AS n_tok,
+             md5(array_to_string(
+               tk[CAST(s + 1 AS INT):CAST(least(s + {win}, n) AS INT)],
+               ' ')) AS chunk_md5
+      FROM b, LATERAL unnest(range(0, last_start + 1, {stride})) AS u(s))
+SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_md5
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+@extra_query("documents_rag_chunks", oracle=_rag_chunks_oracle())
+def documents_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks via a Python UDTF (Spark 4
+    ``@udtf`` + LATERAL join — the third Python extension axis next to
+    the pandas kernels and the custom data source): window 12 tokens,
+    stride 8, so a passage straddling a disjoint-chunk boundary is
+    fully contained in some chunk — the RAG chunking shape
+    chunk_occurrences (disjoint) cannot provide.  Emits (doc_id,
+    chunk_idx, start_tok, n_tok, chunk_md5); the oracle replays the
+    emit-and-stop rule relationally.  Scale: the UDTF streams rows per
+    input partition — same 1->N explosion cost as the frame sampler."""
+    from currency_market_pulse_spark.operators.packing import (
+        overlapping_chunks_udtf,
+    )
+
+    spark.udtf.register("overlapping_chunks", overlapping_chunks_udtf())
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_rag_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_tok,
+               md5(c.chunk_text) AS chunk_md5
+        FROM _rag_docs d, LATERAL overlapping_chunks(d.text, 12, 8) c
+        ORDER BY d.doc_id, c.chunk_idx""")
