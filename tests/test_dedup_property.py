@@ -47,3 +47,36 @@ def test_jaccard_matches_python_reference(spark, corpus):
            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3,
                                         max_shingle_df=None).collect()}
     assert got == _py_pairs(corpus, 3, 0.3)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet="abcxy", min_size=0, max_size=120))
+def test_rolling_fingerprints_match_python_reference(spark, text):
+    """The vectorized prefix-sum rolling hash must equal a direct
+    per-window polynomial evaluation in pure Python for arbitrary
+    text — including the empty/short-doc guards."""
+    from pyspark.sql import Row
+
+    from currency_market_pulse_spark.operators import dedup as D
+
+    span, modp = 20, 4   # smaller span so short fuzz inputs have windows
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = D.substring_span_stats_rolling(docs, span_chars=span, modp=modp)
+    got = {r.doc_id: r.n_fingerprints for r in out.collect()}
+
+    # reference: fp per window by direct power sum, count 0-mod-p picks
+    def ref_count(t):
+        if len(t) < span:
+            return None
+        n_sel = 0
+        for i in range(len(t) - span + 1):
+            h1 = h2 = 0
+            for ch in t[i:i + span]:
+                h1 = (h1 * D.ROLL_B + ord(ch)) % D.ROLL_M1
+                h2 = (h2 * D.ROLL_B + ord(ch)) % D.ROLL_M2
+            if (h1 * (1 << 31) + h2) % modp == 0:
+                n_sel += 1
+        return n_sel or None   # docs with zero selections emit no row
+
+    expect = ref_count(text)
+    assert got.get(1) == expect

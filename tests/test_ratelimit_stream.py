@@ -65,3 +65,65 @@ def test_rate_limit_stream_end_to_end(spark, tmp_path):
     assert [rows[i].admitted for i in range(5)] == [True] * 3 + [False] * 2
     assert rows[3].retry_after_ms == 1000 + 1000 - 1030
     assert rows[100].admitted  # cold user unaffected
+
+
+def test_gateway_decisions_match_batch_replay(spark, tmp_path):
+    """The payload-carrying gateway fold must produce the same
+    (n_in_window, admitted, retry_after_ms) per event as the batch
+    sliding-window replay operator — including state carried across
+    micro-batches (maxFilesPerTrigger=1 splits the run)."""
+    import datetime as dt
+
+    from currency_market_pulse_spark.operators.sessions import (
+        sliding_window_admission,
+    )
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        rate_limit_gateway,
+    )
+
+    events = ([("hot", i, 1000 + i * 300) for i in range(6)]
+              + [("cold", 100, 1500)])
+    f1 = [e for e in events if e[1] < 3]
+    f2 = [e for e in events if e[1] >= 3]
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, chunk in [("f1.json", f1), ("f2.json", f2)]:
+        with open(src / name, "w") as f:
+            for u, eid, ts in chunk:
+                f.write(json.dumps({"user_id": u, "event_id": eid,
+                                    "ts_ms": ts, "payload": f"p{eid}"})
+                        + "\n")
+
+    stream = (spark.readStream
+              .schema("user_id string, event_id long, ts_ms long, "
+                      "payload string")
+              .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = (rate_limit_gateway(stream, window_ms=1000, limit=2)
+         .writeStream.format("memory").queryName("gw_batch_cmp")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second")
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("gw_batch_cmp").count() >= len(events):
+                break
+            time.sleep(0.5)
+        live = {r.event_id: (r.n_in_window, r.admitted, r.retry_after_ms,
+                             r.payload)
+                for r in spark.table("gw_batch_cmp").collect()}
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [(u, eid, dt.datetime.utcfromtimestamp(ts / 1000.0))
+         for u, eid, ts in events],
+        "user_id string, event_id long, ts timestamp")
+    batch = {r.event_id: (r.n_in_window, r.admitted, r.retry_after_ms)
+             for r in sliding_window_admission(
+                 batch_df, window_ms=1000, limit=2).collect()}
+
+    assert set(live) == set(batch)
+    for eid, b in batch.items():
+        assert live[eid][:3] == b, eid
+        assert live[eid][3] == f"p{eid}"   # payload carried through
