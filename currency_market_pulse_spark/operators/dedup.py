@@ -675,6 +675,51 @@ SPAN_CHARS = 40
 SPAN_MODP = 8
 
 
+def _substring_window_owners(docs: DataFrame,
+                             span_chars: int = SPAN_CHARS,
+                             modp: int = SPAN_MODP,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Shared stage of the ExactSubstr family: the content-selected
+    window relation joined to its corpus-wide owner statistics —
+    one row per selected window with (id, pos, _h, _k, _c, _owner).
+
+    Repartitions the narrow PRE-EXPLODE corpus to full parallelism: a
+    text corpus is small on disk (compressed parquet — sf0.1's 5k docs
+    are ONE input split) but the per-row work (~len md5 evaluations per
+    doc) is heavy, so scan-aligned partitioning strands 31 of 32 cores
+    — the same input-split starvation the dedup family measured and
+    fixed (queries/dedup.py _corpus; here: sf0.1 wall 34.5s -> 7.3s
+    cold / 1.7s warm, sf1 96s -> ~6s, and AQE then reuses the window
+    exchange across the aggregate and the join-back, so windows
+    compute ONCE).  The shuffle moves corpus rows, not windows."""
+    ln = F.length(F.col(text_col))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    wins = (docs
+            .filter(F.col(text_col).isNotNull() & (ln >= span_chars))
+            .repartition(par, F.col(id_col))
+            .select(
+                F.col(id_col),
+                F.explode(F.sequence(
+                    F.lit(1), (ln - span_chars + 1).cast("long")))
+                 .alias("pos"),
+                F.col(text_col))
+            .select(
+                F.col(id_col), "pos",
+                F.md5(F.substring(F.col(text_col), F.col("pos"),
+                                  span_chars)).alias("_h"))
+            .withColumn("_hv", F.conv(F.substring("_h", 1, 15), 16, 10)
+                        .cast("long"))
+            .filter(F.pmod(F.col("_hv"), F.lit(modp)) == 0)
+            .drop("_hv"))
+    key = (F.col(id_col).cast("long") * F.lit(1_000_000_000)
+           + F.col("pos")).alias("_k")
+    wins = wins.select(id_col, "pos", "_h", key)
+    grp = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"),
+                                 F.min("_k").alias("_owner"))
+    return wins.join(grp, "_h")
+
+
 def substring_span_stats(docs: DataFrame, span_chars: int = SPAN_CHARS,
                          modp: int = SPAN_MODP,
                          id_col: str = "doc_id",
@@ -716,41 +761,8 @@ def substring_span_stats(docs: DataFrame, span_chars: int = SPAN_CHARS,
     packs (doc_id, pos) into one BIGINT (doc_id * 1e9 + pos; documented
     bound pos < 1e9 chars/doc).
     """
-    ln = F.length(F.col(text_col))
-    # repartition the narrow PRE-EXPLODE corpus to full parallelism:
-    # a text corpus is small on disk (compressed parquet — sf0.1's 5k
-    # docs are ONE input split) but this operator's per-row work
-    # (~len md5 evaluations per doc) is heavy, so scan-aligned
-    # partitioning strands 31 of 32 cores — the same input-split
-    # starvation the dedup family measured and fixed (queries/dedup.py
-    # _corpus; here: sf0.1 wall 34.5s -> 7.3s cold / 1.7s warm, sf1
-    # 96s -> ~6s, and AQE then reuses the window exchange across the
-    # aggregate and the join-back, so windows compute ONCE).  The
-    # shuffle moves corpus rows, not windows.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    wins = (docs
-            .filter(F.col(text_col).isNotNull() & (ln >= span_chars))
-            .repartition(par, F.col(id_col))
-            .select(
-                F.col(id_col),
-                F.explode(F.sequence(
-                    F.lit(1), (ln - span_chars + 1).cast("long")))
-                 .alias("pos"),
-                F.col(text_col))
-            .select(
-                F.col(id_col), "pos",
-                F.md5(F.substring(F.col(text_col), F.col("pos"),
-                                  span_chars)).alias("_h"))
-            .withColumn("_hv", F.conv(F.substring("_h", 1, 15), 16, 10)
-                        .cast("long"))
-            .filter(F.pmod(F.col("_hv"), F.lit(modp)) == 0)
-            .drop("_hv"))
-    key = (F.col(id_col).cast("long") * F.lit(1_000_000_000)
-           + F.col("pos")).alias("_k")
-    wins = wins.select(id_col, "pos", "_h", key)
-    grp = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"),
-                                 F.min("_k").alias("_owner"))
-    joined = wins.join(grp, "_h")
+    joined = _substring_window_owners(docs, span_chars, modp,
+                                      id_col, text_col)
     dup = F.col("_c") >= 2
     return (joined.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_fingerprints"),
@@ -761,6 +773,68 @@ def substring_span_stats(docs: DataFrame, span_chars: int = SPAN_CHARS,
                 F.col("dup_fingerprints") / F.col("n_fingerprints"), 6))
             .select(id_col, "n_fingerprints", "dup_fingerprints",
                     "removable_fingerprints", "dup_frac"))
+
+
+def substring_removal_plan(docs: DataFrame,
+                           span_chars: int = SPAN_CHARS,
+                           modp: int = SPAN_MODP,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The APPLY stage of ExactSubstr dedup (Lee et al. 2021 §3.1 drop
+    the repeated span, not the document): merge every removable window
+    (duplicated corpus-wide, not the first occurrence) into maximal
+    per-doc character SPANS and emit the per-doc removal plan — how
+    many contiguous spans to cut, how many chars go, how many stay.
+    substring_span_stats counts removable windows; this operator turns
+    them into the [start, end) intervals an editor actually deletes.
+
+    Interval merge is gaps-and-islands (the events_sessionize shape,
+    transplanted from time to character offsets): windows sorted by
+    pos within doc; a window opens a new island iff its start lies past
+    the running max end of everything before it (adjacent spans merge —
+    cutting [0,40)+[40,80) is one splice).  The window sort runs ONLY
+    over the removable relation — already filtered to duplicated,
+    non-owner windows, a small fraction of the len/modp selected
+    fingerprints — partitioned per doc, so no global sort and no
+    data-sized window state.  One narrow join back to the corpus
+    fetches doc length for the kept-chars arithmetic.
+
+    Output (docs with >= 1 removable window only): n_removable_windows,
+    n_spans, removed_chars, kept_chars, removed_frac.
+    """
+    joined = _substring_window_owners(docs, span_chars, modp,
+                                      id_col, text_col)
+    rem = (joined
+           .filter((F.col("_c") >= 2) & (F.col("_k") != F.col("_owner")))
+           .select(id_col, "pos",
+                   (F.col("pos") + F.lit(span_chars)).alias("_end")))
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("_end").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (rem
+           .withColumn("_new", (prev_max.isNull()
+                                | (F.col("pos") > prev_max))
+                       .cast("long"))
+           .withColumn("_isl", F.sum("_new").over(
+               wdoc.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "_isl")
+             .agg(F.count(F.lit(1)).alias("_nw"),
+                  F.min("pos").alias("_s"),
+                  F.max("_end").alias("_e")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum("_nw").alias("n_removable_windows"),
+                    F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.col("_e") - F.col("_s"))
+                    .alias("removed_chars")))
+    lens = docs.select(F.col(id_col),
+                       F.length(F.col(text_col)).alias("_len"))
+    return (per_doc.join(lens, id_col)
+            .select(id_col, "n_removable_windows", "n_spans",
+                    "removed_chars",
+                    (F.col("_len") - F.col("removed_chars"))
+                    .alias("kept_chars"),
+                    F.round(F.col("removed_chars") / F.col("_len"), 6)
+                    .alias("removed_frac")))
 
 
 #: Rolling-hash twin of the substring sketch: double 31-bit polynomial

@@ -936,6 +936,68 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+_SUBSTR_REMOVAL_ORACLE = f"""
+WITH wins AS MATERIALIZED (
+  SELECT doc_id, pos, h,
+         doc_id * 1000000000 + pos AS k
+  FROM (SELECT doc_id, pos,
+               md5(substr(text, CAST(pos AS INT), {D.SPAN_CHARS})) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {D.SPAN_CHARS} + 2))
+                       AS pos
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(text) >= {D.SPAN_CHARS}) p) s
+  WHERE CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {D.SPAN_MODP} = 0),
+grp AS MATERIALIZED (
+  SELECT h, count(*) AS c, min(k) AS owner FROM wins GROUP BY h),
+rem AS (
+  SELECT w.doc_id, w.pos, w.pos + {D.SPAN_CHARS} AS e
+  FROM wins w JOIN grp USING (h)
+  WHERE c >= 2 AND k <> owner),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM rem),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM isl),
+spans AS (
+  SELECT doc_id, isle, count(*) AS nw, min(pos) AS s, max(e) AS e2
+  FROM isl2 GROUP BY doc_id, isle)
+SELECT sp.doc_id,
+       CAST(sum(nw) AS BIGINT) AS n_removable_windows,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e2 - s) AS BIGINT) AS removed_chars,
+       CAST(any_value(length(d.text)) - sum(e2 - s) AS BIGINT)
+         AS kept_chars,
+       round(sum(e2 - s) / CAST(any_value(length(d.text)) AS DOUBLE), 6)
+         AS removed_frac
+FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
+GROUP BY sp.doc_id
+"""
+
+
+@extra_query("text_substring_removal", oracle=_SUBSTR_REMOVAL_ORACLE)
+def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY stage of ExactSubstr (operators/dedup.py
+    substring_removal_plan — Lee et al. 2021 §3.1: drop the repeated
+    SPAN, not the document): removable windows merged gaps-and-islands
+    style into maximal per-doc [start, end) cut intervals; per doc the
+    span count, removed/kept chars and removed fraction.  Completes the
+    detect (text_substring_dedup) -> plan (this) -> splice chain; the
+    island sort runs only over the removable-window relation, so the
+    added cost on top of the detect stage is negligible at any SF."""
+    return D.substring_removal_plan(load_table(spark, sf_dir, "documents"))
+
+
 _XSOURCE_ORACLE = rf"""
 WITH toksnn AS MATERIALIZED (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t

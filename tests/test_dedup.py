@@ -425,6 +425,58 @@ def test_substring_span_stats_shift_invariant_collision(spark):
     assert rows[0].removable_fingerprints == 0
 
 
+def test_substring_removal_plan_merges_overlapping_windows(spark):
+    """The removal plan merges the run's overlapping removable windows
+    into ONE contiguous span on the non-owner doc: span count is 1,
+    removed chars cover at least the windows' union but never exceed
+    the run (windows live strictly inside the duplicated run, so the
+    merged interval cannot leak into the unique flanks), and the owner
+    doc plus the distinct doc produce no plan rows at all."""
+    run = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
+                  for i in range(60))   # non-periodic, 120 chars
+    docs = spark.createDataFrame(
+        [(0, "x" * 37 + run + "z" * 13),
+         (1, run + "y" * 41),
+         (2, "q" * 0 + "unique text with no forty-char twin anywhere")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            D.substring_removal_plan(docs).collect()}
+    assert set(rows) == {1}          # owner (0) and distinct (2) absent
+    r = rows[1]
+    assert r.n_spans == 1            # overlapping windows merged
+    assert r.n_removable_windows >= 1
+    assert D.SPAN_CHARS <= r.removed_chars <= len(run)
+    assert r.kept_chars == len(run) + 41 - r.removed_chars
+    assert 0.0 < r.removed_frac < 1.0
+
+
+def test_substring_removal_plan_disjoint_runs_two_spans(spark):
+    """Two separately-duplicated runs with a wide unique gap in the
+    same doc yield TWO merged spans (the island break fires when the
+    next window starts past the running max end)."""
+    import hashlib
+    run_a = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
+                    for i in range(60))
+    run_b = "".join(chr(122 - (i * 5) % 26) + str((i * 3) % 10)
+                    for i in range(60))
+    gap = "".join(hashlib.sha256(f"g{j}".encode()).hexdigest()
+                  for j in range(3))   # 192 unique chars, > SPAN_CHARS
+    docs = spark.createDataFrame(
+        [(0, run_a), (1, run_b),
+         (2, run_a + gap + run_b)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            D.substring_removal_plan(docs).collect()}
+    # doc 0 owns run_a windows, doc 1 owns run_b's; doc 2's copies of
+    # BOTH runs are removable.  Selection sparsity may split islands
+    # WITHIN a run (this fixture's selected run_b windows sit 55 chars
+    # apart — a legitimate extra island), but merging across the 192
+    # unique gap chars would be a bug, so: >= 2 spans, removed chars
+    # bounded by the two runs.
+    assert rows[2].n_spans >= 2
+    assert rows[2].removed_chars <= len(run_a) + len(run_b)
+
+
 def test_substring_span_stats_no_dups_without_shared_runs(spark):
     """Distinct non-self-repeating docs have zero duplicated windows
     (an all-same-char doc would self-collide: within-doc repeats count,
