@@ -552,3 +552,76 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= top_k)
             .orderBy("query_id", "rn"))
+
+
+#: Count-min sketch dimensions.  width * rows * 8 B = 16 KiB of count
+#: state regardless of corpus size; expected per-cell collision load at
+#: N total tokens is N / width, so the classic eps = e / width
+#: overestimate bound is ~0.5% of N per probe at width 512.
+CMS_ROWS = 4
+CMS_WIDTH = 512
+
+
+def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
+               width: int = CMS_WIDTH,
+               text_col: str = "text") -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
+    stream: (row, bucket, cnt) with cnt = total occurrences of tokens
+    hashing to that cell — at most ``rows * width`` rows TOTAL, however
+    large the corpus.
+
+    This is the bounded-memory frequency store for heavy-hitter
+    tracking at 100 TB: exact token counting needs dictionary-sized
+    aggregation state (the long tail of a web corpus is billions of
+    distinct tokens), while the sketch's aggregation state is
+    rows*width cells per partition, the post-shuffle relation is
+    ~2k rows, and two sketches MERGE by cell-wise addition — the
+    property that makes it work sharded and streaming.  The token x
+    rows explode multiplies map-side work only; partial aggregation
+    collapses it to rows*width entries per partition before the
+    (single, tiny) shuffle.
+
+    Hashes are the portable seeded-md5 family, so the sketch is
+    DETERMINISTIC and the DuckDB oracle rebuilds it bit-identically —
+    an unusual luxury for a sketch (cf. the HLL profile twin, which
+    gets an error-bound gate instead)."""
+    occ = (docs.filter(F.col(text_col).isNotNull())
+           .select(F.explode(tokens(F.col(text_col))).alias("tok")))
+    rowed = occ.select(
+        F.col("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
+                           F.col("tok"))), 1, 15), 16, 10).cast("long"),
+        F.lit(width))
+    return (rowed.select("row", bucket.alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimates(docs: DataFrame, rows: int = CMS_ROWS,
+                  width: int = CMS_WIDTH,
+                  text_col: str = "text") -> DataFrame:
+    """Per-distinct-token count-min estimate: min over the sketch rows
+    of the probed cell — (tok, est).  The sketch side of the probe join
+    is <= rows*width rows and BROADCAST; the distinct-token relation
+    never carries counts, only probe keys.  est >= true count always
+    (the sketch never undercounts); the overestimate is bounded by
+    colliding mass (text_cms_error regression-gates it)."""
+    sketch = cms_sketch(docs, rows, width, text_col)
+    cand = (docs.filter(F.col(text_col).isNotNull())
+            .select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .distinct())
+    probes = cand.select(
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
+                           F.col("tok"))), 1, 15), 16, 10).cast("long"),
+        F.lit(width))
+    return (probes.select("tok", "row", bucket.alias("bucket"))
+            .join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("tok")
+            .agg(F.min("cnt").alias("est")))

@@ -869,3 +869,82 @@ def documents_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("t_s").alias("n_tokens"),
                     "jsd_vs_corpus")
             .orderBy("source"))
+
+
+_CMS_CELLS = rf"""
+occ AS MATERIALIZED (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+cells AS MATERIALIZED (
+  SELECT row, CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || tok),
+                    1, 15)) AS BIGINT) % {X.CMS_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM occ, range({X.CMS_ROWS}) r(row) GROUP BY 1, 2),
+est AS MATERIALIZED (
+  SELECT tok, min(cnt) AS est
+  FROM (SELECT tok,
+               row,
+               CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || tok),
+                     1, 15)) AS BIGINT) % {X.CMS_WIDTH} AS bucket
+        FROM (SELECT DISTINCT tok FROM occ) c, range({X.CMS_ROWS}) r(row)) p
+  JOIN cells USING (row, bucket)
+  GROUP BY tok)
+"""
+
+_CMS_HH_ORACLE = f"""
+WITH {_CMS_CELLS}
+SELECT tok, CAST(est AS BIGINT) AS est
+FROM est ORDER BY est DESC, tok LIMIT 20
+"""
+
+
+@extra_query("text_cms_heavy_hitters", oracle=_CMS_HH_ORACLE)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min-sketch estimate (operators/textops.py
+    cms_sketch / cms_estimates — Cormode & Muthukrishnan 2005): token
+    frequencies tracked in CMS_ROWS x CMS_WIDTH = 4x512 cells of count
+    state (16 KiB, corpus-size-independent, cell-wise mergeable across
+    shards and stream batches), probed per distinct token through a
+    BROADCAST join of the ~2k-row sketch.  Top-20 by estimate,
+    deterministic tie-break on token.  The seeded-md5 hash family makes
+    the sketch replayable, so a sketch gets an EXACT differential gate
+    (the HLL profile twin, engine-specific, gets only an error bound).
+    """
+    est = X.cms_estimates(load_table(spark, sf_dir, "documents"))
+    return (est.select("tok", "est")
+            .orderBy(F.desc("est"), "tok").limit(20))
+
+
+_CMS_ERR_ORACLE = f"""
+WITH {_CMS_CELLS},
+exact AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN est > c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overestimated,
+       CAST(max(est - c) AS BIGINT) AS max_overestimate,
+       CAST(min(est - c) AS BIGINT) AS min_overestimate
+FROM est JOIN exact USING (tok)
+"""
+
+
+@extra_query("text_cms_error", oracle=_CMS_ERR_ORACLE)
+def text_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS overestimate audit (the sim_ann_recall pattern for the
+    frequency sketch): every distinct token's estimate joined against
+    its exact count — tokens audited, how many are overestimated, the
+    worst and best overestimate.  min_overestimate < 0 is structurally
+    impossible (count-min never undercounts); this query turns that
+    invariant plus the collision-load envelope into a regression gate
+    a width/rows re-tune must pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = X.cms_estimates(docs)
+    exact = (docs.filter(F.col("text").isNotNull())
+             .select(F.explode(
+                 F.split(F.lower("text"), r"\s+")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    d = F.col("est") - F.col("c")
+    return (est.join(exact, "tok")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum((d > 0).cast("long")).alias("n_overestimated"),
+                 F.max(d).alias("max_overestimate"),
+                 F.min(d).alias("min_overestimate")))

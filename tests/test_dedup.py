@@ -450,10 +450,11 @@ def test_substring_removal_plan_merges_overlapping_windows(spark):
     assert 0.0 < r.removed_frac < 1.0
 
 
-def test_substring_removal_plan_disjoint_runs_two_spans(spark):
+def test_substring_removal_plan_disjoint_runs_never_merge(spark):
     """Two separately-duplicated runs with a wide unique gap in the
-    same doc yield TWO merged spans (the island break fires when the
-    next window starts past the running max end)."""
+    same doc yield at least two merged spans — the island break fires
+    when the next window starts past the running max end, so spans
+    can never bridge the unique gap."""
     import hashlib
     run_a = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
                     for i in range(60))
