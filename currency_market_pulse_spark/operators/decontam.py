@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from currency_market_pulse_spark.functions.text import hex_hash64
 from currency_market_pulse_spark.operators.dedup import _doc_shingles
 
 
@@ -76,3 +77,97 @@ def decontaminate(train: DataFrame, eval_: DataFrame,
     return train.join(
         F.broadcast(flagged.select(F.col("train_doc_id").alias(id_col))),
         id_col, "left_anti")
+
+
+#: Bloom pre-filter sizing: m bits / 64 = word relation rows (1024 at
+#: 2^16), k probe hashes.  False-positive rate for S eval shingles is
+#: (1 - e^(-kS/m))^k — at S=5k, m=65536, k=3: ~1.2% of probes, each
+#: caught by the exact verify join.  False NEGATIVES are structurally
+#: impossible (bit_or only sets bits), so results are identical to the
+#: exact path.
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
+                       m: int = BLOOM_BITS, k: int = BLOOM_HASHES,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Bloom bitmap of the eval-side shingle set as a (word, bits)
+    relation — at most m/64 rows (8 KiB of filter state at the default
+    2^16 bits) however many shingles the eval corpus holds.  Built with
+    one explode (k positions per distinct shingle) and one ``bit_or``
+    hash aggregate; hashes are the portable seeded-md5 family.
+
+    This is the scale hatch for the broadcast decontamination join:
+    the exact path broadcasts the full eval shingle relation (16-byte
+    hashes x shingles — gigabytes when the held-out side is itself
+    web-scale, e.g. decontaminating against an earlier training
+    corpus), while the bitmap stays m/64 words at ANY eval size; tune
+    m to the eval cardinality (10 bits/element keeps fp ~1%)."""
+    sh = _doc_shingles(eval_, n, id_col, text_col).select("sh").distinct()
+    pos = sh.select(F.explode(F.array(*[
+        F.pmod(hex_hash64(F.concat(F.lit(f"bloom{i}|"), F.col("sh"))),
+               F.lit(m))
+        for i in range(k)])).alias("pos"))
+    # SQL-form shiftleft: the Python F.shiftleft only takes a literal
+    # bit count, the SQL function accepts a column
+    return (pos.select(
+        F.expr("pos DIV 64").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pmod(pos, 64) AS INT))").alias("bit"))
+        .groupBy("word").agg(F.bit_or("bit").alias("bits")))
+
+
+def bloom_prefilter(shingle_df: DataFrame, bloom: DataFrame,
+                    m: int = BLOOM_BITS,
+                    k: int = BLOOM_HASHES) -> DataFrame:
+    """Rows of ``shingle_df`` whose ``sh`` MAY be in the bloom set: k
+    successive broadcast hash joins on the word index, each filtering
+    on the probed bit — zero shuffles of the big side, and a shingle
+    whose word is absent from the bitmap drops at the join itself.
+    Definite-absent rows (the overwhelming majority when contamination
+    is rare) never reach the exact verify join."""
+    cand = shingle_df
+    for i in range(k):
+        pos = F.pmod(
+            hex_hash64(F.concat(F.lit(f"bloom{i}|"), F.col("sh"))),
+            F.lit(m))
+        b = bloom.select(F.col("word").alias(f"_w{i}"),
+                         F.col("bits").alias(f"_b{i}"))
+        cand = (cand
+                .withColumn("_pos", pos)
+                .withColumn(f"_w{i}", F.expr("_pos DIV 64"))
+                .withColumn(f"_m{i}", F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(pmod(_pos, 64) AS INT))"))
+                .drop("_pos")
+                .join(F.broadcast(b), f"_w{i}")
+                .filter(F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}"))
+                        != 0)
+                .drop(f"_w{i}", f"_b{i}", f"_m{i}"))
+    return cand
+
+
+def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
+                              n: int = 5, min_overlap: int = 1,
+                              m: int = BLOOM_BITS,
+                              k: int = BLOOM_HASHES,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """``contamination_pairs`` with a Bloom pre-filter: train shingles
+    first probe the m-bit bitmap (k broadcast word-joins, no shuffle),
+    and only maybe-present survivors enter the exact verify join
+    against the eval shingle relation.  Bit-identical results to the
+    exact path (the bloom admits false positives only, and the verify
+    join kills those) — asserted by the shared oracle."""
+    tr = (_doc_shingles(train, n, id_col, text_col)
+          .select(F.col(id_col).alias("train_doc_id"), "sh"))
+    ev = (_doc_shingles(eval_, n, id_col, text_col)
+          .select(F.col(id_col).alias("eval_doc_id"), "sh"))
+    bloom = eval_shingle_bloom(eval_, n, m, k, id_col, text_col)
+    cand = bloom_prefilter(tr, bloom, m, k)
+    return (cand.join(F.broadcast(ev), "sh")
+            .groupBy("train_doc_id", "eval_doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap))

@@ -56,3 +56,24 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (C.contamination_pairs(train, ev, n=DECONTAM_NGRAM,
                                   min_overlap=1)
             .orderBy("train_doc_id", "eval_doc_id"))
+
+
+@extra_query("documents_decontaminate_bloom", oracle=_DECONTAM_ORACLE)
+def documents_decontaminate_bloom(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered twin of documents_decontaminate
+    (operators/decontam.py contamination_pairs_bloom): the eval shingle
+    set compressed to a 2^16-bit bitmap (1024 words, 8 KiB — constant
+    in eval size, vs gigabytes of broadcast shingle hashes when the
+    held-out side is itself corpus-scale), probed by three broadcast
+    word-joins with zero shuffles of the training side; only
+    maybe-present shingles reach the exact verify join.  The bloom
+    admits false POSITIVES only, so results are bit-identical to the
+    exact path — both queries share one oracle, which is the proof."""
+    docs = S.hash_split(load_table(spark, sf_dir, "documents"),
+                        "doc_id", SPLIT_WEIGHTS)
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") != "train")
+    return (C.contamination_pairs_bloom(train, ev, n=DECONTAM_NGRAM,
+                                        min_overlap=1)
+            .orderBy("train_doc_id", "eval_doc_id"))

@@ -4,7 +4,7 @@ train docs."""
 
 from __future__ import annotations
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from currency_market_pulse_spark.operators import decontam as C
 
@@ -57,3 +57,39 @@ def test_decontaminate_drops_only_flagged(spark):
     ids = {r.train_doc_id: (r.max_overlap, r.n_eval_docs)
            for r in C.contaminated_ids(train, ev, n=5).collect()}
     assert set(ids) == {2}
+
+
+def test_bloom_prefilter_equals_exact_and_prunes(spark):
+    """The bloom-prefiltered pair relation is bit-identical to the
+    exact one (no false negatives by construction), the bitmap stays
+    within its m/64-word budget, and on a disjoint train side the
+    prefilter actually prunes (candidate shingles strictly fewer than
+    total train shingles)."""
+    from currency_market_pulse_spark.operators.dedup import _doc_shingles
+
+    leak = "the quick brown fox jumps over the lazy dog today"
+    train = spark.createDataFrame(
+        [(0, leak),
+         (1, "completely unrelated training text with many words here"),
+         (2, "another clean document nothing shared at all with eval")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, leak), (101, "held out evaluation prompt squad entry")],
+        "doc_id long, text string")
+
+    exact = sorted(tuple(r) for r in
+                   C.contamination_pairs(train, ev, n=5).collect())
+    bloom = sorted(tuple(r) for r in
+                   C.contamination_pairs_bloom(train, ev, n=5).collect())
+    assert exact == bloom and len(exact) >= 1
+
+    bm = C.eval_shingle_bloom(ev, n=5)
+    assert bm.count() <= C.BLOOM_BITS // 64
+
+    tr_sh = _doc_shingles(train, 5, "doc_id", "text")
+    n_all = tr_sh.count()
+    n_cand = C.bloom_prefilter(
+        tr_sh.select(F.col("doc_id").alias("train_doc_id"), "sh"),
+        bm).count()
+    assert n_cand < n_all          # clean docs' shingles dropped
+    assert n_cand >= 6             # the leaked doc's 5-gram overlap
