@@ -366,3 +366,109 @@ def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
             .select("query_id", "qlabel", "neighbor_id", "clabel",
                     "cos_sim", "rn")
             .orderBy("query_id", "rn"))
+
+
+#: Scalar quantization: per-dimension linear int8 codes over the
+#: NORMALIZED corpus (normalizing first makes the integer code dot a
+#: direct cosine surrogate), 0..SQ_LEVELS levels, exact rerank of the
+#: top SQ_RERANK candidates per query.
+SQ_LEVELS = 255
+SQ_RERANK = 15
+
+
+def sq_train_bounds(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (vmin, span) of the L2-normalized corpus — the
+    scalar quantizer's entire trained state: 2 doubles per dimension,
+    collected driver-side and shipped in the task closure (the k-means
+    codebook lesson: a crossJoin'd bounds column makes Arrow
+    materialize the full table per row; 128 doubles in the closure are
+    free).  min/max are order-independent aggregates, so training is
+    deterministic under any partitioning — no fixed-point machinery
+    needed, unlike every mean-based trainer in this package."""
+    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    nemb = nz.select(F.posexplode(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") / norm(F.col(vec_col))))
+        .alias("d", "v"))
+    rows = (nemb.groupBy("d")
+            .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+            .collect())
+    by_d = {r.d: r for r in rows}
+    vmins = [by_d[d].vmin for d in sorted(by_d)]
+    spans = [by_d[d].vmax - by_d[d].vmin for d in sorted(by_d)]
+    return vmins, spans
+
+
+def _sq_code(vec_col, vmins: list, spans: list):
+    """int8-domain code array: floor((x - vmin) * 255 / span), clamped
+    to [0, 255]; constant dimensions (span == 0) code to 0.  All
+    double IEEE arithmetic in left-associative order, mirrored
+    verbatim by the oracle."""
+    vmin_l = F.array(*[F.lit(float(v)) for v in vmins])
+    span_l = F.array(*[F.lit(float(s)) for s in spans])
+    nvec = F.transform(vec_col,
+                       lambda x: x.cast("double") / norm(vec_col))
+    return F.transform(
+        nvec,
+        lambda x, i: F.when(
+            F.element_at(span_l, i + 1) > 0,
+            F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
+                (x - F.element_at(vmin_l, i + 1)) * F.lit(255.0)
+                / F.element_at(span_l, i + 1))))
+        ).otherwise(F.lit(0)))
+
+
+def sq_topk(emb: DataFrame, query_filter, k: int = 5,
+            rerank: int = SQ_RERANK,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Scalar-quantized ANN: candidates ranked by the INTEGER dot
+    product of per-dimension int8 codes (exact int64 arithmetic — no
+    float fold anywhere in the scan), top ``rerank`` per query
+    re-scored with exact cosine, top ``k`` kept.
+
+    Scale shape: the search scan reads only the CODES relation (one
+    byte of information per dimension — 4x smaller than float32, the
+    poor man's PQ with zero codebook training); the trained state is
+    2 doubles/dim in the task closure; the rerank join touches
+    ``rerank`` full vectors per query, fetched by a broadcast semi of
+    the tiny candidate list against the corpus — full-precision
+    vectors are never read in the scoring scan, exactly the PQ/ADC
+    posture with a simpler (and training-free) quantizer."""
+    vmins, spans = sq_train_bounds(emb, id_col, vec_col)
+    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    codes = nz.select(F.col(id_col),
+                      _sq_code(F.col(vec_col), vmins, spans)
+                      .alias("code"))
+    qc = (nz.filter(query_filter)
+          .select(F.col(id_col).alias("query_id"),
+                  _sq_code(F.col(vec_col), vmins, spans).alias("qcode")))
+    iscore = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cand = (F.broadcast(qc)
+            .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"),
+                                    "code"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    iscore.alias("int_score")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("int_score"),
+                                                "neighbor_id")
+    short = (cand.withColumn("crn", F.row_number().over(wq))
+             .filter(F.col("crn") <= rerank)
+             .select("query_id", "neighbor_id"))
+    qv = nz.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = nz.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("cvec"))
+    scored = (cv.join(F.broadcast(short), "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               "neighbor_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .orderBy("query_id", "rn"))

@@ -453,3 +453,66 @@ def sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("fix") / F.lit(float(PR_UNIT)), 12)
                     .alias("pagerank"), "rn")
             .orderBy("rn"))
+
+
+_SQ_ORACLE = f"""
+WITH {ORACLE_EMB_CTE},
+nz AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> x / sqrt(list_dot_product(embedding, embedding))) AS nv
+  FROM emb
+  WHERE sqrt(list_dot_product(embedding, embedding)) > 0),
+b AS MATERIALIZED (
+  SELECT d, min(nv[d]) AS vmin, max(nv[d]) AS vmax
+  FROM nz, range(1, 65) r(d) GROUP BY d),
+codes AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY d) AS code FROM (
+    SELECT n.vec_id, bb.d AS d,
+           CASE WHEN bb.vmax - bb.vmin > 0
+                THEN least(255, greatest(0, CAST(floor(
+                     (n.nv[bb.d] - bb.vmin) * 255.0
+                     / (bb.vmax - bb.vmin)) AS BIGINT)))
+                ELSE 0 END AS code
+    FROM nz n CROSS JOIN b bb) t
+  GROUP BY vec_id),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_aggregate(list_transform(range(1, 65),
+              d -> q.code[d] * c.code[d]), 'sum') AS BIGINT) AS int_score
+  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY int_score DESC, neighbor_id) AS crn
+    FROM cand) t
+  WHERE crn <= {S.SQ_RERANK}),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_COS}, 6) AS cos_sim
+  FROM short s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb c ON c.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
+@extra_query("sim_sq_topk", oracle=_SQ_ORACLE)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (operators/similarity.py sq_topk): the
+    search scan ranks candidates by the INTEGER dot of per-dimension
+    int8 codes over the normalized corpus — one byte of information
+    per dimension, 4x smaller than float32, with a trained state of
+    just 2 doubles/dim shipped in the task closure (no codebooks, the
+    training-free rung below PQ on the compression ladder) — then
+    exact-cosine reranks the top SQ_RERANK.  min/max training is
+    order-independent, so unlike every mean-based trainer the whole
+    chain needs no fixed-point discipline; the oracle replays
+    normalize -> bounds -> encode -> int-dot shortlist -> rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq_topk(emb, F.col("vec_id") < 10, k=5)
