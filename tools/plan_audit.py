@@ -281,6 +281,31 @@ EXPECTATIONS.update({
         # candidate scan — the corpus never shuffles per query
         ("probe side broadcast", r"BroadcastHashJoin"),
     ],
+    "text_substring_removal": [
+        # shares the detect stage's contract: 1/modp selection BEFORE
+        # any exchange, owner stats from a partial-combining aggregate
+        ("mod-p selection pre-shuffle", r"Filter.*pmod"),
+        ("partial agg on window hash", r"partial_min"),
+    ],
+    "text_cms_heavy_hitters": [
+        # the ~2k-row sketch broadcasts into the distinct-token probe;
+        # cell counts partial-aggregate map-side; top-20 is TakeOrdered
+        ("sketch broadcast into probes", r"BroadcastHashJoin"),
+        ("map-side partial cell counts", r"partial_count"),
+        ("top-20 is TakeOrdered not sort", r"TakeOrderedAndProject"),
+    ],
+    "documents_decontaminate_bloom": [
+        # all three bloom word-probes are broadcast hash joins — the
+        # training-side shingle scan never shuffles for the prefilter
+        ("bitmap word-joins broadcast",
+         r"BroadcastHashJoin(.|\n)*BroadcastHashJoin(.|\n)*BroadcastHashJoin"),
+    ],
+    "sim_sq_topk": [
+        # the int8-code query side broadcasts over the codes scan; the
+        # rerank's candidate list and query vectors broadcast too
+        ("query codes broadcast", r"BroadcastNestedLoopJoin"),
+        ("rerank joins broadcast", r"BroadcastHashJoin"),
+    ],
 })
 
 #: checks that must run against the POST-EXECUTION adaptive plan
