@@ -1,0 +1,113 @@
+"""Streaming heavy-hitter tracking over the count-min sketch: every
+micro-batch folds its local token sketch into a standing sketch store
+by cell-wise addition — the merge property operators/textops.py
+cms_sketch is built around (and tests pin), executed continuously.
+
+State shape: the standing store is one parquet relation
+(row, bucket, cnt, batch_id), at most rows x width cells PER BATCH
+partition; the merged sketch at read time is a single hash aggregate
+over at most n_batches * rows * width tiny rows.  Candidate tokens for
+heavy-hitter reporting are each batch's local top-M tokens (exact
+batch-local counts are small state — M rows per batch); a token
+globally heavy but never locally top-M in any batch is missed, the
+standard space-saving trade, stated here rather than hidden (lowering
+M or switching the candidate rule to a count threshold narrows it).
+
+Idempotency contract (the importer/near-dup batch-id discipline):
+every write lands under batch_id=<id> with dynamic partition
+overwrite, so a crash-replayed batch REPLACES its prior contribution
+instead of double-counting it — counts in the merged sketch stay
+exactly-once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from currency_market_pulse_spark.functions.text import tokens
+from currency_market_pulse_spark.operators import textops as X
+
+_SKETCH_SCHEMA = "row int, bucket bigint, cnt bigint, batch_id bigint"
+_CAND_SCHEMA = "tok string, batch_cnt bigint, batch_id bigint"
+
+
+@dataclass
+class StreamingHeavyHitters:
+    """foreachBatch handler maintaining the standing CMS + candidates."""
+
+    sketch_path: str
+    cand_path: str
+    top_m: int = 64
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        delta = X.cms_sketch(batch)
+        local = (batch.filter(F.col("text").isNotNull())
+                 .select(F.explode(tokens(F.col("text"))).alias("tok"))
+                 .groupBy("tok")
+                 .agg(F.count(F.lit(1)).alias("batch_cnt")))
+        w = Window.orderBy(F.desc("batch_cnt"), "tok")
+        cand = (local.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= self.top_m)
+                .drop("_rn"))
+
+        def _write(df: DataFrame, path: str) -> None:
+            (df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
+
+        _write(delta, self.sketch_path)
+        _write(cand, self.cand_path)
+
+    def merged_sketch(self, spark) -> DataFrame:
+        """Cell-wise fold of every batch's contribution — identical to
+        the batch CMS over the union of all ingested documents."""
+        try:
+            raw = spark.read.schema(_SKETCH_SCHEMA).parquet(
+                self.sketch_path)
+        except AnalysisException:
+            return spark.createDataFrame([], _SKETCH_SCHEMA) \
+                .select("row", "bucket", "cnt")
+        return (raw.groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
+
+    def heavy_hitters(self, spark, k: int = 20) -> DataFrame:
+        """Top-k candidate tokens by merged-sketch estimate (est always
+        >= the token's true ingested count)."""
+        try:
+            cand = (spark.read.schema(_CAND_SCHEMA)
+                    .parquet(self.cand_path)
+                    .select("tok").distinct())
+        except AnalysisException:
+            return spark.createDataFrame([], "tok string, est bigint")
+        sketch = self.merged_sketch(spark)
+        probes = cand.select(
+            "tok",
+            F.explode(F.sequence(F.lit(0), F.lit(X.CMS_ROWS - 1)))
+            .alias("row"))
+        bucket = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
+                               F.col("tok"))), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(X.CMS_WIDTH))
+        est = (probes.select("tok", F.col("row").cast("int").alias("row"),
+                             bucket.alias("bucket"))
+               .join(F.broadcast(sketch), ["row", "bucket"])
+               .groupBy("tok").agg(F.min("cnt").alias("est")))
+        return est.orderBy(F.desc("est"), "tok").limit(k)
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger: str | None = None):
+        """Wire onto a streaming DataFrame carrying a ``text`` column."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("update"))
+        if trigger:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()

@@ -1,0 +1,81 @@
+"""Streaming heavy hitters: the standing sketch equals the batch CMS
+over everything ingested, crash-replay never double-counts, and a
+planted hitter spread across micro-batches surfaces with est >= truth."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from currency_market_pulse_spark.operators import textops as X
+from currency_market_pulse_spark.streaming.cms_stream import (
+    StreamingHeavyHitters,
+)
+
+
+def _write(path, rows, mtime):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _handler(tmp_path):
+    return StreamingHeavyHitters(
+        sketch_path=str(tmp_path / "sketch"),
+        cand_path=str(tmp_path / "cand"))
+
+
+def test_stream_sketch_equals_batch_sketch(spark, tmp_path):
+    """After two micro-batches, the merged standing sketch is
+    cell-identical to the batch CMS over the union corpus, and the
+    cross-batch heavy hitter reports est >= its true total count."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [{"doc_id": 1, "text": "storm " * 30 + "alpha beta"}]
+    rows2 = [{"doc_id": 2, "text": "storm " * 25 + "gamma delta"},
+             {"doc_id": 3, "text": "unrelated words entirely"}]
+    _write(src / "f1.json", rows1, 1_000_000)
+    _write(src / "f2.json", rows2, 1_000_100)
+
+    hh = _handler(tmp_path)
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .json(str(src)))
+    q = hh.attach(stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows1 + rows2],
+        "doc_id long, text string")
+    batch_cells = {(r.row, r.bucket): r.cnt
+                   for r in X.cms_sketch(union).collect()}
+    merged = {(r.row, r.bucket): r.cnt
+              for r in hh.merged_sketch(spark).collect()}
+    assert merged == batch_cells
+
+    top = {r.tok: r.est for r in hh.heavy_hitters(spark).collect()}
+    # "storm " * 30 ends with a space -> trailing empty token; the
+    # word itself occurs 30 + 25 = 55 times
+    assert top.get("storm", 0) >= 55
+
+
+def test_replayed_batch_does_not_double_count(spark, tmp_path):
+    """Re-running a batch under the same batch_id (crash replay)
+    REPLACES its partition: the merged sketch is unchanged."""
+    hh = _handler(tmp_path)
+    b0 = spark.createDataFrame([(1, "x y z x")],
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, "x q")], "doc_id long, text string")
+    hh.process_batch(b0, 0)
+    hh.process_batch(b1, 1)
+    before = {(r.row, r.bucket): r.cnt
+              for r in hh.merged_sketch(spark).collect()}
+    hh.process_batch(b1, 1)   # replay
+    after = {(r.row, r.bucket): r.cnt
+             for r in hh.merged_sketch(spark).collect()}
+    assert before == after
