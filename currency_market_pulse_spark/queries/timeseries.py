@@ -151,3 +151,174 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
             .select("doc_id", "tok", "tfidf", "rn")
             .orderBy("doc_id", "rn"))
+
+
+from currency_market_pulse_spark.queries.registry import extra_query  # noqa: E402
+
+#: EWMA smoothing factor and the fixed-point scale for log-returns.
+EWMA_ALPHA = 0.2
+LOGRET_FIX = 1_000_000
+
+
+@extra_query(
+    "trades_vwap",
+    oracle=f"""
+WITH {ORACLE_TRADES_CTE}
+SELECT currency_from,
+       time_bucket(INTERVAL '1 hour', time_placed) AS time_window,
+       count(*) AS n_trades,
+       CAST(sum(amount_sell_micros) AS BIGINT) AS volume_sell_micros,
+       round(sum(amount_buy_micros) / CAST(sum(amount_sell_micros)
+             AS DOUBLE), 6) AS vwap
+FROM trades_n
+GROUP BY 1, 2 HAVING sum(amount_sell_micros) > 0 ORDER BY 1, 2
+""",
+)
+def trades_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (pair, hour): VWAP computed as
+    a RATIO OF INTEGER SUMS (sum buy micros / sum sell micros) — the
+    fixed-point reason the reference stores micros in the first place
+    (db/clickhouse/init.sql) carried to its analytical conclusion: the
+    aggregation is order-independent exact int64 arithmetic, with ONE
+    double division at the very end, so VWAP is reproducible under any
+    partitioning.  Averaging per-trade float rates would weight trades
+    equally AND be fold-order-dependent; this is both correct finance
+    and correct distributed arithmetic."""
+    t = events_as_trades(spark, sf_dir)
+    return (t.groupBy(
+        "currency_from",
+        F.window("time_placed", "1 hour").start.alias("time_window"))
+        .agg(F.count("*").alias("n_trades"),
+             F.sum("amount_sell_micros").alias("volume_sell_micros"),
+             F.sum("amount_buy_micros").alias("_buy"))
+        .filter(F.col("volume_sell_micros") > 0)
+        .select("currency_from", "time_window", "n_trades",
+                "volume_sell_micros",
+                F.round(F.col("_buy").cast("double")
+                        / F.col("volume_sell_micros"), 6).alias("vwap"))
+        .orderBy("currency_from", "time_window"))
+
+
+_HOURLY_VWAP_CTE = f"""
+WITH {ORACLE_TRADES_CTE},
+hourly AS (
+  SELECT currency_from,
+         time_bucket(INTERVAL '1 hour', time_placed) AS h,
+         sum(amount_buy_micros) / CAST(sum(amount_sell_micros) AS DOUBLE)
+           AS vwap
+  FROM trades_n
+  GROUP BY 1, 2 HAVING sum(amount_sell_micros) > 0)
+"""
+
+
+@extra_query(
+    "trades_ewma",
+    oracle=f"""
+{_HOURLY_VWAP_CTE},
+series AS (
+  SELECT currency_from, list(vwap ORDER BY h) AS xs
+  FROM hourly GROUP BY currency_from)
+SELECT currency_from,
+       CAST(len(xs) AS BIGINT) AS n_hours,
+       round(list_reduce(xs,
+             (acc, x) -> round(acc * {1 - EWMA_ALPHA} + {EWMA_ALPHA} * x,
+                               9)), 6) AS ewma
+FROM series ORDER BY currency_from
+""",
+)
+def trades_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly VWAP per
+    pair (the trader's smoothed price line): y_t = (1-a)*y_{t-1} + a*x_t
+    folded left-to-right over the hour-sorted series, ROUNDED TO 9 AT
+    EVERY STEP — the k-means handoff-rounding discipline applied to a
+    recursive filter, which keeps both engines' fold bitwise aligned
+    (the raw recursion accumulates ulp drift that compounds over long
+    series).  Base series is the integer-sum VWAP (trades_vwap), so
+    nothing upstream is fold-order-dependent either.  Per-pair state
+    is one hours-length array — bounded by the time range, not the
+    trade count, so collect_list here is windows-not-data sized."""
+    t = events_as_trades(spark, sf_dir)
+    hourly = (t.groupBy(
+        "currency_from",
+        F.window("time_placed", "1 hour").start.alias("h"))
+        .agg(F.sum("amount_buy_micros").alias("_buy"),
+             F.sum("amount_sell_micros").alias("_sell"))
+        .filter(F.col("_sell") > 0)
+        .select("currency_from", "h",
+                (F.col("_buy").cast("double") / F.col("_sell"))
+                .alias("vwap")))
+    series = (hourly.groupBy("currency_from")
+              .agg(F.array_sort(F.collect_list(F.struct("h", "vwap")))
+                   .alias("_s")))
+    xs = F.transform(F.col("_s"), lambda s: s["vwap"])
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.round(acc * F.lit(1 - EWMA_ALPHA)
+                               + F.lit(EWMA_ALPHA) * x, 9))
+    return (series.select("currency_from",
+                          F.size("_s").cast("long").alias("n_hours"),
+                          F.round(fold, 6).alias("ewma"))
+            .orderBy("currency_from"))
+
+
+@extra_query(
+    "trades_volatility",
+    oracle=f"""
+{_HOURLY_VWAP_CTE},
+lr AS (
+  SELECT currency_from, h,
+         CAST(round(ln(vwap) * {LOGRET_FIX}) AS BIGINT) AS lfix
+  FROM hourly),
+ret AS (
+  SELECT currency_from,
+         lfix - lag(lfix) OVER (PARTITION BY currency_from ORDER BY h)
+           AS r
+  FROM lr),
+agg AS (
+  SELECT currency_from, count(r) AS n,
+         sum(r) AS s, sum(r * r) AS s2
+  FROM ret WHERE r IS NOT NULL GROUP BY currency_from)
+SELECT currency_from, CAST(n AS BIGINT) AS n_returns,
+       round(sqrt((n * s2 - s * s) / CAST(n * (n - 1) AS DOUBLE))
+             / {LOGRET_FIX}, 6) AS vol
+FROM agg WHERE n >= 2 ORDER BY currency_from
+""",
+)
+def trades_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per pair: sample stddev of hourly log
+    returns.  ln(vwap) is snapped to 1e-6 fixed point BEFORE
+    differencing (the repo-wide ln() ulp-divergence fix: JVM Math.log
+    and libm disagree in the last ulp, so raw doubles would diverge
+    cross-engine), making returns and both moment sums EXACT int64
+    arithmetic — order-independent under any partitioning — with one
+    double sqrt at the end.  Moment-sum headroom: |ln(vwap)*1e6| <~
+    2^21 here, so s2 fits int64 up to ~2^21 returns per pair; a longer
+    horizon re-scales LOGRET_FIX, it does not change the shape."""
+    t = events_as_trades(spark, sf_dir)
+    hourly = (t.groupBy(
+        "currency_from",
+        F.window("time_placed", "1 hour").start.alias("h"))
+        .agg(F.sum("amount_buy_micros").alias("_buy"),
+             F.sum("amount_sell_micros").alias("_sell"))
+        .filter(F.col("_sell") > 0)
+        .select("currency_from", "h",
+                F.round(F.log(F.col("_buy").cast("double")
+                              / F.col("_sell")) * LOGRET_FIX, 0)
+                .cast("long").alias("lfix")))
+    w = Window.partitionBy("currency_from").orderBy("h")
+    ret = (hourly
+           .withColumn("r", F.col("lfix") - F.lag("lfix").over(w))
+           .filter(F.col("r").isNotNull()))
+    agg = (ret.groupBy("currency_from")
+           .agg(F.count("r").alias("n"),
+                F.sum("r").alias("s"),
+                F.sum(F.col("r") * F.col("r")).alias("s2")))
+    vol = F.round(
+        F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+               / (F.col("n") * (F.col("n") - 1)).cast("double"))
+        / F.lit(float(LOGRET_FIX)), 6)
+    return (agg.filter(F.col("n") >= 2)
+            .select("currency_from", F.col("n").alias("n_returns"),
+                    vol.alias("vol"))
+            .orderBy("currency_from"))
