@@ -386,7 +386,8 @@ def sq_train_bounds(emb: DataFrame, id_col: str = "vec_id",
     free).  min/max are order-independent aggregates, so training is
     deterministic under any partitioning — no fixed-point machinery
     needed, unlike every mean-based trainer in this package."""
-    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
     nemb = nz.select(F.posexplode(
         F.transform(F.col(vec_col),
                     lambda x: x.cast("double") / norm(F.col(vec_col))))
@@ -437,7 +438,11 @@ def sq_topk(emb: DataFrame, query_filter, k: int = 5,
     vectors are never read in the scoring scan, exactly the PQ/ADC
     posture with a simpler (and training-free) quantizer."""
     vmins, spans = sq_train_bounds(emb, id_col, vec_col)
-    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    # pre-compute repartition: the compressed corpus is 1-2 input
+    # splits while encode+score is ~dim work per row (input-split
+    # starvation fix, queries/dedup.py _corpus)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
     codes = nz.select(F.col(id_col),
                       _sq_code(F.col(vec_col), vmins, spans)
                       .alias("code"))

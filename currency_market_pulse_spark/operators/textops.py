@@ -585,7 +585,14 @@ def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
     DETERMINISTIC and the DuckDB oracle rebuilds it bit-identically —
     an unusual luxury for a sketch (cf. the HLL profile twin, which
     gets an error-bound gate instead)."""
+    # pre-explode repartition to full parallelism: compressed parquet
+    # keeps the corpus at 1-2 input splits even at sf1 while the
+    # per-row work (tokenize + 4 md5s per token) is heavy — the
+    # repo-wide input-split starvation fix (queries/dedup.py _corpus;
+    # measured here: sf1 20.4s -> 5.1s, sf0.1 2.5s -> 1.5s)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     occ = (docs.filter(F.col(text_col).isNotNull())
+           .repartition(par)
            .select(F.explode(tokens(F.col(text_col))).alias("tok")))
     rowed = occ.select(
         F.col("tok"),
@@ -610,7 +617,9 @@ def cms_estimates(docs: DataFrame, rows: int = CMS_ROWS,
     (the sketch never undercounts); the overestimate is bounded by
     colliding mass (text_cms_error regression-gates it)."""
     sketch = cms_sketch(docs, rows, width, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     cand = (docs.filter(F.col(text_col).isNotNull())
+            .repartition(par)
             .select(F.explode(tokens(F.col(text_col))).alias("tok"))
             .distinct())
     probes = cand.select(

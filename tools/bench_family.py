@@ -28,7 +28,10 @@ def main() -> None:
     names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="cmp-bench-family")
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    # library-tier queries are timeable too
+    from currency_market_pulse_spark.queries.registry import EXTRA_QUERIES
+    queries.update(EXTRA_QUERIES)
     for n in names:
         try:
             run_query(queries[n], spark, "/root/testdata/sf0.001")
