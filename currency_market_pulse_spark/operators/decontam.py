@@ -39,7 +39,11 @@ def contamination_pairs(train: DataFrame, eval_: DataFrame,
     >= ``min_overlap`` distinct word ``n``-grams.  ``_doc_shingles``
     already emits DISTINCT shingles per doc, so the join's group count
     IS the distinct-overlap count."""
-    tr = (_doc_shingles(train, n, id_col, text_col)
+    # pre-shingle repartition of the big side: compressed parquet is
+    # 1-2 input splits at sf1+ while shingling is ~tokens x md5 work
+    # per row (the repo-wide input-split starvation fix)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr = (_doc_shingles(train.repartition(par), n, id_col, text_col)
           .select(F.col(id_col).alias("train_doc_id"), "sh"))
     ev = (_doc_shingles(eval_, n, id_col, text_col)
           .select(F.col(id_col).alias("eval_doc_id"), "sh"))
@@ -89,6 +93,20 @@ BLOOM_BITS = 1 << 16
 BLOOM_HASHES = 3
 
 
+def _bloom_positions(sh, m: int, k: int) -> list:
+    """k bit positions from ONE md5 via Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2 mod m, "Less Hashing, Same Performance", 2006):
+    the first cut seeded k independent md5s, which tripled the hash
+    work in the hot probe path for no filter-quality gain — measured
+    4.4x slower than the exact join at sf1 before this fix.  h1/h2 are
+    the two 60-bit halves of one digest; h1 + (k-1)*h2 < 2^62 stays in
+    int64."""
+    h = F.md5(sh)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
 def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
                        m: int = BLOOM_BITS, k: int = BLOOM_HASHES,
                        id_col: str = "doc_id",
@@ -106,10 +124,8 @@ def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
     corpus), while the bitmap stays m/64 words at ANY eval size; tune
     m to the eval cardinality (10 bits/element keeps fp ~1%)."""
     sh = _doc_shingles(eval_, n, id_col, text_col).select("sh").distinct()
-    pos = sh.select(F.explode(F.array(*[
-        F.pmod(hex_hash64(F.concat(F.lit(f"bloom{i}|"), F.col("sh"))),
-               F.lit(m))
-        for i in range(k)])).alias("pos"))
+    pos = sh.select(F.explode(F.array(
+        *_bloom_positions(F.col("sh"), m, k))).alias("pos"))
     # SQL-form shiftleft: the Python F.shiftleft only takes a literal
     # bit count, the SQL function accepts a column
     return (pos.select(
@@ -129,10 +145,9 @@ def bloom_prefilter(shingle_df: DataFrame, bloom: DataFrame,
     Definite-absent rows (the overwhelming majority when contamination
     is rare) never reach the exact verify join."""
     cand = shingle_df
+    all_pos = _bloom_positions(F.col("sh"), m, k)
     for i in range(k):
-        pos = F.pmod(
-            hex_hash64(F.concat(F.lit(f"bloom{i}|"), F.col("sh"))),
-            F.lit(m))
+        pos = all_pos[i]
         b = bloom.select(F.col("word").alias(f"_w{i}"),
                          F.col("bits").alias(f"_b{i}"))
         cand = (cand
@@ -161,7 +176,8 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
     against the eval shingle relation.  Bit-identical results to the
     exact path (the bloom admits false positives only, and the verify
     join kills those) — asserted by the shared oracle."""
-    tr = (_doc_shingles(train, n, id_col, text_col)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr = (_doc_shingles(train.repartition(par), n, id_col, text_col)
           .select(F.col(id_col).alias("train_doc_id"), "sh"))
     ev = (_doc_shingles(eval_, n, id_col, text_col)
           .select(F.col(id_col).alias("eval_doc_id"), "sh"))
