@@ -125,7 +125,9 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+# library tier since r7: CUBE is the 2^d special case of the
+# registered GROUPING SETS row; its slot promoted trades_vwap
+@extra_query(
     "orders_status_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,

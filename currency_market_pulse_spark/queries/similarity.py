@@ -73,7 +73,9 @@ def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_vecs")).orderBy("bucket"))
 
 
-@query(
+# library tier since r7: HOF array coverage is exercised by the
+# whole similarity family; its slot promoted text_cms_heavy_hitters
+@extra_query(
     "embedding_array_stats",
     oracle=f"""
 WITH {ORACLE_EMB_CTE}

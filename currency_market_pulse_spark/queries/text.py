@@ -898,7 +898,7 @@ FROM est ORDER BY est DESC, tok LIMIT 20
 """
 
 
-@extra_query("text_cms_heavy_hitters", oracle=_CMS_HH_ORACLE)
+@query("text_cms_heavy_hitters", oracle=_CMS_HH_ORACLE)  # registered r7
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters by count-min-sketch estimate (operators/textops.py
     cms_sketch / cms_estimates — Cormode & Muthukrishnan 2005): token

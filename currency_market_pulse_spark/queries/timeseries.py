@@ -160,7 +160,7 @@ EWMA_ALPHA = 0.2
 LOGRET_FIX = 1_000_000
 
 
-@extra_query(
+@query(  # registered r7: the reference-domain aggregation flagship
     "trades_vwap",
     oracle=f"""
 WITH {ORACLE_TRADES_CTE}
