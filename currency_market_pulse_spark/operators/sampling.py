@@ -368,3 +368,45 @@ def temperature_sample(df: DataFrame, strata_col: str, id_col: str,
             .withColumn("keep",
                         hash_fraction(F.col(id_col), seed)
                         < F.col("rate")))
+
+
+#: Fixed-point quantum for the exponential keys of ``weighted_sample``
+#: (the NLL/DSIR ln() discipline: snap the transcendental, keep every
+#: later op IEEE-portable).
+WEIGHTED_FIX = 1_000_000
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id",
+                    seed: str = "ws") -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirakis 2006, A-ES): each row draws u = hash(id)
+    uniform in (0, 1] and the k rows with smallest -ln(u)/w win —
+    exactly a weighted-without-replacement draw, as one dataset-wide
+    top-k instead of k sequential dependent draws.
+
+    This is THE distributed form of the operation: sequential WR
+    sampling is inherently serial (each draw changes the remaining
+    pool), while exponential keys are embarrassingly parallel — one
+    map to key each row, one TakeOrdered(k).  At 100 TB that is a scan
+    plus a k-row reduction, no shuffle of the data.
+
+    Determinism: u comes from the portable md5-prefix hash (seeded,
+    replayable); -ln(u) is snapped to 1e-6 fixed point (the repo-wide
+    ln() ulp discipline) and the key is one exactly-rounded IEEE
+    division of that integer by the weight; ties break on id.  Rows
+    with weight <= 0 are excluded (their key would be infinite /
+    flipped)."""
+    h = hash_long(F.col(id_col), seed)
+    # (h + 0.5) / 2^60: never 0 (h=0 -> 0.5/2^60); for h >= 2^53 the
+    # +0.5 is absorbed by double rounding IDENTICALLY on both engines
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
+    key = efix / F.col(weight_col).cast("double")
+    w = Window.orderBy("key", id_col)
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(id_col), F.col(weight_col).alias("weight"),
+                    key.alias("key"))
+            .orderBy("key", id_col).limit(k)
+            .withColumn("rn", F.row_number().over(w))
+            .select(id_col, "weight", "rn"))

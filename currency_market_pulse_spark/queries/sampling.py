@@ -396,3 +396,33 @@ def documents_alpha_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("keep"), F.col("doc_id"))
                        .otherwise(F.lit(0)).cast("long"))
                  .alias("selected_id_sum")))
+
+
+_WS_K = 100
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+         round(-ln((CAST(('0x' || substr(md5('ws|' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 0.5) / {float(S.HASH_SPACE)}) * {S.WEIGHTED_FIX},
+               0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rn
+FROM keyed ORDER BY key, doc_id LIMIT {_WS_K}
+"""
+
+
+@extra_query("documents_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement (operators/
+    sampling.py weighted_sample — Efraimidis & Spirakis 2006
+    exponential keys): the top-100 docs by smallest -ln(u)/n_chars,
+    i.e. a without-replacement draw where selection probability tracks
+    document length — the data-mixing primitive for byte-budgeted
+    subcorpus draws.  One scan + one TakeOrdered(k); the sequential
+    k-draw formulation cannot distribute, the key formulation is a
+    map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.weighted_sample(docs, "n_chars", _WS_K)

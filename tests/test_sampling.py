@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import Row, functions as F
 
+from currency_market_pulse_spark.operators import sampling as S
 from currency_market_pulse_spark.operators.sampling import (
     budget_prefix_sample, hash_split, per_group_budget, per_group_cap,
     running_total, stratified_sample, temperature_sample,
@@ -326,3 +327,42 @@ def test_eval_sample_exact_k_and_growth_stability(spark):
                per_group_cap(grown, "lang", "doc_id", 5,
                              seed="eval").collect()}
     assert picked2 == picked
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_partition_invariant(spark):
+    """A row weighted 10^6 against 200 weight-1 rows must be drawn
+    into a k=10 sample (P(miss) ~ (1 - 1e6/(1e6+200))^10 ~ 1e-33 —
+    and the draw is deterministic given the hash seed anyway); the
+    result is identical under different partitioning (the key is a
+    pure row function + one global TakeOrdered)."""
+    rows = [(i, 1) for i in range(200)] + [(999, 1_000_000)]
+    df1 = spark.createDataFrame(rows, "doc_id long, w long")
+    df8 = df1.repartition(8)
+    s1 = [(r.doc_id, r.rn) for r in
+          S.weighted_sample(df1, "w", 10).collect()]
+    s8 = [(r.doc_id, r.rn) for r in
+          S.weighted_sample(df8, "w", 10).collect()]
+    assert s1 == s8
+    assert 999 in {d for d, _ in s1}
+
+
+def test_weighted_sample_equal_weights_is_uniform_hash_topk(spark):
+    """With all weights equal, A-ES degenerates to plain uniform
+    hash-order sampling: the selected set equals the k smallest
+    -ln(u) keys, i.e. the k LARGEST u (hash fractions)."""
+    df = spark.createDataFrame([(i, 7) for i in range(100)],
+                               "doc_id long, w long")
+    got = {r.doc_id for r in S.weighted_sample(df, "w", 5).collect()}
+    hashes = df.select(
+        "doc_id",
+        S.hash_long(F.col("doc_id"), "ws").alias("h")).collect()
+    expect = {r.doc_id for r in
+              sorted(hashes, key=lambda r: -r.h)[:5]}
+    assert got == expect
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w long")
+    got = {r.doc_id for r in S.weighted_sample(df, "w", 10).collect()}
+    assert got == {3, 4}
