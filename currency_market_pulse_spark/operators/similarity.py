@@ -376,48 +376,48 @@ SQ_LEVELS = 255
 SQ_RERANK = 15
 
 
-def sq_train_bounds(emb: DataFrame, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> tuple[list, list]:
-    """Per-dimension (vmin, span) of the L2-normalized corpus — the
-    scalar quantizer's entire trained state: 2 doubles per dimension,
-    collected driver-side and shipped in the task closure (the k-means
-    codebook lesson: a crossJoin'd bounds column makes Arrow
-    materialize the full table per row; 128 doubles in the closure are
-    free).  min/max are order-independent aggregates, so training is
+def sq_train_scale(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> float:
+    """Global max|x| of the L2-normalized corpus — the scalar
+    quantizer's ENTIRE trained state: one double, shipped in the task
+    closure.  max is an order-independent aggregate, so training is
     deterministic under any partitioning — no fixed-point machinery
-    needed, unlike every mean-based trainer in this package."""
+    needed, unlike every mean-based trainer in this package.
+
+    One GLOBAL scale, symmetric around zero, on purpose: the first
+    cut used per-dimension (min, span) affine codes, and its
+    shortlist recall@3 against the exact cosine top-3 measured 0.07 —
+    per-dim offsets add cross terms to the code dot
+    (sum (a_d*x_d + b_d)(a_d*y_d + b_d)) that scramble the ranking
+    entirely.  A single symmetric scale keeps the integer code dot
+    PROPORTIONAL to the true dot (up to rounding), which over
+    normalized vectors is exactly the cosine being ranked.  The
+    fixture recall test pins this lesson."""
     par = emb.sparkSession.sparkContext.defaultParallelism
     nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
-    nemb = nz.select(F.posexplode(
+    row = (nz.select(F.max(F.aggregate(
         F.transform(F.col(vec_col),
-                    lambda x: x.cast("double") / norm(F.col(vec_col))))
-        .alias("d", "v"))
-    rows = (nemb.groupBy("d")
-            .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
-            .collect())
-    by_d = {r.d: r for r in rows}
-    vmins = [by_d[d].vmin for d in sorted(by_d)]
-    spans = [by_d[d].vmax - by_d[d].vmin for d in sorted(by_d)]
-    return vmins, spans
+                    lambda x: F.abs(x.cast("double")
+                                    / norm(F.col(vec_col)))),
+        F.lit(0.0), lambda acc, v: F.greatest(acc, v))).alias("m"))
+        .collect())
+    return float(row[0].m)
 
 
-def _sq_code(vec_col, vmins: list, spans: list):
-    """int8-domain code array: floor((x - vmin) * 255 / span), clamped
-    to [0, 255]; constant dimensions (span == 0) code to 0.  All
-    double IEEE arithmetic in left-associative order, mirrored
-    verbatim by the oracle."""
-    vmin_l = F.array(*[F.lit(float(v)) for v in vmins])
-    span_l = F.array(*[F.lit(float(s)) for s in spans])
+def _sq_code(vec_col, scale: float):
+    """Symmetric int8 code array over the normalized vector:
+    round(x * 127 / scale) clamped to [-127, 127].  All double IEEE
+    arithmetic in left-associative order, mirrored verbatim by the
+    oracle.  scale == 0 cannot happen for a nonzero normalized corpus
+    but guards to all-zero codes anyway."""
     nvec = F.transform(vec_col,
                        lambda x: x.cast("double") / norm(vec_col))
+    if scale <= 0:
+        return F.transform(nvec, lambda x: F.lit(0).cast("long"))
     return F.transform(
         nvec,
-        lambda x, i: F.when(
-            F.element_at(span_l, i + 1) > 0,
-            F.least(F.lit(255), F.greatest(F.lit(0), F.floor(
-                (x - F.element_at(vmin_l, i + 1)) * F.lit(255.0)
-                / F.element_at(span_l, i + 1))))
-        ).otherwise(F.lit(0)))
+        lambda x: F.least(F.lit(127), F.greatest(F.lit(-127), F.round(
+            x * F.lit(127.0) / F.lit(float(scale)), 0).cast("long"))))
 
 
 def sq_topk(emb: DataFrame, query_filter, k: int = 5,
@@ -437,18 +437,17 @@ def sq_topk(emb: DataFrame, query_filter, k: int = 5,
     the tiny candidate list against the corpus — full-precision
     vectors are never read in the scoring scan, exactly the PQ/ADC
     posture with a simpler (and training-free) quantizer."""
-    vmins, spans = sq_train_bounds(emb, id_col, vec_col)
+    scale = sq_train_scale(emb, id_col, vec_col)
     # pre-compute repartition: the compressed corpus is 1-2 input
     # splits while encode+score is ~dim work per row (input-split
     # starvation fix, queries/dedup.py _corpus)
     par = emb.sparkSession.sparkContext.defaultParallelism
     nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
     codes = nz.select(F.col(id_col),
-                      _sq_code(F.col(vec_col), vmins, spans)
-                      .alias("code"))
+                      _sq_code(F.col(vec_col), scale).alias("code"))
     qc = (nz.filter(query_filter)
           .select(F.col(id_col).alias("query_id"),
-                  _sq_code(F.col(vec_col), vmins, spans).alias("qcode")))
+                  _sq_code(F.col(vec_col), scale).alias("qcode")))
     iscore = F.aggregate(
         F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
         F.lit(0).cast("long"), lambda acc, v: acc + v)

@@ -172,8 +172,7 @@ def test_multiprobe_recall_at_least_single_bucket(spark):
 def test_sq_topk_finds_planted_neighbor(spark):
     """A vector pair planted nearly parallel must rank each other
     top-1 through the int8-code shortlist + exact rerank; codes stay
-    in [0, 255]; a constant dimension (span 0) codes to 0 instead of
-    dividing by zero."""
+    in [-127, 127]."""
     import math
 
     def unit(v):
@@ -185,8 +184,6 @@ def test_sq_topk_finds_planted_neighbor(spark):
     near = [x * 1.01 + (0.001 if i == 3 else 0)
             for i, x in enumerate(base)]
     rows = [(0, unit(base)), (1, unit(near))]
-    # a spread of decoys, each with a constant dim 0 value (1.0 after
-    # normalization scaling varies, so dim 0 spans; use dim 63 fixed)
     for j in range(2, 12):
         v = [math.cos(i * j * 0.31) + 2.0 for i in range(dim)]
         rows.append((j, unit(v)))
@@ -198,30 +195,24 @@ def test_sq_topk_finds_planted_neighbor(spark):
             for r in out.collect() if r.rn == 1}
     assert top1 == {0: 1, 1: 0}
 
-    vmins, spans = S.sq_train_bounds(emb)
+    scale = S.sq_train_scale(emb)
     codes = emb.select(
-        S._sq_code(F.col("embedding"), vmins, spans).alias("c")).collect()
+        S._sq_code(F.col("embedding"), scale).alias("c")).collect()
     for r in codes:
-        assert all(0 <= c <= 255 for c in r.c)
+        assert all(-127 <= c <= 127 for c in r.c)
 
 
-def test_sq_constant_dimension_codes_zero(spark):
-    """All-equal values in a dimension make its span 0; the encoder
-    must emit 0 there, not NaN/divide-by-zero."""
-    emb = spark.createDataFrame(
-        [(0, [1.0, 2.0]), (1, [1.0, 3.0]), (2, [1.0, 4.0])],
-        "vec_id long, embedding array<float>")
-    vmins, spans = S.sq_train_bounds(emb)
-    # dim 0 of the NORMALIZED vectors still varies (norms differ), so
-    # plant the constant after normalization: all vectors equal in
-    # dim 0 only if raw vectors are scalar multiples; use identical
-    # rows instead
-    emb2 = spark.createDataFrame(
-        [(0, [0.6, 0.8]), (1, [0.6, 0.8]), (2, [0.6, 0.8])],
-        "vec_id long, embedding array<float>")
-    vmins2, spans2 = S.sq_train_bounds(emb2)
-    assert all(s == 0.0 for s in spans2)
-    codes = emb2.select(
-        S._sq_code(F.col("embedding"), vmins2, spans2).alias("c")).collect()
-    for r in codes:
-        assert r.c == [0, 0]
+def test_sq_shortlist_recall_on_fixture(spark):
+    """Regression gate for the quantizer design (the per-dim affine
+    first cut measured recall@3 = 2/30 on this fixture — the code-dot
+    cross-term bug documented in sq_train_scale): symmetric global-
+    scale int8 codes must keep the exact top-3 inside the 15-deep
+    shortlist for (almost) every query."""
+    from currency_market_pulse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r.query_id, r.neighbor_id) for r in
+             S.topk_bruteforce(emb, F.col("vec_id") < 10, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in
+           S.sq_topk(emb, F.col("vec_id") < 10, k=3).collect()}
+    assert len(got & exact) >= 27   # measured 30/30; slack for re-tunes
