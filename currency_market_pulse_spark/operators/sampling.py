@@ -410,3 +410,30 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .orderBy("key", id_col).limit(k)
             .withColumn("rn", F.row_number().over(w))
             .select(id_col, "weight", "rn"))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str,
+                              weight_col: str, k: int,
+                              id_col: str = "doc_id",
+                              seed: str = "ws") -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the
+    ``weighted_sample`` exponential keys ranked WITHIN each group —
+    k weighted draws per language/source/shard in one window pass,
+    the stratified form of the A-ES draw (stratified_sample gives
+    per-stratum Bernoulli RATES; this gives exact per-stratum COUNTS
+    with weight-proportional selection).  Same key function, so a
+    row's key is independent of its stratum: re-bucketing documents
+    never changes any row's draw priority, only which pool it
+    competes in (append-stability under re-stratification)."""
+    h = hash_long(F.col(id_col), seed)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
+    key = efix / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy("key", id_col)
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(group_col), F.col(id_col),
+                    F.col(weight_col).alias("weight"),
+                    key.alias("key"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(group_col, id_col, "weight", "rn"))

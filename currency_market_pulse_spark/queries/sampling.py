@@ -426,3 +426,37 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map."""
     docs = load_table(spark, sf_dir, "documents")
     return S.weighted_sample(docs, "n_chars", _WS_K)
+
+
+_WSG_K = 20
+
+_WEIGHTED_GROUP_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         round(-ln((CAST(('0x' || substr(md5('ws|' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 0.5) / {float(S.HASH_SPACE)}) * {S.WEIGHTED_FIX},
+               0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY key, doc_id) AS rn
+      FROM keyed) t
+WHERE rn <= {_WSG_K}
+"""
+
+
+@extra_query("documents_weighted_sample_per_lang",
+             oracle=_WEIGHTED_GROUP_ORACLE)
+def documents_weighted_sample_per_lang(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Per-language length-weighted draw (operators/sampling.py
+    weighted_sample_per_group): exactly 20 weighted
+    without-replacement selections per lang in ONE window pass — the
+    stratified A-ES form that pairs exact per-stratum counts with
+    weight-proportional selection (the eval-carve-out shape with
+    weights).  Keys are stratum-independent, so re-bucketing a doc
+    never changes its draw priority."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S.weighted_sample_per_group(docs, "lang", "n_chars", _WSG_K)

@@ -366,3 +366,26 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w long")
     got = {r.doc_id for r in S.weighted_sample(df, "w", 10).collect()}
     assert got == {3, 4}
+
+
+def test_weighted_sample_per_group_counts_and_stability(spark):
+    """Exactly k rows per group; a row's key is stratum-independent,
+    so moving a doc between groups never changes whether OTHER docs
+    of its old group rank above each other (their relative order is
+    fixed by their own keys)."""
+    rows = [(i, ["a", "b"][i % 2], 1 + i % 7) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w long")
+    out = S.weighted_sample_per_group(df, "g", "w", 5)
+    got = out.collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.doc_id)
+    assert {g: len(v) for g, v in by_g.items()} == {"a": 5, "b": 5}
+    # stratum independence: re-labeling group b as c leaves group a's
+    # selection identical
+    df2 = df.withColumn(
+        "g", F.when(F.col("g") == "b", "c").otherwise("a"))
+    got2 = {r.doc_id for r in
+            S.weighted_sample_per_group(df2, "g", "w", 5).collect()
+            if r.g == "a"}
+    assert got2 == set(by_g["a"])
