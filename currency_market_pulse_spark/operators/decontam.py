@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from currency_market_pulse_spark.functions.text import hex_hash64
 from currency_market_pulse_spark.operators.dedup import _doc_shingles
 
 
@@ -110,7 +109,8 @@ def _bloom_positions(sh, m: int, k: int) -> list:
 def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
                        m: int = BLOOM_BITS, k: int = BLOOM_HASHES,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """Bloom bitmap of the eval-side shingle set as a (word, bits)
     relation — at most m/64 rows (8 KiB of filter state at the default
     2^16 bits) however many shingles the eval corpus holds.  Built with
@@ -123,7 +123,9 @@ def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
     web-scale, e.g. decontaminating against an earlier training
     corpus), while the bitmap stays m/64 words at ANY eval size; tune
     m to the eval cardinality (10 bits/element keeps fp ~1%)."""
-    sh = _doc_shingles(eval_, n, id_col, text_col).select("sh").distinct()
+    base = (shingles_df if shingles_df is not None
+            else _doc_shingles(eval_, n, id_col, text_col))
+    sh = base.select("sh").distinct()
     pos = sh.select(F.explode(F.array(
         *_bloom_positions(F.col("sh"), m, k))).alias("pos"))
     # SQL-form shiftleft: the Python F.shiftleft only takes a literal
@@ -179,11 +181,17 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
     par = train.sparkSession.sparkContext.defaultParallelism
     tr = (_doc_shingles(train.repartition(par), n, id_col, text_col)
           .select(F.col(id_col).alias("train_doc_id"), "sh"))
-    ev = (_doc_shingles(eval_, n, id_col, text_col)
-          .select(F.col(id_col).alias("eval_doc_id"), "sh"))
-    bloom = eval_shingle_bloom(eval_, n, m, k, id_col, text_col)
+    ev_sh = _doc_shingles(eval_, n, id_col, text_col)
+    ev = ev_sh.select(F.col(id_col).alias("eval_doc_id"), "sh")
+    bloom = eval_shingle_bloom(eval_, n, m, k, id_col, text_col,
+                               shingles_df=ev_sh)
     cand = bloom_prefilter(tr, bloom, m, k)
-    return (cand.join(F.broadcast(ev), "sh")
+    # verify join: broadcast the SURVIVORS (small — contamination is
+    # rare, and the prefilter already dropped definite-absents), and
+    # stream the eval shingle relation against them.  Broadcasting ev
+    # here would re-create exactly the broadcast-a-web-scale-eval-side
+    # failure this operator exists to avoid.
+    return (ev.join(F.broadcast(cand), "sh")
             .groupBy("train_doc_id", "eval_doc_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"))
             .filter(F.col("n_overlap") >= min_overlap))

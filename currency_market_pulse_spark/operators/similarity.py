@@ -368,11 +368,10 @@ def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
             .orderBy("query_id", "rn"))
 
 
-#: Scalar quantization: per-dimension linear int8 codes over the
-#: NORMALIZED corpus (normalizing first makes the integer code dot a
-#: direct cosine surrogate), 0..SQ_LEVELS levels, exact rerank of the
-#: top SQ_RERANK candidates per query.
-SQ_LEVELS = 255
+#: Scalar quantization: symmetric int8 codes (one global scale) over
+#: the NORMALIZED corpus — normalizing first makes the integer code
+#: dot a direct cosine surrogate — with exact rerank of the top
+#: SQ_RERANK candidates per query.
 SQ_RERANK = 15
 
 
@@ -394,30 +393,36 @@ def sq_train_scale(emb: DataFrame, id_col: str = "vec_id",
     normalized vectors is exactly the cosine being ranked.  The
     fixture recall test pins this lesson."""
     par = emb.sparkSession.sparkContext.defaultParallelism
-    nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
+    nz = (emb.repartition(par)
+          .withColumn("_nrm", norm(F.col(vec_col)))
+          .filter(F.col("_nrm") > 0))
     row = (nz.select(F.max(F.aggregate(
         F.transform(F.col(vec_col),
-                    lambda x: F.abs(x.cast("double")
-                                    / norm(F.col(vec_col)))),
+                    lambda x: F.abs(x.cast("double") / F.col("_nrm"))),
         F.lit(0.0), lambda acc, v: F.greatest(acc, v))).alias("m"))
         .collect())
     return float(row[0].m)
 
 
-def _sq_code(vec_col, scale: float):
+def _sq_code(vec_col, scale: float, norm_col=None):
     """Symmetric int8 code array over the normalized vector:
     round(x * 127 / scale) clamped to [-127, 127].  All double IEEE
     arithmetic in left-associative order, mirrored verbatim by the
     oracle.  scale == 0 cannot happen for a nonzero normalized corpus
-    but guards to all-zero codes anyway."""
-    nvec = F.transform(vec_col,
-                       lambda x: x.cast("double") / norm(vec_col))
+    but guards to all-zero codes anyway.
+
+    ``norm_col`` lets the caller hoist the O(d) norm fold out of the
+    per-element lambda: norm() INSIDE transform re-evaluates the full
+    sqrt(dot) once per element — O(d^2) per row, and Catalyst does
+    not hoist lambda-invariant subexpressions out of HOFs."""
+    n = norm(vec_col) if norm_col is None else norm_col
     if scale <= 0:
-        return F.transform(nvec, lambda x: F.lit(0).cast("long"))
+        return F.transform(vec_col, lambda x: F.lit(0).cast("long"))
     return F.transform(
-        nvec,
+        vec_col,
         lambda x: F.least(F.lit(127), F.greatest(F.lit(-127), F.round(
-            x * F.lit(127.0) / F.lit(float(scale)), 0).cast("long"))))
+            (x.cast("double") / n) * F.lit(127.0)
+            / F.lit(float(scale)), 0).cast("long"))))
 
 
 def sq_topk(emb: DataFrame, query_filter, k: int = 5,
@@ -432,7 +437,7 @@ def sq_topk(emb: DataFrame, query_filter, k: int = 5,
     Scale shape: the search scan reads only the CODES relation (one
     byte of information per dimension — 4x smaller than float32, the
     poor man's PQ with zero codebook training); the trained state is
-    2 doubles/dim in the task closure; the rerank join touches
+    ONE double (sq_train_scale) in the task closure; the rerank join touches
     ``rerank`` full vectors per query, fetched by a broadcast semi of
     the tiny candidate list against the corpus — full-precision
     vectors are never read in the scoring scan, exactly the PQ/ADC
@@ -442,12 +447,16 @@ def sq_topk(emb: DataFrame, query_filter, k: int = 5,
     # splits while encode+score is ~dim work per row (input-split
     # starvation fix, queries/dedup.py _corpus)
     par = emb.sparkSession.sparkContext.defaultParallelism
-    nz = emb.repartition(par).filter(norm(F.col(vec_col)) > 0)
+    nz = (emb.repartition(par)
+          .withColumn("_nrm", norm(F.col(vec_col)))
+          .filter(F.col("_nrm") > 0))
     codes = nz.select(F.col(id_col),
-                      _sq_code(F.col(vec_col), scale).alias("code"))
+                      _sq_code(F.col(vec_col), scale, F.col("_nrm"))
+                      .alias("code"))
     qc = (nz.filter(query_filter)
           .select(F.col(id_col).alias("query_id"),
-                  _sq_code(F.col(vec_col), scale).alias("qcode")))
+                  _sq_code(F.col(vec_col), scale, F.col("_nrm"))
+                  .alias("qcode")))
     iscore = F.aggregate(
         F.zip_with(F.col("qcode"), F.col("code"), lambda a, b: a * b),
         F.lit(0).cast("long"), lambda acc, v: acc + v)

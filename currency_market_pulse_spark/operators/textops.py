@@ -562,6 +562,19 @@ CMS_ROWS = 4
 CMS_WIDTH = 512
 
 
+def cms_bucket(tok, row, width: int = CMS_WIDTH):
+    """The CMS cell hash: pmod(hex64(md5(row|'|'|tok)), width).  ONE
+    definition shared by the sketch builder, the estimate probe and
+    the streaming heavy-hitter probe (and mirrored by the _CMS_CELLS
+    oracle) — build and probe MUST agree bit-for-bit or min() reads
+    the wrong cells and the never-undercount invariant breaks."""
+    return F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(row.cast("string"), F.lit("|"), tok)),
+            1, 15), 16, 10).cast("long"),
+        F.lit(width))
+
+
 def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
                width: int = CMS_WIDTH,
                text_col: str = "text") -> DataFrame:
@@ -597,11 +610,7 @@ def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
     rowed = occ.select(
         F.col("tok"),
         F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))
-    bucket = F.pmod(
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
-                           F.col("tok"))), 1, 15), 16, 10).cast("long"),
-        F.lit(width))
+    bucket = cms_bucket(F.col("tok"), F.col("row"), width)
     return (rowed.select("row", bucket.alias("bucket"))
             .groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt")))
@@ -625,11 +634,7 @@ def cms_estimates(docs: DataFrame, rows: int = CMS_ROWS,
     probes = cand.select(
         "tok",
         F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))
-    bucket = F.pmod(
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
-                           F.col("tok"))), 1, 15), 16, 10).cast("long"),
-        F.lit(width))
+    bucket = cms_bucket(F.col("tok"), F.col("row"), width)
     return (probes.select("tok", "row", bucket.alias("bucket"))
             .join(F.broadcast(sketch), ["row", "bucket"])
             .groupBy("tok")

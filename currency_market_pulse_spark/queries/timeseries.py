@@ -155,6 +155,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from currency_market_pulse_spark.queries.registry import extra_query  # noqa: E402
 
+def _hourly_vwap(t: DataFrame) -> DataFrame:
+    """(currency_from, h, _buy, _sell) per (pair, hour) with the
+    _sell > 0 guard — the shared base series of the market suite,
+    mirrored by the _HOURLY_VWAP_CTE oracle CTE.  One definition so a
+    bucket-width or guard change cannot diverge the three consumers
+    from the one oracle."""
+    return (t.groupBy(
+        "currency_from",
+        F.window("time_placed", "1 hour").start.alias("h"))
+        .agg(F.count("*").alias("_n"),
+             F.sum("amount_buy_micros").alias("_buy"),
+             F.sum("amount_sell_micros").alias("_sell"))
+        .filter(F.col("_sell") > 0))
+
+
 #: EWMA smoothing factor and the fixed-point scale for log-returns.
 EWMA_ALPHA = 0.2
 LOGRET_FIX = 1_000_000
@@ -184,19 +199,14 @@ def trades_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.  Averaging per-trade float rates would weight trades
     equally AND be fold-order-dependent; this is both correct finance
     and correct distributed arithmetic."""
-    t = events_as_trades(spark, sf_dir)
-    return (t.groupBy(
-        "currency_from",
-        F.window("time_placed", "1 hour").start.alias("time_window"))
-        .agg(F.count("*").alias("n_trades"),
-             F.sum("amount_sell_micros").alias("volume_sell_micros"),
-             F.sum("amount_buy_micros").alias("_buy"))
-        .filter(F.col("volume_sell_micros") > 0)
-        .select("currency_from", "time_window", "n_trades",
-                "volume_sell_micros",
-                F.round(F.col("_buy").cast("double")
-                        / F.col("volume_sell_micros"), 6).alias("vwap"))
-        .orderBy("currency_from", "time_window"))
+    return (_hourly_vwap(events_as_trades(spark, sf_dir))
+            .select("currency_from",
+                    F.col("h").alias("time_window"),
+                    F.col("_n").alias("n_trades"),
+                    F.col("_sell").alias("volume_sell_micros"),
+                    F.round(F.col("_buy").cast("double")
+                            / F.col("_sell"), 6).alias("vwap"))
+            .orderBy("currency_from", "time_window"))
 
 
 _HOURLY_VWAP_CTE = f"""
@@ -237,16 +247,10 @@ def trades_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing upstream is fold-order-dependent either.  Per-pair state
     is one hours-length array — bounded by the time range, not the
     trade count, so collect_list here is windows-not-data sized."""
-    t = events_as_trades(spark, sf_dir)
-    hourly = (t.groupBy(
-        "currency_from",
-        F.window("time_placed", "1 hour").start.alias("h"))
-        .agg(F.sum("amount_buy_micros").alias("_buy"),
-             F.sum("amount_sell_micros").alias("_sell"))
-        .filter(F.col("_sell") > 0)
-        .select("currency_from", "h",
-                (F.col("_buy").cast("double") / F.col("_sell"))
-                .alias("vwap")))
+    hourly = (_hourly_vwap(events_as_trades(spark, sf_dir))
+              .select("currency_from", "h",
+                      (F.col("_buy").cast("double") / F.col("_sell"))
+                      .alias("vwap")))
     series = (hourly.groupBy("currency_from")
               .agg(F.array_sort(F.collect_list(F.struct("h", "vwap")))
                    .alias("_s")))
@@ -295,17 +299,11 @@ def trades_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sqrt at the end.  Moment-sum headroom: |ln(vwap)*1e6| <~
     2^21 here, so s2 fits int64 up to ~2^21 returns per pair; a longer
     horizon re-scales LOGRET_FIX, it does not change the shape."""
-    t = events_as_trades(spark, sf_dir)
-    hourly = (t.groupBy(
-        "currency_from",
-        F.window("time_placed", "1 hour").start.alias("h"))
-        .agg(F.sum("amount_buy_micros").alias("_buy"),
-             F.sum("amount_sell_micros").alias("_sell"))
-        .filter(F.col("_sell") > 0)
-        .select("currency_from", "h",
-                F.round(F.log(F.col("_buy").cast("double")
-                              / F.col("_sell")) * LOGRET_FIX, 0)
-                .cast("long").alias("lfix")))
+    hourly = (_hourly_vwap(events_as_trades(spark, sf_dir))
+              .select("currency_from", "h",
+                      F.round(F.log(F.col("_buy").cast("double")
+                                    / F.col("_sell")) * LOGRET_FIX, 0)
+                      .cast("long").alias("lfix")))
     w = Window.partitionBy("currency_from").orderBy("h")
     ret = (hourly
            .withColumn("r", F.col("lfix") - F.lag("lfix").over(w))

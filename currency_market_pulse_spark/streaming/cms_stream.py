@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from currency_market_pulse_spark.functions.text import tokens
@@ -48,10 +48,12 @@ class StreamingHeavyHitters:
                  .select(F.explode(tokens(F.col("text"))).alias("tok"))
                  .groupBy("tok")
                  .agg(F.count(F.lit(1)).alias("batch_cnt")))
-        w = Window.orderBy(F.desc("batch_cnt"), "tok")
-        cand = (local.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= self.top_m)
-                .drop("_rn"))
+        # orderBy().limit() compiles to a distributed TakeOrdered —
+        # an unpartitioned Window here would drag every distinct
+        # token of the batch through ONE task (the sampling.py
+        # single-partition-window rule)
+        cand = (local.orderBy(F.desc("batch_cnt"), "tok")
+                .limit(self.top_m))
 
         def _write(df: DataFrame, path: str) -> None:
             (df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
@@ -89,12 +91,7 @@ class StreamingHeavyHitters:
             "tok",
             F.explode(F.sequence(F.lit(0), F.lit(X.CMS_ROWS - 1)))
             .alias("row"))
-        bucket = F.pmod(
-            F.conv(F.substring(
-                F.md5(F.concat(F.col("row").cast("string"), F.lit("|"),
-                               F.col("tok"))), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(X.CMS_WIDTH))
+        bucket = X.cms_bucket(F.col("tok"), F.col("row"))
         est = (probes.select("tok", F.col("row").cast("int").alias("row"),
                              bucket.alias("bucket"))
                .join(F.broadcast(sketch), ["row", "bucket"])
