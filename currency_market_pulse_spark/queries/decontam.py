@@ -62,19 +62,22 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def documents_decontaminate_bloom(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Bloom-prefiltered twin of documents_decontaminate
-    (operators/decontam.py contamination_pairs_bloom): the eval shingle
-    set compressed to a 2^16-bit bitmap (1024 words, 8 KiB — constant
-    in eval size, vs gigabytes of broadcast shingle hashes when the
-    held-out side is itself corpus-scale), probed by three broadcast
-    word-joins with zero shuffles of the training side; only
-    maybe-present shingles reach the exact verify join.  The bloom
-    admits false POSITIVES only, so results are bit-identical to the
-    exact path — both queries share one oracle, which is the proof.
-    Regime note (measured at sf1): 5.6s vs the exact path's 2.5s —
-    at fixture scale the eval broadcast is cheap, so the prefilter's
-    extra probe passes cost more than they save; the bloom wins
-    exactly when the eval shingle relation outgrows broadcast, which
-    is the regime it exists for."""
+    (operators/decontam.py contamination_pairs_bloom): the eval
+    shingle set compressed to an ADAPTIVELY-SIZED bitmap (10 bits per
+    distinct eval shingle, one scalar count at filter-build time —
+    a fixed size saturates and passes everything, the measured sf10
+    failure in bloom_sized_bits' docstring), shipped via sc.broadcast
+    and probed by ONE Arrow-vectorized numpy filter over the training
+    shingle scan; only maybe-present shingles reach the exact verify
+    join, which broadcasts the small survivor side and streams the
+    eval relation.  The bloom admits false POSITIVES only, so results
+    are bit-identical to the exact path — both queries share one
+    oracle, which is the proof.  Regime note (measured): sf1 7.0s /
+    sf10 25.8s vs the exact path's 2.5s / 7.5s — at fixture scale the
+    eval broadcast is cheap and the prefilter is pure overhead; the
+    bloom wins exactly when the eval shingle relation outgrows
+    broadcast (its bitmap is ~1.5% the size of the raw md5 keys),
+    which is the regime it exists for."""
     docs = S.hash_split(load_table(spark, sf_dir, "documents"),
                         "doc_id", SPLIT_WEIGHTS)
     train = docs.filter(F.col("split") == "train")

@@ -295,10 +295,18 @@ EXPECTATIONS.update({
         ("top-20 is TakeOrdered not sort", r"TakeOrderedAndProject"),
     ],
     "documents_decontaminate_bloom": [
-        # all three bloom word-probes are broadcast hash joins — the
-        # training-side shingle scan never shuffles for the prefilter
-        ("bitmap word-joins broadcast",
-         r"BroadcastHashJoin(.|\n)*BroadcastHashJoin(.|\n)*BroadcastHashJoin"),
+        # the bitmap probe is ONE Arrow-vectorized filter over the
+        # training shingle scan (numpy bitmap via sc.broadcast) —
+        # never per-position joins (the first cut's three word-joins
+        # rebuilt the eval bitmap aggregation once per join)
+        ("bitmap probe is an Arrow filter", r"ArrowEvalPython"),
+        ("verify survivors broadcast", r"BroadcastHashJoin"),
+        # the bit_or bitmap aggregation runs ONCE, eagerly, at filter
+        # build time (driver-collected, offline-index posture) — the
+        # search plan itself must not rebuild it at all (the first
+        # cut rebuilt it three times, once per probe join)
+        ("no bitmap rebuild in the search plan",
+         r"^(?!(.|\n)*bit_or)(.|\n)*$"),
     ],
     "sim_sq_topk": [
         # the int8-code query side broadcasts over the codes scan; the
