@@ -1103,3 +1103,82 @@ def text_substring_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     double polynomial hash as an exact HUGEINT power sum."""
     return D.substring_span_stats_rolling(
         load_table(spark, sf_dir, "documents"))
+
+
+def _substr_removal_rolling_oracle(span: int = D.SPAN_CHARS,
+                                   modp: int = D.SPAN_MODP) -> str:
+    """Rolling-fingerprint wins/grp replay (the
+    _substr_rolling_oracle HUGEINT power sums) feeding the same
+    island-merge SQL as the md5 removal oracle."""
+    w1 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M1) for j in range(span)]
+    w2 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M2) for j in range(span)]
+
+    def hexpr(weights, mod):
+        lits = "[" + ", ".join(str(x) for x in weights) + "]"
+        return (f"CAST(list_aggregate(list_transform(range(0, {span}), "
+                f"j -> CAST(ord(substr(text, CAST(pos + j AS INT), 1)) "
+                f"AS HUGEINT) * ({lits}::HUGEINT[])[CAST(j + 1 AS INT)]), "
+                f"'sum') % {mod} AS BIGINT)")
+
+    return f"""
+WITH wins AS MATERIALIZED (
+  SELECT doc_id, pos, fp,
+         doc_id * 1000000000 + pos AS k
+  FROM (SELECT doc_id, pos,
+               {hexpr(w1, D.ROLL_M1)} * 2147483648
+               + {hexpr(w2, D.ROLL_M2)} AS fp
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {span} + 2)) AS pos
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(text) >= {span}) p) s
+  WHERE fp % {modp} = 0),
+grp AS MATERIALIZED (
+  SELECT fp, count(*) AS c, min(k) AS owner FROM wins GROUP BY fp),
+rem AS (
+  SELECT w.doc_id, w.pos, w.pos + {span} AS e
+  FROM wins w JOIN grp USING (fp)
+  WHERE c >= 2 AND k <> owner),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM rem),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM isl),
+spans AS (
+  SELECT doc_id, isle, count(*) AS nw, min(pos) AS s, max(e) AS e2
+  FROM isl2 GROUP BY doc_id, isle)
+SELECT sp.doc_id,
+       CAST(sum(nw) AS BIGINT) AS n_removable_windows,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e2 - s) AS BIGINT) AS removed_chars,
+       CAST(any_value(length(d.text)) - sum(e2 - s) AS BIGINT)
+         AS kept_chars,
+       round(sum(e2 - s) / CAST(any_value(length(d.text)) AS DOUBLE), 6)
+         AS removed_frac
+FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
+GROUP BY sp.doc_id
+"""
+
+
+@extra_query("text_substring_removal_rolling",
+             oracle=_substr_removal_rolling_oracle())
+def text_substring_removal_rolling(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Rolling-hash twin of text_substring_removal (operators/dedup.py
+    substring_removal_plan_rolling): the same gaps-and-islands removal
+    plan over O(1)-per-position polynomial fingerprints — the scale
+    path when the md5 detect stage dominates (md5 removal measured
+    94.6s at sf10, detect-bound; rolling detect runs 21.7s there).
+    Oracle replays every window as an exact HUGEINT power sum, then
+    the identical island-merge SQL as the md5 removal oracle."""
+    return D.substring_removal_plan_rolling(
+        load_table(spark, sf_dir, "documents"))
