@@ -663,6 +663,58 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+_SURVIVORS_LONGEST_ORACLE = _SURVIVORS_ORACLE.replace(
+    "dropped AS (SELECT node AS doc_id FROM comp WHERE component_id <> node)",
+    """withq AS (
+  SELECT c.node, c.component_id, d.n_chars, d.doc_id
+  FROM comp c JOIN documents d ON d.doc_id = c.node),
+keeper AS (
+  SELECT component_id, doc_id AS keep_id FROM (
+    SELECT component_id, doc_id,
+           row_number() OVER (PARTITION BY component_id
+                ORDER BY n_chars DESC, doc_id) AS rn
+    FROM withq) t WHERE rn = 1),
+dropped AS (
+  SELECT w.node AS doc_id
+  FROM withq w JOIN keeper k ON k.component_id = w.component_id
+  WHERE w.doc_id <> k.keep_id)""")
+
+
+@extra_query("dedup_survivors_longest", oracle=_SURVIVORS_LONGEST_ORACLE)
+def dedup_survivors_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor card with QUALITY-AWARE keeper selection: per near-dup
+    component, keep the LONGEST document (ties to the lowest id)
+    instead of the arbitrary min-id — the RefinedWeb-style choice that
+    retains the most complete copy of syndicated/cropped variants.
+    min-id keeps whichever crawl arrived first; argmax-length keeps
+    the best artifact.  Same component relation, one extra n_chars
+    window per component (component-sized, tiny), same per-source
+    card."""
+    from currency_market_pulse_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_shared_jaccard_pairs(spark, sf_dir))
+    withq = comp.join(docs.select("doc_id", "n_chars"),
+                      comp["node"] == F.col("doc_id")).drop("doc_id")
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "node")
+    dropped = (withq.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > 1)
+               .select(F.col("node").alias("doc_id"),
+                       F.lit(True).alias("_drop")))
+    return (docs.join(dropped, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+                 .alias("n_dropped"),
+                 F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("_drop").isNull(), F.col("n_chars"))
+                       .otherwise(0)).alias("kept_chars"))
+            .orderBy("source"))
+
+
 def _split_leakage_oracle() -> str:
     from currency_market_pulse_spark.queries.sampling import (
         _frac_sql, _split_case_sql,

@@ -320,3 +320,66 @@ def trades_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("currency_from", F.col("n").alias("n_returns"),
                     vol.alias("vol"))
             .orderBy("currency_from"))
+
+
+@extra_query(
+    "trades_rate_alerts",
+    oracle=f"""
+{_HOURLY_VWAP_CTE},
+lr AS (
+  SELECT currency_from, h,
+         CAST(round(ln(vwap) * {LOGRET_FIX}) AS BIGINT) AS lfix
+  FROM hourly),
+ret AS (
+  SELECT currency_from, h,
+         lfix - lag(lfix) OVER (PARTITION BY currency_from ORDER BY h)
+           AS r
+  FROM lr),
+vol AS (
+  SELECT currency_from,
+         sqrt((count(r) * sum(r * r) - sum(r) * sum(r))
+              / CAST(count(r) * (count(r) - 1) AS DOUBLE)) AS vfix
+  FROM ret WHERE r IS NOT NULL GROUP BY currency_from
+  HAVING count(r) >= 2)
+SELECT ret.currency_from, ret.h AS time_window,
+       CAST(ret.r AS BIGINT) AS logret_fix,
+       CAST(round(3 * vol.vfix) AS BIGINT) AS threshold_fix
+FROM ret JOIN vol ON vol.currency_from = ret.currency_from
+WHERE ret.r IS NOT NULL AND abs(ret.r) > 3 * vol.vfix
+ORDER BY ret.currency_from, time_window
+""",
+)
+def trades_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility-breakout alerts: hours whose |log return| exceeds
+    3x the pair's realized volatility — the monitoring rule a market
+    dashboard derives from trades_volatility.  All comparisons happen
+    between an exact int64 return and 3x a sqrt of exact integer
+    moment sums (identical IEEE doubles on both engines); the rule is
+    self-referential (the breakout inflates the vol it is compared
+    against) in the standard way a fixed-window realized-vol alert
+    is."""
+    hourly = (_hourly_vwap(events_as_trades(spark, sf_dir))
+              .select("currency_from", "h",
+                      F.round(F.log(F.col("_buy").cast("double")
+                                    / F.col("_sell")) * LOGRET_FIX, 0)
+                      .cast("long").alias("lfix")))
+    w = Window.partitionBy("currency_from").orderBy("h")
+    ret = (hourly
+           .withColumn("r", F.col("lfix") - F.lag("lfix").over(w))
+           .filter(F.col("r").isNotNull()))
+    vol = (ret.groupBy("currency_from")
+           .agg(F.count("r").alias("n"), F.sum("r").alias("s"),
+                F.sum(F.col("r") * F.col("r")).alias("s2"))
+           .filter(F.col("n") >= 2)
+           .select("currency_from",
+                   F.sqrt((F.col("n") * F.col("s2")
+                           - F.col("s") * F.col("s"))
+                          / (F.col("n") * (F.col("n") - 1))
+                          .cast("double")).alias("vfix")))
+    return (ret.join(F.broadcast(vol), "currency_from")
+            .filter(F.abs(F.col("r")) > 3 * F.col("vfix"))
+            .select("currency_from", F.col("h").alias("time_window"),
+                    F.col("r").alias("logret_fix"),
+                    F.round(3 * F.col("vfix"), 0).cast("long")
+                    .alias("threshold_fix"))
+            .orderBy("currency_from", "time_window"))
