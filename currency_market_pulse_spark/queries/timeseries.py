@@ -383,3 +383,129 @@ def trades_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(3 * F.col("vfix"), 0).cast("long")
                     .alias("threshold_fix"))
             .orderBy("currency_from", "time_window"))
+
+
+@extra_query(
+    "trades_pair_correlation",
+    oracle=f"""
+{_HOURLY_VWAP_CTE},
+lr AS (
+  SELECT currency_from, h,
+         CAST(round(ln(vwap) * {LOGRET_FIX}) AS BIGINT) AS lfix
+  FROM hourly),
+ret AS (
+  SELECT currency_from, h,
+         lfix - lag(lfix) OVER (PARTITION BY currency_from ORDER BY h)
+           AS r
+  FROM lr),
+rr AS (SELECT currency_from, h, r FROM ret WHERE r IS NOT NULL),
+joined AS (
+  SELECT a.currency_from AS pair_a, b.currency_from AS pair_b,
+         a.r AS ra, b.r AS rb
+  FROM rr a JOIN rr b
+    ON a.h = b.h AND a.currency_from < b.currency_from),
+sums AS (
+  SELECT pair_a, pair_b, count(*) AS n,
+         sum(ra) AS sx, sum(rb) AS sy,
+         sum(ra * rb) AS sxy, sum(ra * ra) AS sxx, sum(rb * rb) AS syy
+  FROM joined GROUP BY pair_a, pair_b HAVING count(*) >= 2)
+SELECT pair_a, pair_b, CAST(n AS BIGINT) AS n_hours,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+FROM sums ORDER BY pair_a, pair_b
+""",
+)
+def trades_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-pair co-movement: Pearson correlation of hourly log
+    returns for every currency-pair combination — the matrix a risk
+    dashboard reads for hedging/contagion.  Returns are the 1e-6
+    fixed-point integers of trades_volatility, the hour join aligns
+    the two series, and every moment sum is exact int64 — one double
+    expression at the very end, so the matrix is reproducible under
+    any partitioning.  Pair-combination count is |pairs| choose 2
+    (handfuls), so the self-join fanout is bounded by the PAIR count,
+    not data size."""
+    hourly = (_hourly_vwap(events_as_trades(spark, sf_dir))
+              .select("currency_from", "h",
+                      F.round(F.log(F.col("_buy").cast("double")
+                                    / F.col("_sell")) * LOGRET_FIX, 0)
+                      .cast("long").alias("lfix")))
+    w = Window.partitionBy("currency_from").orderBy("h")
+    rr = (hourly
+          .withColumn("r", F.col("lfix") - F.lag("lfix").over(w))
+          .filter(F.col("r").isNotNull())
+          .select("currency_from", "h", "r"))
+    a = rr.select(F.col("currency_from").alias("pair_a"),
+                  "h", F.col("r").alias("ra"))
+    b = rr.select(F.col("currency_from").alias("pair_b"),
+                  "h", F.col("r").alias("rb"))
+    joined = a.join(b, ["h"]).filter(F.col("pair_a") < F.col("pair_b"))
+    sums = (joined.groupBy("pair_a", "pair_b")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
+                 F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+                 F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+                 F.sum(F.col("rb") * F.col("rb")).alias("syy"))
+            .filter(F.col("n") >= 2))
+    nd = F.col("n").cast("double")
+    corr = F.round(
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (F.sqrt(nd * F.col("sxx")
+                  - F.col("sx").cast("double") * F.col("sx"))
+           * F.sqrt(nd * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy"))), 6)
+    return (sums.select("pair_a", "pair_b",
+                        F.col("n").alias("n_hours"),
+                        corr.alias("corr"))
+            .orderBy("pair_a", "pair_b"))
+
+
+@extra_query(
+    "trades_max_drawdown",
+    oracle=f"""
+{_HOURLY_VWAP_CTE},
+lr AS (
+  SELECT currency_from, h,
+         CAST(round(ln(vwap) * {LOGRET_FIX}) AS BIGINT) AS lfix
+  FROM hourly),
+dd AS (
+  SELECT currency_from, h, lfix,
+         max(lfix) OVER (PARTITION BY currency_from ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM lr)
+SELECT currency_from,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(peak - lfix) AS BIGINT) AS max_drawdown_fix,
+       round(1.0 - exp(-max(peak - lfix) / {LOGRET_FIX}.0), 6)
+         AS max_drawdown_frac
+FROM dd GROUP BY currency_from ORDER BY currency_from
+""",
+)
+def trades_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per pair: the worst peak-to-trough decline of
+    the hourly VWAP — the risk statistic next to volatility on any
+    market dashboard.  In log space the drawdown is a running-max
+    minus current (a window cummax over the integer lfix series, so
+    the comparison chain is exact int64); the fractional form
+    1 - exp(-dd) converts back at the very end.  Per-pair window over
+    an hours-length series — bounded by the time range, not trade
+    count."""
+    hourly = (_hourly_vwap(events_as_trades(spark, sf_dir))
+              .select("currency_from", "h",
+                      F.round(F.log(F.col("_buy").cast("double")
+                                    / F.col("_sell")) * LOGRET_FIX, 0)
+                      .cast("long").alias("lfix")))
+    w = (Window.partitionBy("currency_from").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dd = hourly.withColumn("peak", F.max("lfix").over(w))
+    return (dd.groupBy("currency_from")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.max(F.col("peak") - F.col("lfix"))
+                 .alias("max_drawdown_fix"))
+            .select("currency_from", "n_hours", "max_drawdown_fix",
+                    F.round(1.0 - F.exp(-F.col("max_drawdown_fix")
+                                        / F.lit(float(LOGRET_FIX))), 6)
+                    .alias("max_drawdown_frac"))
+            .orderBy("currency_from"))
