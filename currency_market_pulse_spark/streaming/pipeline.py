@@ -50,6 +50,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from currency_market_pulse_spark.functions.normalize import (
     INGEST_SCHEMA, normalize_trades, parse_ingest_json, parse_time_placed,
 )
+from currency_market_pulse_spark.streaming.cms_stream import (
+    StreamingHeavyHitters,
+)
+from currency_market_pulse_spark.streaming.decontam_stream import (
+    StreamingDecontam,
+)
 from currency_market_pulse_spark.streaming.importer import ParquetTradesSink
 from currency_market_pulse_spark.streaming.neardup_stream import (
     StreamingNearDup,
@@ -90,6 +96,8 @@ class ComposedPipeline:
     dead_letter_path: str
     trends_view: str
     neardup: StreamingNearDup
+    decontam: "StreamingDecontam | None" = None
+    heavy_hitters: "StreamingHeavyHitters | None" = None
     queries: list = field(default_factory=list)
 
     def counts(self) -> tuple[int, int, int, int]:
@@ -155,15 +163,17 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           limit: int = DEFAULT_LIMIT,
                           trends_view: str = "pipeline_trends_live",
                           watermark: str = "10 minutes",
-                          trigger: str | None = "1 second"
+                          trigger: str | None = "1 second",
+                          eval_df: DataFrame | None = None,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
     ``requests_dir``: JSON-lines files in the ingest schema (the HTTP
     body shape, api.go:16-25).  ``docs_dir``: JSON-lines (doc_id,
-    text) documents for the near-dup probe.  ``out_dir``: all durable
-    output (trades parquet, dead letters, near-dup index,
-    checkpoints)."""
+    text) documents for the document-side probes — near-dup index,
+    count-min heavy hitters, and (when ``eval_df`` is given) the
+    decontaminate-at-ingest screen.  ``out_dir``: all durable output
+    (trades parquet, dead letters, indexes, checkpoints)."""
     import os
 
     trades_path = f"{out_dir}/trades"
@@ -245,9 +255,30 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                   .option("maxFilesPerTrigger", "1").json(docs_dir))
     q_dedup = nd.attach(doc_stream, f"{out_dir}/ckpt_neardup",
                         trigger=trigger)
+    queries = [q_import, q_trends, q_dedup]
+
+    # ---- query 4: count-min heavy hitters over the same doc stream
+    hh = StreamingHeavyHitters(sketch_path=f"{out_dir}/cms_sketch",
+                               cand_path=f"{out_dir}/cms_cand")
+    hh_stream = (spark.readStream.schema("doc_id long, text string")
+                 .option("maxFilesPerTrigger", "1").json(docs_dir))
+    queries.append(hh.attach(hh_stream, f"{out_dir}/ckpt_cms",
+                             trigger=trigger))
+
+    # ---- query 5 (optional): decontaminate-at-ingest screen
+    sd = None
+    if eval_df is not None:
+        sd = StreamingDecontam(eval_df,
+                               eval_index_path=f"{out_dir}/eval_idx",
+                               flags_path=f"{out_dir}/decontam_flags")
+        sd_stream = (spark.readStream.schema("doc_id long, text string")
+                     .option("maxFilesPerTrigger", "1").json(docs_dir))
+        queries.append(sd.attach(sd_stream, f"{out_dir}/ckpt_decontam",
+                                 trigger=trigger))
 
     return ComposedPipeline(
         spark=spark,
         trades_path=trades_path, dead_letter_path=dead_path,
         trends_view=trends_view, neardup=nd,
-        queries=[q_import, q_trends, q_dedup])
+        decontam=sd, heavy_hitters=hh,
+        queries=queries)

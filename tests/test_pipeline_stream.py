@@ -100,3 +100,41 @@ def test_pipeline_cli_once(spark, tmp_path):
     assert summary == {"trades_imported": 4, "requests_rejected": 1,
                        "near_dups_flagged": 1,
                        "closed_trend_windows": 1}
+
+
+def test_composed_pipeline_with_document_screens(spark, tmp_path):
+    """Round-7 composition: the same doc stream also feeds the
+    count-min heavy-hitter tracker and (with an eval set supplied)
+    the decontaminate-at-ingest screen — the leaked doc is
+    quarantined, the planted hot token surfaces, and the trades leg
+    is unaffected."""
+    import time
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    req, docs = _plant(tmp_path)
+    ev = spark.createDataFrame([(900, BASE)], "doc_id long, text string")
+    pipe = run_composed_pipeline(spark, str(req), str(docs),
+                                 str(tmp_path / "out"),
+                                 window_ms=1000, limit=2, eval_df=ev)
+    try:
+        pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+        deadline = time.time() + 60
+        flags, top = {}, {}
+        while time.time() < deadline:
+            flags = {(r.doc_id, r.eval_doc_id)
+                     for r in pipe.decontam.read_flags(spark).collect()}
+            top = {r.tok: r.est
+                   for r in pipe.heavy_hitters.heavy_hitters(spark)
+                   .collect()}
+            # doc 1 IS the eval doc (flagged); doc 2 differs by one
+            # token but still shares 5-grams (flagged too)
+            if flags >= {(1, 900), (2, 900)} and top.get("the", 0) >= 6:
+                break
+            time.sleep(1)
+    finally:
+        pipe.stop()
+    assert flags == {(1, 900), (2, 900)}
+    assert top.get("the", 0) >= 6   # 'the' appears 3x per doc, 2 docs
