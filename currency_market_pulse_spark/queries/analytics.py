@@ -304,3 +304,53 @@ def approx_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n"))
         .orderBy("c_mktsegment")
     )
+
+
+@extra_query(
+    "events_retention_cohorts",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+coh AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id),
+cs AS (SELECT cw, count(*) AS cohort_size FROM coh GROUP BY cw),
+act AS (
+  SELECT c.cw, u.w, count(DISTINCT u.user_id) AS n_active
+  FROM uw u JOIN coh c USING (user_id) GROUP BY c.cw, u.w)
+SELECT act.cw AS cohort_week,
+       CAST(date_diff('day', CAST(act.cw AS DATE), CAST(act.w AS DATE))
+            / 7 AS BIGINT) AS week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM act JOIN cs USING (cw)
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    active week; for each (cohort, week-offset) cell the count and
+    fraction of the cohort still active — the classic product-
+    analytics triangle next to DAU/WAU and the funnel.  Two distinct
+    aggregations over the (user, week) relation plus one small join;
+    the cohort relation is user-sized, the output is weeks^2 cells.
+    Week buckets via date_trunc (ISO Monday start on both engines);
+    offsets are exact day differences div 7."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (ev.select("user_id", F.date_trunc("week", "ts").alias("w"))
+          .distinct())
+    coh = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    cs = coh.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (uw.join(coh, "user_id")
+           .groupBy("cw", "w")
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return (act.join(cs, "cw")
+            .select(F.col("cw").alias("cohort_week"),
+                    (F.datediff(F.col("w"), F.col("cw")) / 7)
+                    .cast("long").alias("week_offset"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.col("cohort_size").cast("long")
+                    .alias("cohort_size"),
+                    F.round(F.col("n_active")
+                            / F.col("cohort_size").cast("double"), 6)
+                    .alias("retention"))
+            .orderBy("cohort_week", "week_offset"))
