@@ -32,8 +32,8 @@ Defaults: /root/testdata/sf0.1 -> ./testdata_gen/sf1 x10.
 
 from __future__ import annotations
 
+import argparse
 import os
-import sys
 
 import duckdb
 
@@ -131,9 +131,28 @@ def generate(src: str, dst: str, replicas: int) -> None:
         print(f"{t}: {n} rows")
 
 
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="Replicate a fixture directory R x with key remapping.")
+    p.add_argument("src", nargs="?", default="/root/testdata/sf0.1",
+                   help="source parquet dir (default driver sf0.1)")
+    p.add_argument("dst", nargs="?",
+                   default=os.path.join(_HERE, "testdata_gen", "sf1"),
+                   help="destination dir")
+    p.add_argument("replicas", nargs="?", type=int, default=10,
+                   help="replication factor")
+    args = p.parse_args(argv)
+    # Guard against the positional-arg slip `gen_sf.py SRC 10` that once
+    # created a stray ./10 output dir: a bare integer is never a real
+    # destination, it is almost certainly a misplaced replica count.
+    if args.dst.strip(os.sep).isdigit():
+        p.error(f"dst {args.dst!r} looks like a replica count — usage is "
+                f"`gen_sf.py [src] [dst] [replicas]` (three positionals)")
+    if not os.path.isdir(args.src):
+        p.error(f"src {args.src!r} is not a directory")
+    return args
+
+
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _HERE, "testdata_gen", "sf1")
-    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    generate(src, dst, replicas)
+    a = parse_args()
+    generate(a.src, a.dst, a.replicas)
