@@ -220,11 +220,16 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text") -> DataFrame:
     """``contamination_pairs`` with a Bloom pre-filter: train shingles
-    first probe the m-bit bitmap (k broadcast word-joins, no shuffle),
-    and only maybe-present survivors enter the exact verify join
-    against the eval shingle relation.  Bit-identical results to the
-    exact path (the bloom admits false positives only, and the verify
-    join kills those) — asserted by the shared oracle."""
+    probe an ``sc.broadcast`` numpy bitmap inside one Arrow-vectorized
+    pandas_udf (no shuffle, no join — each executor tests its rows
+    against the shared bitmap words), and only maybe-present survivors
+    enter the exact verify join against the eval shingle relation.
+    The bitmap is adaptively sized from the eval shingle cardinality
+    (``bloom_sized_bits``) — a fixed 2^16-bit bitmap saturated at sf10
+    (every probe returned maybe-present) and was caught by the scale
+    gate.  Bit-identical results to the exact path (the bloom admits
+    false positives only, and the verify join kills those) — asserted
+    by the shared oracle."""
     par = train.sparkSession.sparkContext.defaultParallelism
     tr = (_doc_shingles(train.repartition(par), n, id_col, text_col)
           .select(F.col(id_col).alias("train_doc_id"), "sh"))
@@ -235,12 +240,15 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
     bloom = eval_shingle_bloom(eval_, n, m, k, id_col, text_col,
                                shingles_df=ev_sh)
     cand = bloom_prefilter(tr, bloom, m, k)
-    # verify join: broadcast the SURVIVORS (small — contamination is
-    # rare, and the prefilter already dropped definite-absents), and
-    # stream the eval shingle relation against them.  Broadcasting ev
-    # here would re-create exactly the broadcast-a-web-scale-eval-side
-    # failure this operator exists to avoid.
-    return (ev.join(F.broadcast(cand), "sh")
+    # verify join: do NOT force a broadcast of the survivors.  True
+    # contamination is rare, but false-positive mass scales with the
+    # TRAIN side (~fp_rate x train shingles), which the eval-sized
+    # bitmap does not bound — at web-scale train corpora a forced
+    # F.broadcast(cand) can exceed driver/broadcast limits with zero
+    # real contamination.  Let AQE pick the strategy at runtime (it
+    # broadcasts when the survivor relation is actually small), the
+    # same rule dedup_survivors applies to unbounded drop lists.
+    return (ev.join(cand, "sh")
             .groupBy("train_doc_id", "eval_doc_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"))
             .filter(F.col("n_overlap") >= min_overlap))

@@ -985,5 +985,9 @@ def substring_removal_plan_rolling(docs: DataFrame,
     joined = substring_span_stats_rolling(docs, span_chars, modp,
                                           id_col, text_col,
                                           _return_owners=True)
+    # the rolling kernel emits its id column as literal "doc_id";
+    # restore the caller's id_col so both twins honor it identically
+    if id_col != "doc_id":
+        joined = joined.withColumnRenamed("doc_id", id_col)
     return _removal_plan_from_windows(joined, docs, span_chars,
-                                      "doc_id", text_col)
+                                      id_col, text_col)

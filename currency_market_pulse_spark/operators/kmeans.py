@@ -56,7 +56,10 @@ def seed_centroids(emb: DataFrame, k: int,
                         seeded_md5(KMEANS_SEED_TAG,
                                    F.col(id_col).cast("string")).alias("_h"))
              .orderBy("_h", "_id").limit(k))
-    w = Window.orderBy("_h", "_id")  # k rows only — post-limit
+    # unpartitioned window over k rows only (post-limit) — safe; the
+    # WindowExec warning is suppressed session-wide with justification
+    # in session._silence_windowexec_warning
+    w = Window.orderBy("_h", "_id")
     return (seeds.withColumn("cell", F.row_number().over(w) - 1)
             .select("cell",
                     F.transform("centroid",

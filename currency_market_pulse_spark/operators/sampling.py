@@ -144,6 +144,8 @@ def running_total(df: DataFrame, order_cols: list[Column],
               .withColumn("_pid", F.spark_partition_id()))
     totals = ranged.groupBy("_pid").agg(
         F.sum(weight_col).alias("_ptotal"))
+    # unpartitioned window over ~num_partitions rows (metadata scale)
+    # — safe; see session._silence_windowexec_warning
     w_off = (Window.orderBy("_pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
@@ -403,6 +405,8 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
     efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
     key = efix / F.col(weight_col).cast("double")
+    # unpartitioned window over k rows (post-limit) — safe; see
+    # session._silence_windowexec_warning
     w = Window.orderBy("key", id_col)
     return (df.filter(F.col(weight_col) > 0)
             .select(F.col(id_col), F.col(weight_col).alias("weight"),

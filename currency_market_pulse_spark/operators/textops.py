@@ -217,7 +217,9 @@ def zipf_fit(docs: DataFrame, n_ranks: int = ZIPF_RANKS,
         F.sum("tc").alias("total_tokens"),
         F.count(F.lit(1)).alias("vocab_size"))
     head = vocab.orderBy(F.desc("tc"), "tok").limit(n_ranks)
-    w = Window.orderBy(F.desc("tc"), "tok")  # n_ranks rows — post-limit
+    # unpartitioned window over n_ranks rows (post-limit) — safe; see
+    # session._silence_windowexec_warning
+    w = Window.orderBy(F.desc("tc"), "tok")
     fix = F.lit(float(ZIPF_FIX))
     xy = (head.withColumn("rank", F.row_number().over(w))
           .select(

@@ -1,8 +1,11 @@
-"""Decontamination query over the ``documents`` fixture (library
-tier): the 90/5/5 hash split defines the held-out side; any train doc
-sharing a distinct 5-gram with a val/test doc is flagged with its
-overlap count.  The oracle replays the identical split thresholds
-(bitwise float literals), tokenization, shingling and join in DuckDB.
+"""Decontamination queries over the ``documents`` fixture: the 90/5/5
+hash split defines the held-out side; any train doc sharing a distinct
+5-gram with a val/test doc is flagged with its overlap count.  The
+oracle replays the identical split thresholds (bitwise float
+literals), tokenization, shingling and join in DuckDB.  The bloom
+variant is the REGISTERED slot (r8, VERDICT r7 directive 6 — it is
+the scale path); the exact twin shares its oracle in the library
+tier, which is the proof the prefilter changes nothing.
 """
 
 from __future__ import annotations
@@ -11,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from currency_market_pulse_spark.operators import decontam as C
 from currency_market_pulse_spark.operators import sampling as S
-from currency_market_pulse_spark.queries.registry import extra_query
+from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.queries.sampling import (
     SPLIT_WEIGHTS, _frac_sql, _split_case_sql,
 )
@@ -58,7 +61,7 @@ def documents_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("train_doc_id", "eval_doc_id"))
 
 
-@extra_query("documents_decontaminate_bloom", oracle=_DECONTAM_ORACLE)
+@query("documents_decontaminate_bloom", oracle=_DECONTAM_ORACLE)
 def documents_decontaminate_bloom(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Bloom-prefiltered twin of documents_decontaminate
@@ -69,8 +72,9 @@ def documents_decontaminate_bloom(spark: SparkSession,
     failure in bloom_sized_bits' docstring), shipped via sc.broadcast
     and probed by ONE Arrow-vectorized numpy filter over the training
     shingle scan; only maybe-present shingles reach the exact verify
-    join, which broadcasts the small survivor side and streams the
-    eval relation.  The bloom admits false POSITIVES only, so results
+    join, whose strategy is left to AQE (false-positive survivor mass
+    scales with the TRAIN side, so it is not assumed broadcastable).
+    The bloom admits false POSITIVES only, so results
     are bit-identical to the exact path — both queries share one
     oracle, which is the proof.  Regime note (measured): sf1 7.0s /
     sf10 25.8s vs the exact path's 2.5s / 7.5s — at fixture scale the

@@ -287,38 +287,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_band_pairs(spark, sf_dir)
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
-WITH {_TOKS}, {_DTOK},
-hashed AS (SELECT doc_id,
-           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dtok),
-votes AS (
-  SELECT doc_id, bit,
-         CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-  FROM hashed, (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS bit) bits
-  GROUP BY doc_id, bit),
-sims AS (
-  -- DuckDB sum() over integers returns HUGEINT (int128); the driver
-  -- hashes that differently from Spark's int64 — cast back to BIGINT.
-  SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
-FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-""",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets: identical 16-bit signatures pair up.
-    Tokens come from the shared persisted token relation; the per-doc
-    signature relation is persisted so both self-join sides read it
-    (_shared_derived)."""
-    sigs = _shared_derived(
-        spark, sf_dir, "simhash_sigs",
-        lambda toks: D.simhash(None, tokens_df=toks))
-    return D.pairs_from_simhash(sigs)
-
-
 def _simhash60_oracle() -> str:
     """60-bit banded hamming-k twin: same vote math as the 16-bit
     oracle at SIMHASH64_BITS, then the SAME pigeonhole banding the
@@ -355,20 +323,59 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
 """
 
 
-@extra_query("dedup_simhash_hamming", oracle=_simhash60_oracle())
-def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("dedup_simhash", oracle=_simhash60_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale SimHash near-dup: 60-bit signatures, banded
     hamming<=3 pair search (operators/dedup.py:simhash_hamming_pairs).
-    Closes the 16-bit variant's saturation limit (SCALE.md round 4:
-    2^16 signatures collide birthday-style at 50k docs) — the wide
-    signature keeps hamming-0 collisions rare and the pigeonhole
-    banding finds all pairs within radius k without an all-pairs
-    join."""
+    REGISTERED slot since r8 (VERDICT r7 directive 1): the 16-bit
+    identical-signature bucket join it replaces carries an n^2/2^16
+    pair term that the repo measured saturating at sf1 (SCALE.md
+    round 4: 4.16M hamming-0 pairs from 50k docs) — quadratic blowup
+    on hot buckets at 10^9-doc scale.  The wide signature keeps
+    hamming-0 collisions rare and the pigeonhole banding finds ALL
+    pairs within radius k without an all-pairs join (recall-complete,
+    proven vs brute force in tests/test_dedup.py).  The saturating
+    16-bit variant survives as library-tier
+    ``dedup_simhash_bucket16`` for the saturation regression test."""
     sigs = _shared_derived(
         spark, sf_dir, "simhash60_sigs",
         lambda toks: D.simhash(None, bits=D.SIMHASH64_BITS,
                                tokens_df=toks))
     return D.simhash_hamming_pairs(sigs, k=3, bits=D.SIMHASH64_BITS)
+
+
+@extra_query(
+    "dedup_simhash_bucket16",
+    oracle=f"""
+WITH {_TOKS}, {_DTOK},
+hashed AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM dtok),
+votes AS (
+  SELECT doc_id, bit,
+         CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM hashed, (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS bit) bits
+  GROUP BY doc_id, bit),
+sims AS (
+  -- DuckDB sum() over integers returns HUGEINT (int128); the driver
+  -- hashes that differently from Spark's int64 — cast back to BIGINT.
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS simhash
+FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""",
+)
+def dedup_simhash_bucket16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash identical-16-bit-signature buckets — the pre-r8
+    registered variant, demoted (VERDICT r7 directive 1): its
+    hamming-0 bucket join saturates birthday-style once the corpus
+    outgrows 2^16 signatures.  Kept library-tier as the measured
+    counter-example and for small-corpus use (sketch cost O(1)/doc
+    where n << 2^bits)."""
+    sigs = _shared_derived(
+        spark, sf_dir, "simhash_sigs",
+        lambda toks: D.simhash(None, tokens_df=toks))
+    return D.pairs_from_simhash(sigs)
 
 
 _COMPONENTS_ORACLE = f"""
@@ -1221,8 +1228,8 @@ GROUP BY sp.doc_id
 """
 
 
-@extra_query("text_substring_removal_rolling",
-             oracle=_substr_removal_rolling_oracle())
+@query("text_substring_removal_rolling",
+       oracle=_substr_removal_rolling_oracle())
 def text_substring_removal_rolling(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Rolling-hash twin of text_substring_removal (operators/dedup.py
@@ -1231,6 +1238,10 @@ def text_substring_removal_rolling(spark: SparkSession,
     path when the md5 detect stage dominates (md5 removal measured
     94.6s at sf10, detect-bound; rolling detect runs 21.7s there).
     Oracle replays every window as an exact HUGEINT power sum, then
-    the identical island-merge SQL as the md5 removal oracle."""
+    the identical island-merge SQL as the md5 removal oracle.
+    REGISTERED since r8 (VERDICT r7 directive 8): the ExactSubstr
+    APPLY stage — drop the repeated span, not the document — is a
+    flagship LLM-pipeline capability, and this twin is its scale
+    path."""
     return D.substring_removal_plan_rolling(
         load_table(spark, sf_dir, "documents"))

@@ -363,7 +363,7 @@ def top10_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "nation_segment_distincts",
     oracle="""
 SELECT c_nationkey,
@@ -373,7 +373,11 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """,
 )
 def nation_segment_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregate (two-phase expand+aggregate plan)."""
+    """Distinct aggregate (two-phase expand+aggregate plan).  Demoted
+    to library tier in r8 (VERDICT r7 directive 6) to free a
+    registered slot for the decontamination family: its distinct-agg
+    plan coverage is already exercised by q1_pricing_summary and
+    acctbal_percentiles."""
     return (
         load_table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")

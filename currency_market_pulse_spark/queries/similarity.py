@@ -64,10 +64,14 @@ FROM dots GROUP BY 1 ORDER BY 1
 """
 
 
-@query("sim_lsh_bucket_sizes", oracle=_bucket_oracle())
+@extra_query("sim_lsh_bucket_sizes", oracle=_bucket_oracle())
 def sim_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket histogram: the partitioning an ANN index
-    would use (bucket = shuffle/storage partition key at scale)."""
+    would use (bucket = shuffle/storage partition key at scale).
+    Library tier since r8: a diagnostic over the same bucket relation
+    sim_ann_lsh_topk already drives; its slot promoted the ExactSubstr
+    APPLY stage (text_substring_removal_rolling, VERDICT r7
+    directive 8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (S.lsh_buckets(emb).groupBy("bucket")
             .agg(F.count("*").alias("n_vecs")).orderBy("bucket"))
@@ -449,6 +453,8 @@ def sim_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window then runs over 20 rows — never a one-task sort of the
     # full node relation (the plan shape plan_audit asserts elsewhere)
     top = pr.orderBy(F.desc("fix"), "node").limit(20)
+    # unpartitioned window over 20 rows — safe; see
+    # session._silence_windowexec_warning
     w = W.orderBy(F.desc("fix"), "node")
     return (top.withColumn("rn", F.row_number().over(w))
             .select(F.col("node").alias("vec_id"),

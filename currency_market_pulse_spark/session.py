@@ -59,4 +59,37 @@ def get_spark(app_name: str = "currency-market-pulse-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_windowexec_warning(spark)
+    return spark
+
+
+def _silence_windowexec_warning(spark: SparkSession) -> None:
+    """Set the WindowExec logger to ERROR.
+
+    Every unpartitioned window in this repo runs over a provably
+    post-limit / metadata-scale relation — k seed centroids
+    (kmeans.py), the top-R vocabulary head (textops.py Zipf), the
+    ~num_partitions prefix-offset relation (sampling.py), k sampled
+    rows (sampling.py weighted_sample), 20 PageRank rows
+    (queries/similarity.py) — each site carries a comment saying so.
+    The warning itself cannot be avoided at the plan level: Spark 4's
+    EliminateWindowPartitions optimizer rule removes ANY foldable
+    partition key (verified: Window.partitionBy(lit(0)) and even
+    col*0 both fold to an empty partition spec), so a "constant
+    partition key" workaround is dead code.  Left on, the warning
+    fired 100+ times per bench/gate run and buried real signals in
+    the BENCH tail (VERDICT r7 "what's wrong" #3).  Scope is ONE
+    logger (WindowExec's single warning message); genuinely
+    data-sized unpartitioned windows are guarded by tools/
+    plan_audit.py's shuffle-count and plan-shape assertions instead.
+    """
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        # non-log4j2 deployments: the warning is cosmetic; never let
+        # logging setup break session construction
+        pass

@@ -30,20 +30,34 @@ from pyspark.sql.utils import AnalysisException
 from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import textops as X
 
-_SKETCH_SCHEMA = "row int, bucket bigint, cnt bigint, batch_id bigint"
+_SKETCH_SCHEMA = ("row int, bucket bigint, cnt bigint, "
+                  "n_rows int, width int, batch_id bigint")
 _CAND_SCHEMA = "tok string, batch_cnt bigint, batch_id bigint"
 
 
 @dataclass
 class StreamingHeavyHitters:
-    """foreachBatch handler maintaining the standing CMS + candidates."""
+    """foreachBatch handler maintaining the standing CMS + candidates.
+
+    The sketch geometry (``rows`` x ``width``) is fixed at handler
+    construction and PERSISTED alongside every batch's cells: cell
+    indices are only meaningful under the geometry that hashed them,
+    so merging contributions of different geometries would silently
+    mix incompatible buckets.  ``merged_sketch`` therefore refuses
+    (ValueError) any standing store whose recorded geometry differs
+    from the handler's — re-tuning the defaults requires a new store,
+    never a silent mix."""
 
     sketch_path: str
     cand_path: str
     top_m: int = 64
+    rows: int = X.CMS_ROWS
+    width: int = X.CMS_WIDTH
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        delta = X.cms_sketch(batch)
+        delta = (X.cms_sketch(batch, self.rows, self.width)
+                 .withColumn("n_rows", F.lit(self.rows).cast("int"))
+                 .withColumn("width", F.lit(self.width).cast("int")))
         local = (batch.filter(F.col("text").isNotNull())
                  .select(F.explode(tokens(F.col("text"))).alias("tok"))
                  .groupBy("tok")
@@ -74,6 +88,16 @@ class StreamingHeavyHitters:
         except AnalysisException:
             return spark.createDataFrame([], _SKETCH_SCHEMA) \
                 .select("row", "bucket", "cnt")
+        geoms = [(g["n_rows"], g["width"])
+                 for g in raw.select("n_rows", "width").distinct()
+                 .collect()]
+        bad = [g for g in geoms if g != (self.rows, self.width)]
+        if bad:
+            raise ValueError(
+                f"standing sketch at {self.sketch_path} holds geometry "
+                f"{bad} but this handler is {(self.rows, self.width)}; "
+                f"cells from different geometries cannot be merged — "
+                f"rebuild the store under the new geometry")
         return (raw.groupBy("row", "bucket")
                 .agg(F.sum("cnt").alias("cnt")))
 
@@ -89,9 +113,9 @@ class StreamingHeavyHitters:
         sketch = self.merged_sketch(spark)
         probes = cand.select(
             "tok",
-            F.explode(F.sequence(F.lit(0), F.lit(X.CMS_ROWS - 1)))
+            F.explode(F.sequence(F.lit(0), F.lit(self.rows - 1)))
             .alias("row"))
-        bucket = X.cms_bucket(F.col("tok"), F.col("row"))
+        bucket = X.cms_bucket(F.col("tok"), F.col("row"), self.width)
         est = (probes.select("tok", F.col("row").cast("int").alias("row"),
                              bucket.alias("bucket"))
                .join(F.broadcast(sketch), ["row", "bucket"])

@@ -1,0 +1,184 @@
+"""Write-once transactional parquet sink: exactly-once for FILE-STREAM
+readers, not just batch readers.
+
+Why the plain sink is not enough (streaming/pipeline.py's documented
+gap, closed by this module — VERDICT r7 directive 3): the batch-id
+dynamic partition overwrite of ``ParquetTradesSink`` makes STORAGE
+exactly-once (a replayed batch overwrites its own partition), but every
+replay writes NEW part-file names into that partition.  A downstream
+``readStream.parquet`` file source keys its seen-set on file PATHS —
+it has already ingested the old names, so the rewrite's fresh names
+count as new input and the live view double-counts the batch.  The
+production fix is a table format with snapshot isolation (Delta /
+Iceberg), whose streaming reader keys on versioned commits; neither
+jar ships in this container, so this module implements the property
+those formats provide that the live view actually needs:
+
+    **every visible data file is write-once** — a path, once visible
+    to readers, never changes content, never disappears, and is never
+    re-added.  Under that invariant a path-keyed file stream is
+    exactly-once by construction, whatever crashes and replays happen
+    on the write side.
+
+Commit protocol per micro-batch B (the compaction module's
+manifest-rename discipline, streaming/compaction.py, applied to batch
+publication; all control files are underscore-prefixed and therefore
+invisible to Spark's listings):
+
+1. **Stage**: write the batch, date-partitioned, to
+   ``_staged/batch=B/`` (mode=overwrite — an UNCOMMITTED crashed
+   attempt is replaced wholesale; it was never visible).
+2. **Commit point**: enumerate the staged part files, assign each a
+   deterministic final path ``trade_date=D/batch_id=B/txn-<k>.parquet``,
+   and record the (staged -> final) pairs in a manifest written via
+   tmp + ``os.replace`` — ONE atomic rename is the whole commit.
+3. **Publish**: ``os.replace`` each staged file to its final path
+   (atomic per file, idempotent to re-run: final-exists means done).
+4. Remove the empty staged dir.
+
+Crash analysis (every window):
+
+- before step 2: nothing visible; replay deletes the staged leftovers
+  and regenerates.  The visible tree is untouched.
+- after step 2, anywhere inside step 3: the manifest is durable, so
+  the replay ROLLS FORWARD — it republishes from the RECORDED
+  manifest and never regenerates data.  Final names and file contents
+  come from the original attempt (staged files persist until their
+  rename), so each final path becomes visible exactly once, with one
+  content, ever.
+- after step 4 (crash before the checkpoint commits): the replayed
+  ``write`` finds the manifest, re-runs the (now no-op) publish, and
+  returns — storage unchanged, no new paths, the file stream sees
+  nothing.
+
+A manifest, once written, is kept (tiny — one JSON per batch): it is
+the idempotency record that makes a late replay a no-op, exactly the
+role the txn log plays in Delta.  Layout compatibility: final files
+live under the same ``trade_date=D/batch_id=B/`` tree as
+``ParquetTradesSink``, so batch readers, the live-view schema, and
+partition pruning are unchanged.  Do NOT run the compactor on a
+partition a live file stream is still reading — compaction retires
+visible paths, which intentionally violates write-once (the
+compactor's own concurrent-reader caveat).
+
+At 100 TB: staging cost is the same parquet write the plain sink
+does; publish is O(files) metadata renames (on object stores, the
+same single-object copy+delete every manifest-commit protocol pays);
+the manifest is KBs.  Micro-batches are 1 s flushes, so per-batch
+file counts are small by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from currency_market_pulse_spark.streaming.importer import Sink
+
+_TXN_DIR = "_txn"
+_STAGED_DIR = "_staged"
+
+
+@dataclass
+class TxnParquetTradesSink(Sink):
+    """Date-partitioned parquet with manifest-committed write-once
+    publication; see the module docstring for the protocol."""
+
+    path: str
+
+    # -- path helpers -------------------------------------------------
+    def _manifest(self, batch_id: int) -> str:
+        return os.path.join(self.path, _TXN_DIR, f"batch={batch_id}.json")
+
+    def _staged(self, batch_id: int) -> str:
+        return os.path.join(self.path, _STAGED_DIR, f"batch={batch_id}")
+
+    # -- protocol -----------------------------------------------------
+    def write(self, batch: DataFrame, batch_id: int) -> None:
+        manifest = self._manifest(batch_id)
+        staged = self._staged(batch_id)
+        if os.path.exists(manifest):
+            # already committed (crash after step 2): roll FORWARD from
+            # the recorded manifest; never regenerate data.
+            self._publish(batch_id)
+            return
+        # uncommitted leftovers from a crashed attempt were never
+        # visible; replace them wholesale (mode=overwrite does this,
+        # rmtree keeps even an aborted empty dir from surviving)
+        shutil.rmtree(staged, ignore_errors=True)
+        (batch
+         .withColumn("trade_date", F.to_date("time_placed"))
+         .sortWithinPartitions("time_placed")
+         .write.mode("overwrite")
+         .partitionBy("trade_date")
+         .parquet(staged))
+
+        pairs: list[list[str]] = []
+        counters: dict[str, int] = {}
+        for root, _dirs, names in sorted(os.walk(staged)):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, staged)
+                date_dir = "" if rel_dir == "." else rel_dir
+                k = counters.get(date_dir, 0)
+                counters[date_dir] = k + 1
+                staged_rel = os.path.join(
+                    _STAGED_DIR, f"batch={batch_id}",
+                    date_dir, name).replace("\\", "/")
+                final_rel = os.path.join(
+                    date_dir, f"batch_id={batch_id}",
+                    f"txn-{k}.parquet").replace("\\", "/")
+                pairs.append([staged_rel, final_rel])
+
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id), "files": pairs}, f)
+        os.replace(tmp, manifest)   # <-- the commit point
+        self._publish(batch_id)
+
+    def _publish(self, batch_id: int) -> None:
+        """Step 3+4: idempotent, roll-forward-able file publication."""
+        with open(self._manifest(batch_id)) as f:
+            recorded = json.load(f)
+        for staged_rel, final_rel in recorded["files"]:
+            dst = os.path.join(self.path, final_rel)
+            if os.path.exists(dst):
+                continue               # this file already published
+            src = os.path.join(self.path, staged_rel)
+            if not os.path.exists(src):
+                raise IOError(
+                    f"txn sink invariant broken for batch {batch_id}: "
+                    f"{final_rel} is unpublished but its staged source "
+                    f"{staged_rel} is gone — manual intervention needed")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)       # atomic per file
+        shutil.rmtree(self._staged(batch_id), ignore_errors=True)
+
+    # -- introspection (tests / ops) -----------------------------------
+    def committed_batches(self) -> list[int]:
+        txn = os.path.join(self.path, _TXN_DIR)
+        if not os.path.isdir(txn):
+            return []
+        out = []
+        for name in os.listdir(txn):
+            if name.startswith("batch=") and name.endswith(".json"):
+                out.append(int(name[len("batch="):-len(".json")]))
+        return sorted(out)
+
+    def visible_files(self) -> list[str]:
+        """Relative paths of every reader-visible parquet file."""
+        out = []
+        for root, dirs, names in os.walk(self.path):
+            # prune control dirs exactly the way Spark's listing does
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in names:
+                if name.endswith(".parquet"):
+                    out.append(os.path.relpath(
+                        os.path.join(root, name), self.path))
+        return sorted(out)

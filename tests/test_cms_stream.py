@@ -79,3 +79,41 @@ def test_replayed_batch_does_not_double_count(spark, tmp_path):
     after = {(r.row, r.bucket): r.cnt
              for r in hh.merged_sketch(spark).collect()}
     assert before == after
+
+
+def test_custom_geometry_threads_through(spark, tmp_path):
+    """A non-default rows x width geometry is used end-to-end: the
+    standing sketch matches the batch CMS at the SAME geometry, and
+    estimates still never undercount."""
+    hh = StreamingHeavyHitters(
+        sketch_path=str(tmp_path / "sketch"),
+        cand_path=str(tmp_path / "cand"), rows=3, width=64)
+    b0 = spark.createDataFrame([(1, "x y z x x y")],
+                               "doc_id long, text string")
+    hh.process_batch(b0, 0)
+    batch_cells = {(r.row, r.bucket): r.cnt
+                   for r in X.cms_sketch(b0, 3, 64).collect()}
+    merged = {(r.row, r.bucket): r.cnt
+              for r in hh.merged_sketch(spark).collect()}
+    assert merged == batch_cells
+    assert max(r.row for r in hh.merged_sketch(spark).collect()) == 2
+    top = {r.tok: r.est for r in hh.heavy_hitters(spark).collect()}
+    assert top.get("x", 0) >= 3
+
+
+def test_geometry_mismatch_refused(spark, tmp_path):
+    """A handler with a re-tuned geometry must REFUSE a standing store
+    built under the old one instead of silently mixing cells."""
+    import pytest
+
+    hh = StreamingHeavyHitters(
+        sketch_path=str(tmp_path / "sketch"),
+        cand_path=str(tmp_path / "cand"), rows=4, width=512)
+    hh.process_batch(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        0)
+    retuned = StreamingHeavyHitters(
+        sketch_path=str(tmp_path / "sketch"),
+        cand_path=str(tmp_path / "cand"), rows=4, width=1024)
+    with pytest.raises(ValueError, match="geometry"):
+        retuned.merged_sketch(spark)

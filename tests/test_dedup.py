@@ -567,3 +567,24 @@ def test_substring_removal_plan_rolling_matches_merge_semantics(spark):
     assert set(rows) == {1}
     assert D.SPAN_CHARS <= rows[1].removed_chars <= len(run)
     assert rows[1].kept_chars == len(run) + 41 - rows[1].removed_chars
+
+
+def test_substring_removal_plan_rolling_honors_id_col(spark):
+    """ADVICE r7: the rolling twin previously hardcoded doc_id and
+    threw on a custom id_col; both twins must honor it identically."""
+    run = "".join(chr(97 + (i * 7) % 26) + str((i * i) % 10)
+                  for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, "x" * 37 + run + "z" * 13),
+         (1, run + "y" * 41),
+         (2, "tiny")],
+        "doc_id long, text string")
+    renamed = docs.withColumnRenamed("doc_id", "page_id")
+    base = {r.doc_id: (r.n_spans, r.removed_chars, r.kept_chars)
+            for r in D.substring_removal_plan_rolling(docs).collect()}
+    custom_df = D.substring_removal_plan_rolling(renamed,
+                                                 id_col="page_id")
+    assert "page_id" in custom_df.columns
+    custom = {r.page_id: (r.n_spans, r.removed_chars, r.kept_chars)
+              for r in custom_df.collect()}
+    assert base == custom

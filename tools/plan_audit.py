@@ -102,6 +102,11 @@ EXPECTATIONS = {
         ("no bit explode (the only Generates are token explodes)",
          r"^(?!(.|\n)*explode\(sequence)(.|\n)*$"),
     ],
+    "dedup_simhash_bucket16": [
+        ("vote agg partially combined", r"partial_sum"),
+        ("no bit explode (the only Generates are token explodes)",
+         r"^(?!(.|\n)*explode\(sequence)(.|\n)*$"),
+    ],
     "sim_topk_numpy": [
         # round-3 de-collect: cogrouped BLAS kernel, queries replicated
         # per block by a broadcast range join — no driver collect
@@ -300,7 +305,14 @@ EXPECTATIONS.update({
         # never per-position joins (the first cut's three word-joins
         # rebuilt the eval bitmap aggregation once per join)
         ("bitmap probe is an Arrow filter", r"ArrowEvalPython"),
-        ("verify survivors broadcast", r"BroadcastHashJoin"),
+        # the verify-join strategy is AQE's call since r8 (ADVICE r7:
+        # false-positive survivor mass scales with the TRAIN side, so
+        # the survivors must not be FORCED broadcast); at fixture
+        # scale Catalyst's size estimate still picks broadcast, which
+        # is the correct small-relation outcome — assert it is a
+        # plain join either way, not a nested-loop product
+        ("verify join is hash-based (strategy AQE-chosen)",
+         r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"),
         # the bit_or bitmap aggregation runs ONCE, eagerly, at filter
         # build time (driver-collected, offline-index posture) — the
         # search plan itself must not rebuild it at all (the first
@@ -338,6 +350,11 @@ RUNTIME_EXPECTATIONS = {
          r"ReusedExchange"),
     ],
     "dedup_simhash": [
+        # banded variant: the (band, band_val) exploded relation is
+        # shuffled once and both self-join sides read that exchange
+        ("band exchange reused across self-join", r"ReusedExchange"),
+    ],
+    "dedup_simhash_bucket16": [
         ("vote-agg exchange reused across signature self-join",
          r"ReusedExchange"),
     ],
@@ -368,10 +385,19 @@ def _fresh(op_name, **kw):
 
 #: plan-builder overrides: audit the uncached operator plan where the
 #: registered query serves from a persisted relation
+def _fresh_simhash_banded(spark, sf_dir):
+    from currency_market_pulse_spark.operators import dedup as D
+    from currency_market_pulse_spark.sources.catalog import load_table
+    sigs = D.simhash(load_table(spark, sf_dir, "documents"),
+                     bits=D.SIMHASH64_BITS)
+    return D.simhash_hamming_pairs(sigs, k=3, bits=D.SIMHASH64_BITS)
+
+
 FRESH_BUILDERS = {
     "dedup_ngram_jaccard": _fresh("ngram_jaccard_pairs", n=3, threshold=0.5),
     "dedup_minhash_lsh": _fresh("minhash_lsh_candidates"),
-    "dedup_simhash": _fresh("simhash_bucket_pairs"),
+    "dedup_simhash": _fresh_simhash_banded,
+    "dedup_simhash_bucket16": _fresh("simhash_bucket_pairs"),
     "dedup_containment": _fresh("containment_pairs", n=3, threshold=0.5),
 }
 
