@@ -100,7 +100,8 @@ def recover_partition(sink_path: str, trade_date: str) -> str:
 
 
 def compact_date_partition(spark: SparkSession, sink_path: str,
-                           trade_date: str, target_files: int = 4) -> int:
+                           trade_date: str, target_files: int = 4,
+                           force: bool = False) -> int:
     """Rewrite sink_path/trade_date=<date>/batch_id=*/ into
     sink_path/trade_date=<date>/batch_id=-1/ with ``target_files``
     time-sorted files.  Returns the row count compacted.
@@ -108,8 +109,21 @@ def compact_date_partition(spark: SparkSession, sink_path: str,
     batch_id=-1 marks compacted data: replayed streaming batches use
     real non-negative ids, so a late replay after compaction still
     lands in its own partition and supersedes nothing.
+
+    REFUSES write-once trees (VERDICT r8 directive 6): a ``_txn/``
+    manifest dir marks a TxnParquetTradesSink tree, whose exactly-once
+    live-view guarantee rests on visible paths never disappearing —
+    compaction retires them by design.  Pass ``force=True`` only when
+    every file-stream reader of this tree has been stopped and its
+    checkpoint discarded.
     """
     p = _paths(sink_path, trade_date)
+    if os.path.isdir(os.path.join(sink_path, "_txn")) and not force:
+        raise ValueError(
+            f"{sink_path} is a write-once (txn-sink) tree: compaction "
+            "retires visible paths, which breaks the live view's "
+            "exactly-once file stream.  Stop all file-stream readers "
+            "and pass force=True to compact anyway.")
     if not os.path.isdir(p["part"]):
         return 0
     recover_partition(sink_path, trade_date)

@@ -24,9 +24,12 @@ Delivery semantics: the import sink defaults to the WRITE-ONCE
 transactional sink (streaming/txn_sink.py — manifest-committed
 publication, every visible file immutable and added exactly once), so
 BOTH the storage AND the live view's file stream are exactly-once
-under crash-replay of the import query (r8, closing VERDICT r7
-directive 3; test_txn_sink.py proves the live view equals the batch
-result bit-for-bit across an injected mid-batch crash).  The
+under crash-replay of the import query (closing VERDICT r7
+directive 3; tests/test_txn_sink.py covers the full crash matrix —
+crash before the manifest commit, mid-publish with divergent replayed
+data, post-publish no-op — and proves a readStream.parquet live view
+running THROUGH an injected mid-publish crash-replay of the import
+query ends bit-for-bit equal to the batch result).  The
 pre-r8 gap, kept here for the record: with the plain overwrite sink
 (``txn_sink=False``) a replayed batch rewrites its partition with NEW
 file names, which a path-keyed file source treats as fresh input —

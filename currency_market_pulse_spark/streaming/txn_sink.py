@@ -62,10 +62,18 @@ visible paths, which intentionally violates write-once (the
 compactor's own concurrent-reader caveat).
 
 At 100 TB: staging cost is the same parquet write the plain sink
-does; publish is O(files) metadata renames (on object stores, the
-same single-object copy+delete every manifest-commit protocol pays);
-the manifest is KBs.  Micro-batches are 1 s flushes, so per-batch
-file counts are small by construction.
+does; publish is O(files) metadata renames; the manifest is KBs.
+Micro-batches are 1 s flushes, so per-batch file counts are small by
+construction.
+
+DURABILITY SCOPE (ADVICE r8): the commit point is ``os.replace`` on
+a local or shared POSIX filesystem — the manifest tmp file and the
+``_txn`` directory are fsynced around the rename so the commit
+survives power loss on such filesystems.  Object stores have no
+rename primitive at all: deploying there means re-expressing steps
+2-3 as PUT-manifest-then-PUT-finals with read-side manifest
+consultation (what Delta/Iceberg do); this module does NOT claim
+object-store durability.
 """
 
 from __future__ import annotations
@@ -137,9 +145,21 @@ class TxnParquetTradesSink(Sink):
 
         os.makedirs(os.path.dirname(manifest), exist_ok=True)
         tmp = manifest + ".tmp"
+        # fsync the payload BEFORE the rename and the directory AFTER
+        # (ADVICE r8): os.replace alone orders the rename against
+        # nothing — on power loss the manifest could surface empty or
+        # the rename itself could vanish.  POSIX-filesystem scope only
+        # (module docstring).
         with open(tmp, "w") as f:
             json.dump({"batch_id": int(batch_id), "files": pairs}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, manifest)   # <-- the commit point
+        dirfd = os.open(os.path.dirname(manifest), os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         self._publish(batch_id)
 
     def _publish(self, batch_id: int) -> None:
