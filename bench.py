@@ -115,13 +115,17 @@ def main() -> None:
 
     # Multi-run protocol (VERDICT r5 item 4): boot-to-boot variance on
     # this host is 15-25% (SCALE.md), so a single-run round-over-round
-    # delta under ~1 s is noise.  SPARK_GRAFT_BENCH_RUNS=N (default 1,
-    # the driver's budget) repeats the full timing pass N times in the
-    # SAME session and reports the per-query MEDIAN, with per-run
-    # totals + per-query min/max recorded in BENCH_QUERIES.json so
-    # future deltas can be read against the measured same-session
-    # spread instead of guessed.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    # delta under ~1 s is noise.  SPARK_GRAFT_BENCH_RUNS=N repeats the
+    # full timing pass N times in the SAME session and reports the
+    # per-query MEDIAN, with per-run totals + per-query min/max
+    # recorded in BENCH_QUERIES.json so future deltas can be read
+    # against the measured same-session spread instead of guessed.
+    # Default is 3 (VERDICT r8 directive 2: the artifact of record must
+    # be a median, not a single boot-noise sample; rounds 7 and 8 both
+    # shipped n_runs=1 because the env default was 1 and nothing set
+    # the variable — the protocol now applies unless explicitly
+    # overridden, e.g. SPARK_GRAFT_BENCH_RUNS=1 for a quick local look).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     per_run: list[dict[str, float]] = []
     for _ in range(n_runs):
         t: dict[str, float] = {}
@@ -167,6 +171,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "n_runs": n_runs,
         "index_build_sec": index_build["total"],
         "sf": sf,
     }))

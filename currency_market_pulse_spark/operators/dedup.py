@@ -389,6 +389,36 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS,
 #: 4.16M hamming-0 pairs from 50k docs — SCALE.md round 4).
 SIMHASH64_BITS = 60
 
+#: adaptive-band margin: band width >= ceil(log2(n)) + MARGIN keeps
+#: the EXPECTED band-collision candidate mass n^2/2^width per band
+#: at most n/2^MARGIN — sublinear in the corpus size.
+SIMHASH_BAND_MARGIN = 2
+
+
+def adaptive_simhash_bands(n_docs: int, bits: int = SIMHASH64_BITS,
+                           max_k: int = 3,
+                           margin: int = SIMHASH_BAND_MARGIN) -> int:
+    """Corpus-adaptive band count for ``simhash_hamming_pairs``
+    (VERDICT r8 directive 5, the `dedup_embedding_cells` coarse_k
+    precedent): returns n_bands = k+1.
+
+    Fixed 15-bit bands make the per-band candidate mass grow as
+    n^2/2^15 — quadratic once n outgrows ~2^15.  The rule WIDENS
+    bands (and therefore SHRINKS the recall-complete hamming radius
+    k = n_bands-1) as the corpus grows: band width w = bits//n_bands
+    must satisfy w >= ceil(log2(n)) + margin, so expected collisions
+    per band stay <= n/2^margin — linear-class at any n.  At the
+    fixture scales (n <= 8192) this returns max_k+1 = 4 bands of 15
+    bits — identical to the pre-r9 fixed geometry; at 50k docs it
+    returns 3 bands (k=2, 20-bit bands), at 10^9 docs 1 band (k=0,
+    the exact 60-bit signature join).  Shrinking radius with corpus
+    size is the standard sketch trade (the SIMHASH_BITS=16 saturation
+    note above is the measured failure of NOT doing this)."""
+    import math
+
+    w_req = max(1, math.ceil(math.log2(max(2, n_docs))) + margin)
+    return max(1, min(max_k + 1, bits // w_req))
+
 
 def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
                           bits: int = SIMHASH64_BITS,
@@ -405,8 +435,17 @@ def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
 
     Input is a (id, simhash) relation — compose with
     ``simhash(bits=SIMHASH64_BITS)``; share/persist the signature
-    relation across consumers as in queries/dedup.py."""
+    relation across consumers as in queries/dedup.py.  Pick ``k``
+    with ``adaptive_simhash_bands`` (k = n_bands-1) so the band
+    width tracks log2(corpus size) and candidate mass stays linear."""
     n_bands = k + 1
+    if bits % n_bands:
+        # uneven bands would leave the top bits outside every band —
+        # pairs differing only there would be silently missed,
+        # breaking the pigeonhole recall-completeness guarantee
+        raise ValueError(
+            f"bits={bits} not divisible by k+1={n_bands}: bands must "
+            f"partition the signature exactly")
     width = bits // n_bands
     mask = (1 << width) - 1
     band_structs = F.array(*[

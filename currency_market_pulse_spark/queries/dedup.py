@@ -290,15 +290,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash60_oracle() -> str:
     """60-bit banded hamming-k twin: same vote math as the 16-bit
     oracle at SIMHASH64_BITS, then the SAME pigeonhole banding the
-    Spark side uses (k+1 bands of 15 bits) — banding is recall-complete
-    for hamming <= k, so mirroring it keeps the oracle exact while
-    staying feasible at large SF (a brute-force oracle is quadratic;
-    the pigeonhole equality itself is proven brute-force in
-    tests/test_dedup.py at fixture scale)."""
-    k, bits = 3, D.SIMHASH64_BITS
-    width = bits // (k + 1)
-    mask = (1 << width) - 1
-    bands_vals = ", ".join(f"({b})" for b in range(k + 1))
+    Spark side uses — banding is recall-complete for hamming <= k, so
+    mirroring it keeps the oracle exact while staying feasible at
+    large SF (a brute-force oracle is quadratic; the pigeonhole
+    equality itself is proven brute-force in tests/test_dedup.py at
+    fixture scale).
+
+    The band geometry is CORPUS-ADAPTIVE (VERDICT r8 directive 5,
+    the coarse_k scalar-subquery precedent): n_bands =
+    min(4, max(1, bits // (ceil(log2(n)) + margin))) computed from
+    count(sims) inside the query, exactly
+    operators/dedup.py:adaptive_simhash_bands — band width tracks
+    log2(n) so the per-band candidate mass n^2/2^width stays
+    <= n/2^margin at any corpus size, and the search radius
+    k = n_bands-1 shrinks accordingly (4x15-bit bands / k=3 at
+    fixture scale, 3x20 / k=2 at 50k docs, 1x60 / k=0 at 10^9)."""
+    bits = D.SIMHASH64_BITS
+    max_bands = 4                       # max_k + 1
+    margin = D.SIMHASH_BAND_MARGIN
     return f"""
 WITH {_TOKS}, {_DTOK},
 hashed AS (SELECT doc_id,
@@ -308,18 +317,28 @@ votes AS (
          CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
   FROM hashed, (SELECT unnest(range(0, {bits})) AS bit) bits
   GROUP BY doc_id, bit),
-sims AS (
+sims AS MATERIALIZED (
   SELECT doc_id,
          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id),
+geom AS MATERIALIZED (
+  SELECT n_bands, {bits} // n_bands AS width FROM (
+    SELECT least({max_bands}, greatest(1,
+           {bits} // (CAST(ceil(log2(greatest(2, n))) AS BIGINT)
+                      + {margin}))) AS n_bands
+    FROM (SELECT count(*) AS n FROM sims))),
 bands AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * {width})) & {mask} AS band_val
-  FROM sims, (VALUES {bands_vals}) b(band))
+  SELECT doc_id, simhash, band,
+         (simhash >> CAST(band * width AS INTEGER))
+           & ((CAST(1 AS BIGINT) << width) - 1) AS band_val
+  FROM sims, (SELECT unnest(range(0, {max_bands})) AS band) bl, geom
+  WHERE band < n_bands)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+WHERE bit_count(xor(a.simhash, b.simhash))
+      <= (SELECT n_bands - 1 FROM geom)
 """
 
 
@@ -336,12 +355,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs within radius k without an all-pairs join (recall-complete,
     proven vs brute force in tests/test_dedup.py).  The saturating
     16-bit variant survives as library-tier
-    ``dedup_simhash_bucket16`` for the saturation regression test."""
+    ``dedup_simhash_bucket16`` for the saturation regression test.
+
+    Band geometry is CORPUS-ADAPTIVE since r9 (VERDICT r8 directive
+    5): ``adaptive_simhash_bands`` widens bands (and shrinks the
+    radius) with log2(n) so per-band candidate mass stays
+    <= n/2^margin — linear-class at 10^9 docs, where the fixed 15-bit
+    bands' n^2/2^15 collision term would go quadratic.  The count
+    driving the rule is over the persisted signature relation (one
+    cheap action on cached data); the oracle computes the identical
+    rule from count(sims) in SQL."""
     sigs = _shared_derived(
         spark, sf_dir, "simhash60_sigs",
         lambda toks: D.simhash(None, bits=D.SIMHASH64_BITS,
                                tokens_df=toks))
-    return D.simhash_hamming_pairs(sigs, k=3, bits=D.SIMHASH64_BITS)
+    n_bands = D.adaptive_simhash_bands(sigs.count())
+    return D.simhash_hamming_pairs(sigs, k=n_bands - 1,
+                                   bits=D.SIMHASH64_BITS)
 
 
 @extra_query(

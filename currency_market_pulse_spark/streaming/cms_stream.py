@@ -88,16 +88,24 @@ class StreamingHeavyHitters:
         except AnalysisException:
             return spark.createDataFrame([], _SKETCH_SCHEMA) \
                 .select("row", "bucket", "cnt")
-        geoms = [(g["n_rows"], g["width"])
+        # Stores written before geometry recording (pre-r8) read back
+        # with NULL n_rows/width under the explicit schema; every such
+        # store was hashed at the then-only module defaults, so NULL
+        # means (X.CMS_ROWS, X.CMS_WIDTH) — refusing it would brick
+        # working stores with a confusing '(None, None)' (ADVICE r8).
+        geoms = [((g["n_rows"] if g["n_rows"] is not None else X.CMS_ROWS),
+                  (g["width"] if g["width"] is not None else X.CMS_WIDTH))
                  for g in raw.select("n_rows", "width").distinct()
                  .collect()]
-        bad = [g for g in geoms if g != (self.rows, self.width)]
+        bad = sorted(set(g for g in geoms if g != (self.rows, self.width)))
         if bad:
             raise ValueError(
                 f"standing sketch at {self.sketch_path} holds geometry "
                 f"{bad} but this handler is {(self.rows, self.width)}; "
                 f"cells from different geometries cannot be merged — "
-                f"rebuild the store under the new geometry")
+                f"rebuild the store under the new geometry (NULL "
+                f"recorded geometry counts as the pre-recording "
+                f"defaults {(X.CMS_ROWS, X.CMS_WIDTH)})")
         return (raw.groupBy("row", "bucket")
                 .agg(F.sum("cnt").alias("cnt")))
 

@@ -117,3 +117,40 @@ def test_geometry_mismatch_refused(spark, tmp_path):
         cand_path=str(tmp_path / "cand"), rows=4, width=1024)
     with pytest.raises(ValueError, match="geometry"):
         retuned.merged_sketch(spark)
+
+
+def test_legacy_store_without_recorded_geometry_still_merges(
+        spark, tmp_path):
+    """A standing store written BEFORE geometry recording (pre-r8: no
+    n_rows/width columns) reads back NULL under the explicit schema.
+    NULL means 'built at the then-only module defaults' — a
+    default-geometry handler must merge it (ADVICE r8: refusing bricks
+    every existing store), while a re-tuned handler still refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    hh = _handler(tmp_path)
+    b0 = spark.createDataFrame([(1, "x y z x")],
+                               "doc_id long, text string")
+    # legacy write: exactly what the pre-r8 handler persisted
+    (X.cms_sketch(b0)
+     .withColumn("batch_id", F.lit(0).cast("bigint"))
+     .write.mode("overwrite").partitionBy("batch_id")
+     .parquet(hh.sketch_path))
+
+    merged = {(r.row, r.bucket): r.cnt
+              for r in hh.merged_sketch(spark).collect()}
+    batch_cells = {(r.row, r.bucket): r.cnt
+                   for r in X.cms_sketch(b0).collect()}
+    assert merged == batch_cells
+
+    # ...and a new-geometry batch on top still merges (defaults match)
+    hh.process_batch(
+        spark.createDataFrame([(2, "x q")], "doc_id long, text string"), 1)
+    assert hh.merged_sketch(spark).count() > 0
+
+    retuned = StreamingHeavyHitters(
+        sketch_path=hh.sketch_path, cand_path=hh.cand_path,
+        rows=X.CMS_ROWS, width=X.CMS_WIDTH * 2)
+    with pytest.raises(ValueError, match="pre-recording"):
+        retuned.merged_sketch(spark)

@@ -212,6 +212,53 @@ def test_simhash_hamming_banding_is_recall_complete(spark):
     assert brute, "fixture produced no hamming<=k pairs; test is vacuous"
 
 
+def test_adaptive_simhash_bands_rule():
+    """Corpus-adaptive band count (VERDICT r8 directive 5): band width
+    bits/n_bands must stay >= ceil(log2(n)) + margin so per-band
+    collision mass n^2/2^width <= n/2^margin, and the count is
+    monotonically non-increasing in n (wider bands / smaller radius
+    as the corpus grows)."""
+    import math
+
+    from currency_market_pulse_spark.operators.dedup import (
+        SIMHASH64_BITS, SIMHASH_BAND_MARGIN, adaptive_simhash_bands,
+    )
+
+    # fixture scales: identical to the pre-r9 fixed geometry
+    assert adaptive_simhash_bands(500) == 4          # sf0.01, k=3
+    assert adaptive_simhash_bands(5_000) == 4        # sf0.1
+    assert adaptive_simhash_bands(8_192) == 4        # boundary: 13+2=15
+    # the regimes the rule exists for
+    assert adaptive_simhash_bands(50_000) == 3       # sf1, k=2, 20-bit
+    assert adaptive_simhash_bands(500_000) == 2      # sf10, k=1, 30-bit
+    assert adaptive_simhash_bands(10**9) == 1        # k=0, exact join
+
+    prev = None
+    for n in [2, 10, 10**3, 10**4, 10**5, 10**6, 10**8, 10**10, 10**12]:
+        nb = adaptive_simhash_bands(n)
+        w = SIMHASH64_BITS // nb
+        assert SIMHASH64_BITS % nb == 0              # bands partition bits
+        if nb < 4:   # uncapped regime: the width bound must hold
+            assert w >= math.ceil(math.log2(n)) + SIMHASH_BAND_MARGIN
+        assert prev is None or nb <= prev
+        prev = nb
+
+
+def test_hamming_pairs_rejects_uneven_bands(spark):
+    """bits not divisible by k+1 would leave top bits outside every
+    band — silently incomplete recall; must refuse instead."""
+    import pytest
+    from pyspark.sql import Row
+
+    from currency_market_pulse_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    sigs = spark.createDataFrame([Row(doc_id=1, simhash=7)])
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_hamming_pairs(sigs, k=6, bits=60)  # 60 % 7 != 0
+
+
 def test_cross_corpus_incremental_dedup(spark):
     """A 'new batch' doc that near-duplicates a corpus doc is caught by
     band probe + exact verify; batch-internal duplicates are NOT

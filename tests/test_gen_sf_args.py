@@ -20,6 +20,14 @@ def test_numeric_dst_rejected():
         parse_args(["/root/testdata/sf0.1", "10"])
 
 
+@pytest.mark.parametrize("dst", ["./10", "testdata_gen/10", "/tmp/x/7/"])
+def test_path_prefixed_numeric_dst_rejected(dst):
+    """ADVICE r8: the same slip with a path prefix must not slip
+    through the bare-digit check."""
+    with pytest.raises(SystemExit):
+        parse_args(["/root/testdata/sf0.1", dst, "2"])
+
+
 def test_missing_src_rejected(tmp_path):
     with pytest.raises(SystemExit):
         parse_args([str(tmp_path / "nope"), str(tmp_path / "out"), "2"])

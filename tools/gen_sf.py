@@ -145,7 +145,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     # Guard against the positional-arg slip `gen_sf.py SRC 10` that once
     # created a stray ./10 output dir: a bare integer is never a real
     # destination, it is almost certainly a misplaced replica count.
-    if args.dst.strip(os.sep).isdigit():
+    # basename check too (ADVICE r8): './10' or 'testdata_gen/10'
+    # from a misplaced count with an explicit dst are the same slip.
+    if (args.dst.strip(os.sep).isdigit()
+            or os.path.basename(args.dst.rstrip(os.sep)).isdigit()):
         p.error(f"dst {args.dst!r} looks like a replica count — usage is "
                 f"`gen_sf.py [src] [dst] [replicas]` (three positionals)")
     if not os.path.isdir(args.src):
