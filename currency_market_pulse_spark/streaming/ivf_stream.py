@@ -1,0 +1,247 @@
+"""Streaming IVF index maintenance (VERDICT r8 directive 4 / r7
+directive 5): keep a TRAINED coarse quantizer serving under recurring
+vector ingest.
+
+A FAISS-style IVF index is two relations (queries/ivf.py
+_shared_coarse): the trained centroids (k rows) and the posting
+assignment (vec_id, cell, dist).  Training is offline and occasional;
+ingest is continuous — so the streaming half must (a) extend the
+posting relation per micro-batch WITHOUT retraining, and (b) know when
+the frozen centroids have drifted far enough from the live corpus that
+search quality degrades and a retrain is due.
+
+Per micro-batch of (vec_id, embedding) rows, the handler:
+
+1. appends the raw vectors to the standing vector store (the corpus a
+   retrain will read), batch-id idempotent;
+2. assigns each new vector to its nearest TRAINED cell — broadcast of
+   the k-row centroid relation into the same BLAS argmin kernel the
+   batch index build uses (operators/kmeans.py assign_cells_blas), so
+   stream-assigned postings are bit-identical to what a batch rebuild
+   at the same centroids would produce (tests/test_ivf_stream.py pins
+   stream == batch on the full index);
+3. appends the (vec_id, cell, dist) postings, batch-id idempotent.
+
+Idempotency contract (the importer / neardup_stream batch-id
+discipline): every write lands under batch_id=<id> with dynamic
+partition overwrite, so a crash-replayed batch REPLACES its prior
+contribution.  Training-time relations live under batch_id=-1 (the
+compaction module's "not a stream batch" convention).
+
+RETRAIN TRIGGER (the documented drift gate): ``needs_retrain`` flags
+when either
+
+- **occupancy skew**: max cell posting count > ``skew_limit`` x the
+  ideal n/k — new content concentrating into few frozen cells makes
+  those cells scan-heavy (IVF probe cost is the size of the probed
+  cells, so a hot cell degrades search toward brute force); or
+- **assignment-distance growth**: mean nearest-centroid distance of
+  STREAMED vectors > ``dist_growth_limit`` x the training-time mean —
+  new vectors far from every frozen centroid mean the quantizer no
+  longer tessellates the live distribution (recall decays because
+  true neighbors straddle cell boundaries).
+
+Both metrics come from the posting relation alone (counts and an avg —
+no vector reads).  A silhouette recheck (queries/ivf.py
+sim_kmeans_silhouette) is the heavier confirmatory gate a deployment
+can schedule on flag, not per batch.
+
+``retrain`` rebuilds from the standing vector store: corpus-adaptive
+k (queries/ivf.py coarse_k — cells stay ~250 rows as the corpus
+grows), fresh Lloyd chain, centroids + full posting rewrite under
+batch_id=-1, streamed posting partitions retired.  Like compaction,
+retrain MUST run with the ingest query stopped and its checkpoint
+quiescent: a batch replayed across a retrain would re-append postings
+the rewrite already covers (same reader/writer caveat the compactor
+documents — compaction.py).
+
+At 100 TB: per-batch cost is one broadcast (k centroids) + one
+narrow 3-column append — no shuffle of the standing index, no vector
+re-reads; drift metrics aggregate the posting relation (3 narrow
+columns); retrain is the one full-corpus job, and the gate exists
+precisely so it runs on evidence instead of on a timer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from currency_market_pulse_spark.operators.kmeans import (
+    assign_cells_blas, kmeans_fit,
+)
+
+_VECTORS_SCHEMA = "vec_id bigint, embedding array<double>, batch_id bigint"
+_ASSIGN_SCHEMA = "vec_id bigint, cell int, dist double, batch_id bigint"
+_CENTROID_SCHEMA = "cell int, centroid array<double>"
+
+#: batch_id for training-time (non-stream) writes — the compaction
+#: module's convention for "not a replayable stream batch".
+TRAIN_BATCH_ID = -1
+
+
+@dataclass
+class StreamingIVFIndex:
+    """foreachBatch handler maintaining a trained IVF coarse index.
+
+    ``train`` once (offline), ``attach`` to a (vec_id, embedding)
+    stream, ``needs_retrain`` as the scheduled drift gate,
+    ``retrain`` (stream stopped) when it fires."""
+
+    centroids_path: str
+    assign_path: str
+    vectors_path: str
+    #: occupancy-skew gate: hottest cell vs ideal n/k
+    skew_limit: float = 4.0
+    #: distance-growth gate: streamed mean dist vs training mean dist
+    dist_growth_limit: float = 1.5
+
+    # -- offline training ---------------------------------------------
+    def train(self, emb: DataFrame, k: int | None = None,
+              n_iter: int = 2) -> None:
+        """Fit the coarse quantizer on ``emb`` (vec_id, embedding) and
+        write all three standing relations.  k defaults to the
+        corpus-adaptive coarse_k rule."""
+        if k is None:
+            from currency_market_pulse_spark.queries.ivf import coarse_k
+            k = coarse_k(emb.count())
+        centroids, assigned = kmeans_fit(emb, k=k, n_iter=n_iter)
+        (centroids.select("cell", "centroid")
+         .write.mode("overwrite").parquet(self.centroids_path))
+        self._write_partition(
+            emb.select("vec_id", "embedding"), self.vectors_path,
+            TRAIN_BATCH_ID)
+        self._write_partition(
+            assigned.select("vec_id", "cell", "dist"), self.assign_path,
+            TRAIN_BATCH_ID)
+
+    # -- streaming maintenance ----------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        centroids = spark.read.schema(_CENTROID_SCHEMA).parquet(
+            self.centroids_path)
+        vecs = batch.select(
+            "vec_id",
+            F.transform("embedding",
+                        lambda x: x.cast("double")).alias("embedding"))
+        self._write_partition(vecs, self.vectors_path, batch_id)
+        assigned = assign_cells_blas(vecs, centroids)
+        self._write_partition(
+            assigned.select("vec_id", "cell", "dist"), self.assign_path,
+            batch_id)
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str,
+               trigger: str | None = None):
+        """Wire onto a streaming DataFrame of (vec_id, embedding)."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .outputMode("update"))
+        if trigger:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()
+
+    # -- reads ---------------------------------------------------------
+    def read_centroids(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(_CENTROID_SCHEMA).parquet(
+            self.centroids_path)
+
+    def read_assignments(self, spark: SparkSession) -> DataFrame:
+        """The full posting relation (training + streamed)."""
+        try:
+            return spark.read.schema(_ASSIGN_SCHEMA).parquet(
+                self.assign_path)
+        except AnalysisException:
+            return spark.createDataFrame([], _ASSIGN_SCHEMA)
+
+    def read_vectors(self, spark: SparkSession) -> DataFrame:
+        return (spark.read.schema(_VECTORS_SCHEMA)
+                .parquet(self.vectors_path)
+                .select("vec_id", "embedding"))
+
+    # -- drift gate ----------------------------------------------------
+    def drift_report(self, spark: SparkSession) -> dict:
+        """One aggregation pass over the posting relation:
+        {n_total, n_streamed, k, max_cell, skew, train_mean_dist,
+        stream_mean_dist, dist_growth}."""
+        a = self.read_assignments(spark)
+        k = self.read_centroids(spark).count()
+        streamed = F.col("batch_id") != TRAIN_BATCH_ID
+        row = a.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(streamed, 1).otherwise(0)).alias("n_streamed"),
+            F.avg(F.when(~streamed, F.col("dist"))).alias("train_mean"),
+            F.avg(F.when(streamed, F.col("dist"))).alias("stream_mean"),
+        ).collect()[0]
+        max_cell = (a.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.max("n")).collect()[0][0]) or 0
+        n_total = row["n_total"] or 0
+        ideal = n_total / max(1, k)
+        skew = (max_cell / ideal) if ideal else 0.0
+        growth = ((row["stream_mean"] / row["train_mean"])
+                  if row["train_mean"] and row["stream_mean"] is not None
+                  else 0.0)
+        return {"n_total": n_total,
+                "n_streamed": int(row["n_streamed"] or 0),
+                "k": k, "max_cell": int(max_cell),
+                "skew": round(float(skew), 4),
+                "train_mean_dist": row["train_mean"],
+                "stream_mean_dist": row["stream_mean"],
+                "dist_growth": round(float(growth), 4)}
+
+    def needs_retrain(self, spark: SparkSession) -> tuple[bool, list[str]]:
+        """The documented retrain trigger: (flag, reasons)."""
+        r = self.drift_report(spark)
+        reasons = []
+        if r["skew"] > self.skew_limit:
+            reasons.append(
+                f"occupancy skew {r['skew']:.2f} > {self.skew_limit} "
+                f"(hottest cell {r['max_cell']} of {r['n_total']} across "
+                f"k={r['k']})")
+        if r["dist_growth"] > self.dist_growth_limit:
+            reasons.append(
+                f"assignment-distance growth {r['dist_growth']:.2f} > "
+                f"{self.dist_growth_limit} (streamed vectors no longer "
+                f"near any trained centroid)")
+        return (bool(reasons), reasons)
+
+    # -- retrain -------------------------------------------------------
+    def retrain(self, spark: SparkSession, k: int | None = None,
+                n_iter: int = 2) -> int:
+        """Full rebuild from the standing vector store.  MUST run with
+        the ingest query stopped and checkpoint-quiescent (module
+        docstring).  Returns the new k."""
+        import os
+        import shutil
+
+        emb = self.read_vectors(spark)
+        if k is None:
+            from currency_market_pulse_spark.queries.ivf import coarse_k
+            k = coarse_k(emb.count())
+        centroids, assigned = kmeans_fit(emb, k=k, n_iter=n_iter)
+        # new centroids first (k rows, atomic enough for a stopped
+        # stream), then the posting rewrite under the training id,
+        # then retire the streamed posting partitions the rewrite
+        # superseded — the vector store is untouched (it IS the corpus)
+        (centroids.select("cell", "centroid")
+         .write.mode("overwrite").parquet(self.centroids_path))
+        self._write_partition(
+            assigned.select("vec_id", "cell", "dist"), self.assign_path,
+            TRAIN_BATCH_ID)
+        for name in os.listdir(self.assign_path):
+            if (name.startswith("batch_id=")
+                    and name != f"batch_id={TRAIN_BATCH_ID}"):
+                shutil.rmtree(os.path.join(self.assign_path, name),
+                              ignore_errors=True)
+        return k
+
+    # -- internals -----------------------------------------------------
+    @staticmethod
+    def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
+        (df.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(path))
