@@ -76,6 +76,50 @@ def pq_fit(emb: DataFrame, m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
     return codebooks, codes
 
 
+def pq_encode(emb: DataFrame, codebooks: list[DataFrame],
+              m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors against FROZEN codebooks: (id, c0..c{m-1}),
+    nearest codeword per subspace (BLAS argmin, ties to lowest cell —
+    identical to the training-time assignment, so an append batch's
+    codes are bit-equal to what a full re-encode would produce).
+
+    This is the maintenance path an IVF-PQ deployment runs on ingest
+    (streaming/ivf_stream.py): training is occasional, encoding is
+    continuous.  Cost: m broadcast codebooks (k rows each) against one
+    scan of the batch — no shuffle, no training."""
+    from currency_market_pulse_spark.operators.kmeans import (
+        assign_cells_blas,
+    )
+
+    codes: DataFrame | None = None
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col))
+        part = (assign_cells_blas(sub, codebooks[s], id_col, vec_col)
+                .select(F.col(id_col), F.col("cell").alias(f"c{s}")))
+        codes = part if codes is None else codes.join(part, id_col)
+    return codes
+
+
+def residuals(emb: DataFrame, assigned: DataFrame, centroids: DataFrame,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, residual-as-vec_col): vector minus its assigned
+    coarse centroid — the relation PQ encodes under IVF-PQ (residuals
+    concentrate near zero; see ivfpq_topk step 2).  Broadcast join on
+    the k-row centroid relation; shared by the batch ivfpq_fit and the
+    streaming encode path."""
+    return (emb.join(assigned.select(id_col, "cell"), id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(F.col(id_col), F.col("cell"),
+                    F.zip_with(F.col(vec_col), F.col("centroid"),
+                               lambda x, y: x.cast("double") - y)
+                    .alias(vec_col)))
+
+
 def ivfpq_fit(emb: DataFrame,
               coarse_k: int = 8, coarse_iter: int = 2,
               m: int = PQ_M, sub_dim: int = PQ_SUB_DIM,
@@ -91,14 +135,9 @@ def ivfpq_fit(emb: DataFrame,
     cents_c, assigned_c = (coarse if coarse is not None
                            else kmeans_fit(emb, coarse_k, coarse_iter,
                                            id_col, vec_col))
-    res = (emb.join(assigned_c.select(id_col, "cell"), id_col)
-           .join(F.broadcast(cents_c), "cell")
-           .select(F.col(id_col), F.col("cell"),
-                   F.zip_with(F.col(vec_col), F.col("centroid"),
-                              lambda x, y: x.cast("double") - y)
-                   .alias("_res")))
+    res = residuals(emb, assigned_c, cents_c, id_col, vec_col)
     codebooks, codes = pq_fit(
-        res.select(id_col, F.col("_res").alias(vec_col)),
+        res.select(id_col, vec_col),
         m, sub_dim, k, n_iter, id_col, vec_col)
     members = codes.join(assigned_c.select(id_col, "cell"), id_col)
     return cents_c, codebooks, members

@@ -245,3 +245,144 @@ class StreamingIVFIndex:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id")
          .parquet(path))
+
+
+@dataclass
+class StreamingIVFPQIndex(StreamingIVFIndex):
+    """The full IVF-PQ index under recurring ingest: the coarse
+    maintenance above PLUS residual PQ codes per micro-batch.
+
+    Training persists the per-subspace codebooks alongside the coarse
+    relations; each micro-batch then (a) coarse-assigns as the parent
+    does and (b) encodes the batch's RESIDUALS against the FROZEN
+    codebooks (operators/pq.py pq_encode — m broadcast codebooks, no
+    shuffle, no training), appending (vec_id, c0..c{m-1}) codes
+    batch-id idempotently.  The standing (codes join assignments)
+    relation is exactly the ``members`` relation ``ivfpq_topk``
+    searches (tests/test_ivfpq_stream.py probes it).
+
+    Drift: the parent's two gates cover the PQ half too — codebook
+    quality degrades exactly when residual magnitude grows, which IS
+    the assignment-distance-growth trigger (residual norm = sqrt of
+    the coarse assignment distance).  ``retrain`` rebuilds coarse +
+    codebooks + all codes from the standing vector store."""
+
+    codebooks_path: str = ""
+    codes_path: str = ""
+    m: int = 4
+    sub_dim: int = 16
+    pq_k: int = 8
+    pq_iter: int = 1
+
+    def __post_init__(self):
+        if not self.codebooks_path or not self.codes_path:
+            raise ValueError(
+                "StreamingIVFPQIndex needs codebooks_path and codes_path")
+
+    def _codes_schema(self) -> str:
+        cols = ", ".join(f"c{s} int" for s in range(self.m))
+        return f"vec_id bigint, {cols}, batch_id bigint"
+
+    # -- offline training ---------------------------------------------
+    def train(self, emb: DataFrame, k: int | None = None,
+              n_iter: int = 2) -> None:
+        from currency_market_pulse_spark.operators.pq import (
+            pq_fit, residuals,
+        )
+
+        super().train(emb, k, n_iter)
+        spark = emb.sparkSession
+        cents = self.read_centroids(spark)
+        assigned = self.read_assignments(spark)
+        res = residuals(
+            emb.select("vec_id",
+                       F.transform("embedding", lambda x: x.cast("double"))
+                       .alias("embedding")),
+            assigned, cents)
+        codebooks, codes = pq_fit(
+            res.select("vec_id", "embedding"),
+            self.m, self.sub_dim, self.pq_k, self.pq_iter)
+        self._write_codebooks(codebooks)
+        self._write_partition(codes, self.codes_path, TRAIN_BATCH_ID)
+
+    # -- streaming maintenance ----------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from currency_market_pulse_spark.operators.pq import (
+            pq_encode, residuals,
+        )
+
+        spark = batch.sparkSession
+        centroids = self.read_centroids(spark)
+        vecs = batch.select(
+            "vec_id",
+            F.transform("embedding",
+                        lambda x: x.cast("double")).alias("embedding"))
+        self._write_partition(vecs, self.vectors_path, batch_id)
+        assigned = assign_cells_blas(vecs, centroids).persist()
+        try:
+            self._write_partition(
+                assigned.select("vec_id", "cell", "dist"),
+                self.assign_path, batch_id)
+            codes = pq_encode(
+                residuals(vecs, assigned, centroids),
+                self.read_codebooks(spark), self.m, self.sub_dim)
+            self._write_partition(codes, self.codes_path, batch_id)
+        finally:
+            assigned.unpersist()
+
+    # -- reads ---------------------------------------------------------
+    def read_codebooks(self, spark: SparkSession) -> list[DataFrame]:
+        stored = spark.read.schema(
+            "s int, cell int, centroid array<double>").parquet(
+            self.codebooks_path)
+        return [stored.filter(F.col("s") == s).select("cell", "centroid")
+                for s in range(self.m)]
+
+    def read_codes(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.schema(self._codes_schema()).parquet(
+                self.codes_path)
+        except AnalysisException:
+            return spark.createDataFrame([], self._codes_schema())
+
+    def read_members(self, spark: SparkSession) -> DataFrame:
+        """(vec_id, c0.., cell) — the relation ivfpq_topk searches."""
+        code_cols = [f"c{s}" for s in range(self.m)]
+        return (self.read_codes(spark).select("vec_id", *code_cols)
+                .join(self.read_assignments(spark)
+                      .select("vec_id", "cell"), "vec_id"))
+
+    # -- retrain -------------------------------------------------------
+    def retrain(self, spark: SparkSession, k: int | None = None,
+                n_iter: int = 2) -> int:
+        import os
+        import shutil
+
+        from currency_market_pulse_spark.operators.pq import (
+            pq_fit, residuals,
+        )
+
+        new_k = super().retrain(spark, k, n_iter)
+        res = residuals(self.read_vectors(spark),
+                        self.read_assignments(spark),
+                        self.read_centroids(spark))
+        codebooks, codes = pq_fit(
+            res.select("vec_id", "embedding"),
+            self.m, self.sub_dim, self.pq_k, self.pq_iter)
+        self._write_codebooks(codebooks)
+        self._write_partition(codes, self.codes_path, TRAIN_BATCH_ID)
+        for name in os.listdir(self.codes_path):
+            if (name.startswith("batch_id=")
+                    and name != f"batch_id={TRAIN_BATCH_ID}"):
+                shutil.rmtree(os.path.join(self.codes_path, name),
+                              ignore_errors=True)
+        return new_k
+
+    # -- internals -----------------------------------------------------
+    def _write_codebooks(self, codebooks: list[DataFrame]) -> None:
+        union = None
+        for s, cb in enumerate(codebooks):
+            part = cb.select(F.lit(s).cast("int").alias("s"),
+                             "cell", "centroid")
+            union = part if union is None else union.unionAll(part)
+        union.write.mode("overwrite").parquet(self.codebooks_path)
