@@ -378,6 +378,25 @@ def temperature_sample(df: DataFrame, strata_col: str, id_col: str,
 WEIGHTED_FIX = 1_000_000
 
 
+def es_key(id_col: Column, weight_col: Column, seed: str) -> Column:
+    """The Efraimidis & Spirakis exponential key -ln(u)/w as ONE
+    definition shared by ``weighted_sample`` / ``_per_group`` and the
+    streaming reservoir (streaming/reservoir_stream.py) — a row's key
+    depends only on (seed, id, weight), never on which batch or engine
+    computed it, which is what makes the streamed bottom-k provably
+    equal to the batch draw.
+
+    u = (hash+0.5)/2^60 is never 0 (h=0 -> 0.5/2^60); for h >= 2^53
+    the +0.5 is absorbed by double rounding IDENTICALLY on both
+    engines; -ln(u) is snapped to 1e-6 fixed point (the repo-wide ln()
+    ulp discipline) and the key is one exactly-rounded IEEE division
+    of that integer by the weight."""
+    h = hash_long(id_col, seed)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
+    efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
+    return efix / weight_col.cast("double")
+
+
 def weighted_sample(df: DataFrame, weight_col: str, k: int,
                     id_col: str = "doc_id",
                     seed: str = "ws") -> DataFrame:
@@ -399,12 +418,7 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     division of that integer by the weight; ties break on id.  Rows
     with weight <= 0 are excluded (their key would be infinite /
     flipped)."""
-    h = hash_long(F.col(id_col), seed)
-    # (h + 0.5) / 2^60: never 0 (h=0 -> 0.5/2^60); for h >= 2^53 the
-    # +0.5 is absorbed by double rounding IDENTICALLY on both engines
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
-    efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
-    key = efix / F.col(weight_col).cast("double")
+    key = es_key(F.col(id_col), F.col(weight_col), seed)
     # unpartitioned window over k rows (post-limit) — safe; see
     # session._silence_windowexec_warning
     w = Window.orderBy("key", id_col)
@@ -429,10 +443,7 @@ def weighted_sample_per_group(df: DataFrame, group_col: str,
     row's key is independent of its stratum: re-bucketing documents
     never changes any row's draw priority, only which pool it
     competes in (append-stability under re-stratification)."""
-    h = hash_long(F.col(id_col), seed)
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH_SPACE))
-    efix = F.round(-F.log(u) * WEIGHTED_FIX, 0).cast("long")
-    key = efix / F.col(weight_col).cast("double")
+    key = es_key(F.col(id_col), F.col(weight_col), seed)
     w = Window.partitionBy(group_col).orderBy("key", id_col)
     return (df.filter(F.col(weight_col) > 0)
             .select(F.col(group_col), F.col(id_col),

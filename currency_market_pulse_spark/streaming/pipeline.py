@@ -11,7 +11,10 @@ compose.yml) —
       -> LIVE trends view (file stream OVER THE SINK -> watermarked
          window aggregation -> in-memory queryable table)
     + document stream -> streaming near-dup index probe (bands +
-      shingles standing index, batch-id idempotent)
+      shingles standing index, batch-id idempotent) + count-min heavy
+      hitters + optional decontaminate-at-ingest screen + uniform
+      reservoir sample of everything ingested (constant k-row state,
+      reservoir_stream.py)
 
 Three chained streaming queries; the trends view consumes the SINK's
 files, not the source — so the composition exercises the storage
@@ -62,6 +65,9 @@ from currency_market_pulse_spark.streaming.importer import ParquetTradesSink
 from currency_market_pulse_spark.streaming.txn_sink import (
     TxnParquetTradesSink,
 )
+from currency_market_pulse_spark.streaming.reservoir_stream import (
+    StreamingReservoir,
+)
 from currency_market_pulse_spark.streaming.neardup_stream import (
     StreamingNearDup,
 )
@@ -103,6 +109,7 @@ class ComposedPipeline:
     neardup: StreamingNearDup
     decontam: "StreamingDecontam | None" = None
     heavy_hitters: "StreamingHeavyHitters | None" = None
+    reservoir: "StreamingReservoir | None" = None
     queries: list = field(default_factory=list)
 
     def counts(self) -> tuple[int, int, int, int]:
@@ -171,13 +178,15 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           trigger: str | None = "1 second",
                           eval_df: DataFrame | None = None,
                           txn_sink: bool = True,
+                          reservoir_k: int = 32,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
     ``requests_dir``: JSON-lines files in the ingest schema (the HTTP
     body shape, api.go:16-25).  ``docs_dir``: JSON-lines (doc_id,
     text) documents for the document-side probes — near-dup index,
-    count-min heavy hitters, and (when ``eval_df`` is given) the
+    count-min heavy hitters, a uniform ``reservoir_k``-row reservoir
+    sample (0 disables), and (when ``eval_df`` is given) the
     decontaminate-at-ingest screen.  ``out_dir``: all durable output
     (trades parquet, dead letters, indexes, checkpoints)."""
     import os
@@ -285,9 +294,21 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         queries.append(sd.attach(sd_stream, f"{out_dir}/ckpt_decontam",
                                  trigger=trigger))
 
+    # ---- query 6 (optional): uniform reservoir of everything ingested
+    # (constant k-row state; the eval/inspection draw — reservoir_stream)
+    rs = None
+    if reservoir_k:
+        rs = StreamingReservoir(
+            reservoir_path=f"{out_dir}/reservoir", k=reservoir_k,
+            weight_col=None)
+        rs_stream = (spark.readStream.schema("doc_id long, text string")
+                     .option("maxFilesPerTrigger", "1").json(docs_dir))
+        queries.append(rs.attach(rs_stream, f"{out_dir}/ckpt_reservoir",
+                                 trigger=trigger))
+
     return ComposedPipeline(
         spark=spark,
         trades_path=trades_path, dead_letter_path=dead_path,
         trends_view=trends_view, neardup=nd,
-        decontam=sd, heavy_hitters=hh,
+        decontam=sd, heavy_hitters=hh, reservoir=rs,
         queries=queries)

@@ -122,19 +122,24 @@ def test_composed_pipeline_with_document_screens(spark, tmp_path):
     try:
         pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
         deadline = time.time() + 60
-        flags, top = {}, {}
+        flags, top, res = {}, {}, set()
         while time.time() < deadline:
             flags = {(r.doc_id, r.eval_doc_id)
                      for r in pipe.decontam.read_flags(spark).collect()}
             top = {r.tok: r.est
                    for r in pipe.heavy_hitters.heavy_hitters(spark)
                    .collect()}
+            res = {r.doc_id
+                   for r in pipe.reservoir.read_reservoir(spark)
+                   .collect()}
             # doc 1 IS the eval doc (flagged); doc 2 differs by one
             # token but still shares 5-grams (flagged too)
-            if flags >= {(1, 900), (2, 900)} and top.get("the", 0) >= 6:
+            if (flags >= {(1, 900), (2, 900)} and top.get("the", 0) >= 6
+                    and res == {1, 2}):
                 break
             time.sleep(1)
     finally:
         pipe.stop()
     assert flags == {(1, 900), (2, 900)}
     assert top.get("the", 0) >= 6   # 'the' appears 3x per doc, 2 docs
+    assert res == {1, 2}            # k=32 > corpus: reservoir holds all
