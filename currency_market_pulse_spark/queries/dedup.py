@@ -1136,36 +1136,94 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_shared_chunks")))
 
 
+def _modpow_expr(base: int, mod: int, var: str = "t",
+                 bits: int = 24) -> str:
+    """SQL for base^var mod ``mod`` by binary expansion of ``var``
+    (var < 2^bits): a chain of multiply-then-mod steps whose operands
+    stay < mod^2 < 2^62, so plain BIGINT arithmetic is exact."""
+    e = "CAST(1 AS BIGINT)"
+    for i in range(bits):
+        p = pow(base, 1 << i, mod)
+        e = (f"(({e}) * (CASE WHEN ({var} >> {i}) & 1 = 1 "
+             f"THEN {p} ELSE 1 END)) % {mod}")
+    return e
+
+
+def _rolling_wins_cte(span: int = D.SPAN_CHARS,
+                      modp: int = D.SPAN_MODP) -> str:
+    """The shared ``wins`` relation of both rolling oracles — every
+    selected window's packed double polynomial fingerprint — in O(1)
+    work per character, mirroring the KERNEL's prefix-sum algebra
+    instead of re-summing all ``span`` terms per position.
+
+    fp(pos) = sum_j c[pos+j] * B^(span-1-j)  (mod M)
+            = B^(pos+span-1) * sum_{u=pos}^{pos+span-1} c[u] * B^(-u)
+    so with the raw (un-modded) prefix sums T(t) = sum_{u<=t} c[u] *
+    (B^-u mod M), one windowed pass gives every fingerprint:
+    fp(pos) = (B^(pos+span-1) mod M) * ((T(pos+span-1) - T(pos-1))
+    mod M) mod M.  T is nondecreasing so the difference needs no sign
+    fix; terms are HUGEINT (ord can reach 0x10FFFF, prefix over a
+    long doc would overflow BIGINT).  M1, M2 are prime so B is
+    invertible.  The previous per-position ``list_transform`` form
+    recomputed span=40 HUGEINT terms per window through an
+    interpreted lambda — measured 72 s per 1 % of sf1 (~2 h full),
+    which made the sf1 differential gate infeasible; this form runs
+    the same data in seconds and returns bit-identical fingerprints
+    (same residues, same packing)."""
+    m1, m2, b = D.ROLL_M1, D.ROLL_M2, D.ROLL_B
+    binv1, binv2 = pow(b, -1, m1), pow(b, -1, m2)
+    return f"""chars AS (
+  SELECT doc_id, CAST(t AS BIGINT) AS t,
+         ord(substr(text, CAST(t AS INT), 1)) AS c,
+         length(text) AS len
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS t
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) >= {span})),
+pt AS MATERIALIZED (
+  SELECT t,
+         {_modpow_expr(b, m1)} AS pw1,
+         {_modpow_expr(b, m2)} AS pw2,
+         {_modpow_expr(binv1, m1)} AS q1,
+         {_modpow_expr(binv2, m2)} AS q2
+  FROM (SELECT DISTINCT t FROM chars)),
+pre AS (
+  SELECT ch.doc_id, ch.t, ch.len, pt.pw1, pt.pw2,
+         sum(CAST(ch.c AS HUGEINT) * pt.q1) OVER v AS t1,
+         sum(CAST(ch.c AS HUGEINT) * pt.q2) OVER v AS t2
+  FROM chars ch JOIN pt USING (t)
+  WINDOW v AS (PARTITION BY ch.doc_id ORDER BY ch.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+wins AS MATERIALIZED (
+  -- the window functions must see EVERY position (a window's end
+  -- chars are positions the outer filter drops), so lead/lag run in
+  -- the inner relation and the span/selection filters apply outside
+  SELECT doc_id, pos, fp, doc_id * 1000000000 + pos AS k
+  FROM (
+    SELECT doc_id, t AS pos, len,
+           CAST((lead(pw1, {span - 1}) OVER v)
+                * ((lead(t1, {span - 1}) OVER v
+                    - coalesce(lag(t1, 1) OVER v,
+                               CAST(0 AS HUGEINT))) % {m1})
+                % {m1} AS BIGINT) * 2147483648
+           + CAST((lead(pw2, {span - 1}) OVER v)
+                  * ((lead(t2, {span - 1}) OVER v
+                      - coalesce(lag(t2, 1) OVER v,
+                                 CAST(0 AS HUGEINT))) % {m2})
+                  % {m2} AS BIGINT) AS fp
+    FROM pre
+    WINDOW v AS (PARTITION BY doc_id ORDER BY t)) s
+  WHERE pos + {span} - 1 <= len AND fp % {modp} = 0)"""
+
+
 def _substr_rolling_oracle(span: int = D.SPAN_CHARS,
                            modp: int = D.SPAN_MODP) -> str:
-    """Replay of substring_span_stats_rolling: per-window double
-    polynomial hash as an exact HUGEINT power sum (term j weighted
-    B^(span-1-j) mod M — identical to the kernel's prefix-sum form by
-    algebra), packed fingerprint, 0-mod-p selection, same owner/stats
-    stages as the md5 oracle."""
-    w1 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M1) for j in range(span)]
-    w2 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M2) for j in range(span)]
-
-    def hexpr(weights, mod):
-        lits = "[" + ", ".join(str(x) for x in weights) + "]"
-        return (f"CAST(list_aggregate(list_transform(range(0, {span}), "
-                f"j -> CAST(ord(substr(text, CAST(pos + j AS INT), 1)) "
-                f"AS HUGEINT) * ({lits}::HUGEINT[])[CAST(j + 1 AS INT)]), "
-                f"'sum') % {mod} AS BIGINT)")
-
+    """Replay of substring_span_stats_rolling: every window's double
+    polynomial fingerprint via the modular prefix-sum identity
+    (_rolling_wins_cte — the kernel's own algebra), packed
+    fingerprint, 0-mod-p selection, same owner/stats stages as the
+    md5 oracle."""
     return f"""
-WITH wins AS MATERIALIZED (
-  SELECT doc_id, pos, fp,
-         doc_id * 1000000000 + pos AS k
-  FROM (SELECT doc_id, pos,
-               {hexpr(w1, D.ROLL_M1)} * 2147483648
-               + {hexpr(w2, D.ROLL_M2)} AS fp
-        FROM (SELECT doc_id, text,
-                     unnest(range(1, length(text) - {span} + 2)) AS pos
-              FROM documents
-              WHERE text IS NOT NULL
-                AND length(text) >= {span}) p) s
-  WHERE fp % {modp} = 0),
+WITH {_rolling_wins_cte(span, modp)},
 grp AS MATERIALIZED (
   SELECT fp, count(*) AS c, min(k) AS owner FROM wins GROUP BY fp)
 SELECT w.doc_id,
@@ -1196,32 +1254,11 @@ def text_substring_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _substr_removal_rolling_oracle(span: int = D.SPAN_CHARS,
                                    modp: int = D.SPAN_MODP) -> str:
-    """Rolling-fingerprint wins/grp replay (the
-    _substr_rolling_oracle HUGEINT power sums) feeding the same
+    """Rolling-fingerprint wins/grp replay (the shared
+    _rolling_wins_cte modular prefix sums) feeding the same
     island-merge SQL as the md5 removal oracle."""
-    w1 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M1) for j in range(span)]
-    w2 = [pow(D.ROLL_B, span - 1 - j, D.ROLL_M2) for j in range(span)]
-
-    def hexpr(weights, mod):
-        lits = "[" + ", ".join(str(x) for x in weights) + "]"
-        return (f"CAST(list_aggregate(list_transform(range(0, {span}), "
-                f"j -> CAST(ord(substr(text, CAST(pos + j AS INT), 1)) "
-                f"AS HUGEINT) * ({lits}::HUGEINT[])[CAST(j + 1 AS INT)]), "
-                f"'sum') % {mod} AS BIGINT)")
-
     return f"""
-WITH wins AS MATERIALIZED (
-  SELECT doc_id, pos, fp,
-         doc_id * 1000000000 + pos AS k
-  FROM (SELECT doc_id, pos,
-               {hexpr(w1, D.ROLL_M1)} * 2147483648
-               + {hexpr(w2, D.ROLL_M2)} AS fp
-        FROM (SELECT doc_id, text,
-                     unnest(range(1, length(text) - {span} + 2)) AS pos
-              FROM documents
-              WHERE text IS NOT NULL
-                AND length(text) >= {span}) p) s
-  WHERE fp % {modp} = 0),
+WITH {_rolling_wins_cte(span, modp)},
 grp AS MATERIALIZED (
   SELECT fp, count(*) AS c, min(k) AS owner FROM wins GROUP BY fp),
 rem AS (
