@@ -16,7 +16,8 @@ compose.yml) —
       reservoir sample of everything ingested (constant k-row state,
       reservoir_stream.py)
 
-Three chained streaming queries; the trends view consumes the SINK's
+Up to six concurrent streaming queries (two chained through storage,
+four document-side probes); the trends view consumes the SINK's
 files, not the source — so the composition exercises the storage
 hand-off exactly as the reference's trends service reads what the
 importer wrote.  Rejected requests land in a dead-letter parquet with
