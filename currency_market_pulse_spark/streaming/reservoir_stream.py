@@ -120,17 +120,19 @@ class StreamingReservoir:
                 .unionAll(pool)
         first_seen = F.row_number().over(
             Window.partitionBy(self.id_col).orderBy("_src"))
-        merged = (pool.withColumn("_rn", first_seen)
-                  .filter(F.col("_rn") == 1)
-                  # bottom-k of a <= (k + |batch|)-row relation: ties
-                  # break on id, matching weighted_sample
-                  .orderBy("key", self.id_col).limit(self.k)
-                  .select(*cols))
+        merged = self._bottom_k(
+            pool.withColumn("_rn", first_seen)
+            .filter(F.col("_rn") == 1)).select(*cols)
         (merged.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id")
          .parquet(self.reservoir_path))
+
+    def _bottom_k(self, pool: DataFrame) -> DataFrame:
+        # bottom-k of a <= (k + |batch|)-row relation: ties break on
+        # id, matching weighted_sample
+        return pool.orderBy("key", self.id_col).limit(self.k)
 
     # -- reads ----------------------------------------------------------
     def read_reservoir(self, spark: SparkSession,
@@ -182,3 +184,37 @@ class StreamingReservoir:
         if trigger:
             writer = writer.trigger(processingTime=trigger)
         return writer.start()
+
+
+@dataclass
+class StreamingGroupReservoir(StreamingReservoir):
+    """Per-stratum reservoirs: k rows per ``group_col`` value instead
+    of k overall — the streaming twin of ``operators/sampling.
+    weighted_sample_per_group``, maintaining a per-language /
+    per-source eval draw at ingest.
+
+    Same key function (a row's key is independent of its stratum, so
+    re-bucketing never changes draw priority — the batch operator's
+    append-stability argument), same snapshot/replay machinery; only
+    the bottom-k step ranks WITHIN each group.  Standing state is
+    k x |groups| rows — bounded because the stratifier is a
+    low-cardinality dimension (language, source, shard), NOT a
+    data-sized key; a data-sized group column would grow the snapshot
+    linearly and belongs in the base reservoir instead.  ``group_col``
+    must be one of the ``payload`` columns (it rides the same
+    carried-through projection)."""
+
+    group_col: str = "lang"
+    payload: tuple[tuple[str, str], ...] = (("text", "string"),
+                                            ("lang", "string"))
+
+    def __post_init__(self):
+        if self.group_col not in {n for n, _ in self.payload}:
+            raise ValueError(
+                f"group_col {self.group_col!r} must be a payload column")
+
+    def _bottom_k(self, pool: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.group_col).orderBy(
+            "key", self.id_col)
+        return (pool.withColumn("_gr", F.row_number().over(w))
+                .filter(F.col("_gr") <= self.k))

@@ -10,9 +10,11 @@ import os
 
 from pyspark.sql import Row, functions as F
 
+import pytest
+
 from currency_market_pulse_spark.operators import sampling as S
 from currency_market_pulse_spark.streaming.reservoir_stream import (
-    StreamingReservoir,
+    StreamingGroupReservoir, StreamingReservoir,
 )
 
 
@@ -132,6 +134,49 @@ def test_prune_keeps_newest(spark, tmp_path):
     assert sorted(doomed) == ["batch_id=0", "batch_id=1"]
     assert sorted((r.doc_id, r.key)
                   for r in res.read_reservoir(spark).collect()) == newest
+
+
+def _gdocs(i0, n):
+    langs = ["en", "fr", "de"]
+    return [{"doc_id": i, "text": f"document body {i}",
+             "lang": langs[i % 3], "n_chars": 10 + (i * 37) % 90}
+            for i in range(i0, i0 + n)]
+
+
+def _gdf(spark, rows):
+    return spark.createDataFrame(
+        [Row(**r) for r in rows],
+        "doc_id bigint, text string, lang string, n_chars bigint")
+
+
+def test_group_reservoir_equals_batch_per_group_draw(spark, tmp_path):
+    """Streamed per-lang reservoirs equal weighted_sample_per_group
+    over the union, and replay is idempotent."""
+    res = StreamingGroupReservoir(
+        reservoir_path=str(tmp_path / "gres"), k=4,
+        weight_col="n_chars", group_col="lang")
+    batches = [_gdocs(0, 18), _gdocs(18, 18)]
+    for i, rows in enumerate(batches):
+        res.process_batch(_gdf(spark, rows), i)
+
+    got = {(r.lang, r.doc_id)
+           for r in res.read_reservoir(spark).collect()}
+    want = {(r.lang, r.doc_id)
+            for r in S.weighted_sample_per_group(
+                _gdf(spark, sum(batches, [])), "lang", "n_chars",
+                4).collect()}
+    assert got == want and len(got) == 12   # 3 langs x k=4
+
+    res.process_batch(_gdf(spark, batches[1]), 1)   # crash-replay
+    assert {(r.lang, r.doc_id)
+            for r in res.read_reservoir(spark).collect()} == got
+
+
+def test_group_reservoir_requires_payload_group(spark, tmp_path):
+    with pytest.raises(ValueError, match="payload column"):
+        StreamingGroupReservoir(
+            reservoir_path=str(tmp_path / "g2"), k=2,
+            group_col="source")
 
 
 def test_end_to_end_readstream(spark, tmp_path):
