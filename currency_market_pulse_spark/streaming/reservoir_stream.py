@@ -34,10 +34,16 @@ costs k rows per batch; ``prune`` drops all but the newest few once a
 run is accepted).
 
 Duplicate ids across batches are FIRST-SEEN-WINS: a re-ingested
-doc_id carries the same key (keys are id-coordinated), so re-arrival
-never boosts a document's inclusion probability — the sample is over
-DISTINCT ids, the property coordinated sampling exists for.  Rows
-with weight <= 0 are excluded, as in the batch draw.
+doc_id carries the same key — keys are id-coordinated PROVIDED the
+id's weight is stable across arrivals (``es_key`` is a function of
+(seed, id, weight), so a re-ingest under a CHANGED weight draws a
+fresh key; the coordination guarantee assumes stable weights per id)
+— so re-arrival never boosts a document's inclusion probability: the
+sample is over DISTINCT ids, the property coordinated sampling
+exists for.  Duplicate ids WITHIN one micro-batch are resolved by a
+content-deterministic order (key, then a payload hash — ADVICE r9),
+not arrival order, so crash-replay picks the same copy.  Rows with
+weight <= 0 are excluded, as in the batch draw.
 
 Reference parity note: the reference (anton-kapralov/
 currency-market-pulse) has no sampling surface; this module belongs
@@ -118,8 +124,17 @@ class StreamingReservoir:
         if prev is not None:
             pool = prev.select(*cols, F.lit(0).alias("_src")) \
                 .unionAll(pool)
+        # _src alone leaves duplicate ids WITHIN one micro-batch
+        # tie-broken by arrival order, which a crash-replay need not
+        # reproduce (ADVICE r9) — extend the order with key and a
+        # payload hash so the winning copy is a pure function of row
+        # CONTENT, keeping replay byte-idempotent even for same-id
+        # rows that differ in weight or payload.
+        content_tiebreak = F.xxhash64(
+            *[F.col(n) for n, _ in self.payload], F.col("weight"))
         first_seen = F.row_number().over(
-            Window.partitionBy(self.id_col).orderBy("_src"))
+            Window.partitionBy(self.id_col)
+            .orderBy("_src", "key", content_tiebreak))
         merged = self._bottom_k(
             pool.withColumn("_rn", first_seen)
             .filter(F.col("_rn") == 1)).select(*cols)

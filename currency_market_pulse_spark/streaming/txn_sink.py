@@ -66,10 +66,13 @@ does; publish is O(files) metadata renames; the manifest is KBs.
 Micro-batches are 1 s flushes, so per-batch file counts are small by
 construction.
 
-DURABILITY SCOPE (ADVICE r8): the commit point is ``os.replace`` on
-a local or shared POSIX filesystem — the manifest tmp file and the
-``_txn`` directory are fsynced around the rename so the commit
-survives power loss on such filesystems.  Object stores have no
+DURABILITY SCOPE (ADVICE r8, tightened ADVICE r9): the commit point
+is ``os.replace`` on a local or shared POSIX filesystem — every
+staged payload file and its directory is fsynced BEFORE the manifest
+is written, and the manifest tmp file and the ``_txn`` directory are
+fsynced around the rename, so a durable manifest only ever
+references durable staged bytes and the whole commit survives power
+loss on such filesystems.  Object stores have no
 rename primitive at all: deploying there means re-expressing steps
 2-3 as PUT-manifest-then-PUT-finals with read-side manifest
 consultation (what Delta/Iceberg do); this module does NOT claim
@@ -128,6 +131,24 @@ class TxnParquetTradesSink(Sink):
         pairs: list[list[str]] = []
         counters: dict[str, int] = {}
         for root, _dirs, names in sorted(os.walk(staged)):
+            # fsync every staged payload file and its directory BEFORE
+            # the manifest commit (ADVICE r9): a durable manifest must
+            # never reference staged bytes still in the page cache —
+            # otherwise power loss after the commit point leaves the
+            # roll-forward publishing truncated files (silent
+            # corruption) or hitting the invariant IOError.
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    fd = os.open(os.path.join(root, name), os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+            dfd = os.open(root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue

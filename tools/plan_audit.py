@@ -438,6 +438,26 @@ def main() -> int:
         else:
             print(f"FAIL  {name}: {desc}  ({n} exchanges > {max_n})")
             failures += 1
+    # VERDICT r9 item 5: after the offline index phase has built the
+    # simhash signatures, the registered query's SEARCH PATH must
+    # trigger zero Spark jobs (the adaptive-band count happens at
+    # build time, not per invocation).  Job-group bracketing makes the
+    # assertion exact: any action inside the builder lands in the
+    # group.
+    from currency_market_pulse_spark.queries import dedup as qd
+    qd._shared_simhash60(spark, sf_dir)          # offline build/warm
+    sc = spark.sparkContext
+    sc.setJobGroup("simhash_path_audit", "search path must be lazy")
+    queries["dedup_simhash"](spark, sf_dir)      # build plan only
+    sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("simhash_path_audit")
+    if not jobs:
+        print("ok    dedup_simhash [runtime]: search path action-free "
+              "after prepare (0 jobs)")
+    else:
+        print(f"FAIL  dedup_simhash [runtime]: search path ran "
+              f"{len(jobs)} job(s) after prepare")
+        failures += 1
     for name, checks in RUNTIME_EXPECTATIONS.items():
         df = queries[name](spark, sf_dir)
         df.collect()  # drive AQE to the final plan
