@@ -256,6 +256,16 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     q_import = writer.start()
 
     # ---- query 2: live trends OVER THE SINK's files (storage hand-off)
+    # The memory-sink view is EPHEMERAL by construction — it dies with
+    # the process, and Spark refuses checkpoint recovery for memory
+    # sinks.  Correct restart semantics are therefore rebuild-from-
+    # storage: drop the view's checkpoint so the file stream re-reads
+    # every visible (write-once, hence consistent) sink file and
+    # reconstructs the full view.  The durable truth is the sink; the
+    # view is a cache of it (tests/test_pipeline_crash_restart.py
+    # proves the rebuilt view equals an uninterrupted run's).
+    import shutil
+    shutil.rmtree(f"{out_dir}/ckpt_trends", ignore_errors=True)
     sink_stream = (spark.readStream.schema(_SINK_STREAM_SCHEMA)
                    .parquet(trades_path))
     trends_writer = (trends_live(sink_stream, watermark=watermark)
