@@ -71,6 +71,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pl.add_argument("--once", action="store_true",
                     help="process available files then exit")
 
+    am = sub.add_parser(
+        "ann-maintain",
+        help="streaming ANN index ops loop: ingest -> drift gate -> "
+             "drain/retrain/re-attach (streaming/ivf_stream.py)")
+    am.add_argument("--index-dir", required=True,
+                    help="root for the index relations (centroids, "
+                         "assign, vectors, codebooks, codes)")
+    am.add_argument("--stream-dir", required=True,
+                    help="JSON-lines (vec_id, embedding) vector drops")
+    am.add_argument("--checkpoint", required=True)
+    am.add_argument("--train", action="store_true",
+                    help="(re)train the initial index from --seed-dir, "
+                         "then exit")
+    am.add_argument("--seed-dir",
+                    help="JSON-lines batch corpus for --train; kept "
+                         "separate from --stream-dir so the live "
+                         "drop zone's streaming offsets never replay "
+                         "the training corpus as a duplicate batch")
+    am.add_argument("--force-retrain", action="store_true",
+                    help="retrain even when no drift gate fires")
+    am.add_argument("--k", type=int, default=None,
+                    help="coarse k (default: corpus-adaptive coarse_k)")
+    am.add_argument("--m", type=int, default=4)
+    am.add_argument("--sub-dim", type=int, default=16)
+    am.add_argument("--pq-k", type=int, default=8)
+    am.add_argument("--once", action="store_true",
+                    help="ingest available files around the maintenance "
+                         "pass then exit")
+
     args = p.parse_args(argv)
 
     owns_session = spark is None
@@ -121,6 +150,46 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 for qh in pipe.queries:
                     qh.awaitTermination()
+        elif args.cmd == "ann-maintain":
+            from currency_market_pulse_spark.streaming.ivf_stream import (
+                StreamingIVFPQIndex, retrain_with_handover)
+            idx = StreamingIVFPQIndex(
+                centroids_path=f"{args.index_dir}/centroids",
+                assign_path=f"{args.index_dir}/assign",
+                vectors_path=f"{args.index_dir}/vectors",
+                codebooks_path=f"{args.index_dir}/codebooks",
+                codes_path=f"{args.index_dir}/codes",
+                m=args.m, sub_dim=args.sub_dim, pq_k=args.pq_k)
+            vec_schema = "vec_id bigint, embedding array<double>"
+            if args.train:
+                if not args.seed_dir:
+                    print("--train requires --seed-dir", file=sys.stderr)
+                    return 2
+                emb = spark.read.schema(vec_schema).json(args.seed_dir)
+                idx.train(emb, k=args.k)
+                print(json.dumps({
+                    "trained": True,
+                    "k": idx.read_centroids(spark).count(),
+                    "n_vectors": idx.read_vectors(spark).count()}))
+                return 0
+
+            def attach():
+                s = (spark.readStream.schema(vec_schema)
+                     .json(args.stream_dir))
+                return idx.attach(s, args.checkpoint)
+
+            q = attach()
+            q.processAllAvailable()   # ingest what's already dropped
+            report, q2 = retrain_with_handover(
+                idx, spark, reattach=attach, query=q,
+                force=args.force_retrain, k=args.k)
+            if args.once:
+                q2.processAllAvailable()
+                q2.stop()
+                print(json.dumps(report))
+            else:
+                print(json.dumps(report), flush=True)
+                q2.awaitTermination()
         elif args.cmd == "query":
             import __spark_entry__ as entrymod
             fn = entrymod.queries().get(args.name)
