@@ -180,6 +180,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           eval_df: DataFrame | None = None,
                           txn_sink: bool = True,
                           reservoir_k: int = 32,
+                          requests_stream: DataFrame | None = None,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -189,7 +190,11 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     count-min heavy hitters, a uniform ``reservoir_k``-row reservoir
     sample (0 disables), and (when ``eval_df`` is given) the
     decontaminate-at-ingest screen.  ``out_dir``: all durable output
-    (trades parquet, dead letters, indexes, checkpoints)."""
+    (trades parquet, dead letters, indexes, checkpoints).
+    ``requests_stream``: alternative ingest front door — a streaming
+    DataFrame already in the ingest schema (e.g. the ``trades_gen``
+    rate source, tools/stream_bench.py) used INSTEAD of the
+    ``requests_dir`` file drops (pass requests_dir=None then)."""
     import os
 
     trades_path = f"{out_dir}/trades"
@@ -203,7 +208,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     os.makedirs(f"{out_dir}/dups", exist_ok=True)
 
     # ---- query 1: gateway -> normalize -> idempotent parquet sink
-    raw = (spark.readStream.schema(INGEST_SCHEMA)
+    raw = (requests_stream if requests_stream is not None
+           else spark.readStream.schema(INGEST_SCHEMA)
            .option("maxFilesPerTrigger", "1").json(requests_dir))
     requests = raw.select(
         F.col("userId").alias("user_id"),

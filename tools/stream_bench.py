@@ -1,0 +1,259 @@
+"""Streaming throughput benchmark for the composed pipeline (VERDICT
+r9 directive 2): the batch side has BENCH_r*.json; this produces the
+streaming equivalent, STREAM_BENCH.json at the repo root.
+
+    python tools/stream_bench.py                    # default: 120 s
+    python tools/stream_bench.py --duration 300 --rows-per-batch 5000
+
+Method: drive all six queries of ``streaming/pipeline.py`` for
+``--duration`` seconds —
+
+- the TRADES leg from the ``trades_gen`` rate source (offset-tracked,
+  deterministic; ``--rows-per-batch`` rows per 1 s trigger is the
+  offered load), through the gateway -> normalize -> write-once txn
+  sink -> live trends view chain;
+- the DOCUMENT legs (near-dup index, CMS heavy hitters, decontam
+  screen, reservoir) from the sf corpus (``--sf-dir`` documents,
+  replicated if short), pre-chunked into ``--docs-per-file``-row
+  JSON-lines drops consumed at 1 file per trigger.
+
+Instrumentation is Spark's own per-trigger progress feed
+(``StreamingQuery.recentProgress``): per query we report batches run,
+rows in, p50/p95/max trigger wall vs the 1 s trigger budget, and
+processed-rows/s; plus end-to-end measures — achieved sink rows/s,
+sink->live-view pickup lag (matching the two progress timelines), and
+the standing state sizes that prove constant-state claims (reservoir
+k rows, CMS store cells, band-index growth).  The summary names the
+query that saturates first = highest p95 trigger wall / trigger
+budget, the one that falls behind first as offered load rises.
+
+Run on an otherwise idle machine; progress retention is Spark's last
+100 triggers per query, so p50/p95 describe the steady-state tail of
+longer runs (noted in the artifact).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TOOLS)
+sys.path.insert(0, _REPO)
+
+QUERY_NAMES = ["import", "trends_view", "neardup", "cms", "decontam",
+               "reservoir"]
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def _progress(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        out.append(p if isinstance(p, dict) else json.loads(p.json))
+    return out
+
+
+def _pct(xs, p):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(p / 100.0 * (len(xs) - 1))))]
+
+
+def _summarize(progress: list[dict], trigger_ms: int) -> dict:
+    walls = [p["durationMs"]["triggerExecution"] for p in progress
+             if "durationMs" in p]
+    rows = sum(int(p.get("numInputRows", 0)) for p in progress)
+    data_batches = [p for p in progress if int(p.get("numInputRows", 0))]
+    prs = [float(p["processedRowsPerSecond"]) for p in data_batches
+           if p.get("processedRowsPerSecond")]
+    return {
+        "batches": len(walls),
+        "data_batches": len(data_batches),
+        "input_rows": rows,
+        "trigger_wall_ms": {
+            "p50": _pct(walls, 50), "p95": _pct(walls, 95),
+            "max": max(walls) if walls else None},
+        "trigger_budget_ms": trigger_ms,
+        "p95_over_budget": (round(_pct(walls, 95) / trigger_ms, 3)
+                            if walls else None),
+        "processed_rows_per_sec_p50": (round(_pct(prs, 50), 1)
+                                       if prs else None),
+    }
+
+
+def _view_pickup_lag(import_prog: list[dict],
+                     trends_prog: list[dict]) -> dict:
+    """Sink->view pickup: for every trends trigger that consumed rows,
+    the gap since the most recent import trigger that produced rows
+    (both ends from Spark's progress timestamps, ms precision)."""
+    def _ts(p):  # ISO8601 w/ ms, e.g. 2026-08-15T05:00:00.123Z
+        import datetime as dt
+        return dt.datetime.fromisoformat(
+            p["timestamp"].replace("Z", "+00:00")).timestamp()
+
+    writes = sorted(_ts(p) + p["durationMs"]["triggerExecution"] / 1e3
+                    for p in import_prog
+                    if int(p.get("numInputRows", 0)))
+    lags = []
+    for p in trends_prog:
+        if not int(p.get("numInputRows", 0)):
+            continue
+        done = _ts(p) + p["durationMs"]["triggerExecution"] / 1e3
+        prior = [w for w in writes if w <= done]
+        if prior:
+            lags.append(done - prior[-1])
+    return {"samples": len(lags),
+            "p50_sec": round(_pct(lags, 50), 3) if lags else None,
+            "p95_sec": round(_pct(lags, 95), 3) if lags else None}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=int, default=120,
+                    help="seconds of sustained ingest")
+    ap.add_argument("--rows-per-batch", type=int, default=2000,
+                    help="trades offered per 1 s trigger (trades_gen)")
+    ap.add_argument("--docs-per-file", type=int, default=300,
+                    help="documents offered per 1 s trigger (1 file)")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=os.path.join(_REPO,
+                                                  "STREAM_BENCH.json"))
+    ap.add_argument("--keep-workdir", action="store_true")
+    args = ap.parse_args()
+
+    from currency_market_pulse_spark.session import get_spark
+    from currency_market_pulse_spark.sources.trades_source import (
+        TradesGenDataSource,
+    )
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    spark = get_spark(app_name="stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(TradesGenDataSource)
+
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    docs_dir = os.path.join(work, "docs")
+    os.makedirs(docs_dir)
+
+    # pre-chunk the corpus into 1-file-per-trigger drops; replicate to
+    # cover the whole duration (+25% head room) if the corpus is short
+    docs = (spark.read.parquet(os.path.join(args.sf_dir,
+                                            "documents.parquet"))
+            .select("doc_id", "text").collect())
+    need_files = int(args.duration * 1.25) + 5
+    need_docs = need_files * args.docs_per_file
+    rows, rep = [], 0
+    while len(rows) < need_docs:
+        rows.extend((int(r.doc_id) + rep * 10_000_000, r.text)
+                    for r in docs)
+        rep += 1
+    fidx = 0
+    for s in range(0, need_docs, args.docs_per_file):
+        with open(os.path.join(docs_dir, f"chunk-{fidx:05d}.json"),
+                  "w") as f:
+            for did, text in rows[s:s + args.docs_per_file]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        fidx += 1
+    eval_df = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in docs[:50]],
+        "doc_id long, text string")
+
+    trades_stream = (spark.readStream.format("trades_gen")
+                     .option("rowsPerBatch", str(args.rows_per_batch))
+                     .load())
+
+    out_dir = os.path.join(work, "out")
+    t0 = time.time()
+    pipe = run_composed_pipeline(
+        spark, None, docs_dir, out_dir, eval_df=eval_df,
+        requests_stream=trades_stream)
+    try:
+        time.sleep(args.duration)
+        pipe._raise_if_failed()
+        progress = {name: _progress(q)
+                    for name, q in zip(QUERY_NAMES, pipe.queries)}
+    finally:
+        pipe.stop()
+    wall = time.time() - t0
+
+    sink_rows = spark.read.parquet(pipe.trades_path).count()
+    dead_rows = pipe.read_dead_letters(spark).count()
+    queries = {n: _summarize(p, 1000) for n, p in progress.items()}
+    state = {
+        "reservoir_rows": pipe.reservoir.read_reservoir(spark).count(),
+        "reservoir_bytes": _du(os.path.join(out_dir, "reservoir")),
+        "cms_sketch_bytes": _du(os.path.join(out_dir, "cms_sketch")),
+        "cms_geometry": {"rows": pipe.heavy_hitters.rows,
+                         "width": pipe.heavy_hitters.width},
+        "band_index_rows": spark.read.parquet(
+            os.path.join(out_dir, "idx_bands")).count(),
+        "band_index_bytes": _du(os.path.join(out_dir, "idx_bands")),
+        "sink_bytes": _du(pipe.trades_path),
+        "txn_manifests": len(os.listdir(
+            os.path.join(pipe.trades_path, "_txn"))),
+    }
+    saturating = max(
+        (n for n in queries if queries[n]["batches"]),
+        key=lambda n: queries[n]["p95_over_budget"] or 0)
+    artifact = {
+        "config": {
+            "duration_sec": args.duration,
+            "trigger": "1 second",
+            "trades_rows_per_trigger": args.rows_per_batch,
+            "docs_per_trigger": args.docs_per_file,
+            "sf_dir": args.sf_dir,
+            "note": ("per-query percentiles cover Spark's last 100 "
+                     "triggers (progress retention)"),
+        },
+        "throughput": {
+            "trades_offered_rows_per_sec": args.rows_per_batch,
+            "trades_achieved_rows_per_sec": round(
+                (sink_rows + dead_rows) / wall, 1),
+            "docs_offered_rows_per_sec": args.docs_per_file,
+            "sink_rows": sink_rows,
+            "dead_letter_rows": dead_rows,
+            "wall_sec": round(wall, 1),
+        },
+        "latency": {
+            "sink_to_view_pickup": _view_pickup_lag(
+                progress["import"], progress["trends_view"]),
+        },
+        "queries": queries,
+        "state": state,
+        "saturation": {
+            "first": saturating,
+            "p95_over_budget": queries[saturating]["p95_over_budget"],
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact["throughput"]))
+    print(json.dumps(artifact["saturation"]))
+    print(f"wrote {args.out}")
+    if not args.keep_workdir:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
