@@ -884,8 +884,14 @@ def _removal_plan_from_windows(joined: DataFrame, docs: DataFrame,
                     "removed_chars",
                     (F.col("_len") - F.col("removed_chars"))
                     .alias("kept_chars"),
-                    F.round(F.col("removed_chars") / F.col("_len"), 6)
-                    .alias("removed_frac")))
+                    # 6-decimal FLOOR via integer division, not
+                    # round(): round() ties (e.g. 41/640 = .0640625)
+                    # split between Spark's HALF_UP and DuckDB's
+                    # half-even — the sf10 gate caught one at row
+                    # 21733 of 365k (r10); integer DIV is exact and
+                    # identical in every engine
+                    (F.expr("removed_chars * 1000000L DIV _len")
+                     / F.lit(1000000.0)).alias("removed_frac")))
 
 
 #: Rolling-hash twin of the substring sketch: double 31-bit polynomial

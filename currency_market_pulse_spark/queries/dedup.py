@@ -1089,7 +1089,10 @@ SELECT sp.doc_id,
        CAST(sum(e2 - s) AS BIGINT) AS removed_chars,
        CAST(any_value(length(d.text)) - sum(e2 - s) AS BIGINT)
          AS kept_chars,
-       round(sum(e2 - s) / CAST(any_value(length(d.text)) AS DOUBLE), 6)
+       -- 6-decimal FLOOR via integer division: replays the kernel's
+       -- tie-free DIV (round() halves split Spark/DuckDB, r10)
+       (CAST(sum(e2 - s) AS BIGINT) * 1000000
+          // CAST(any_value(length(d.text)) AS BIGINT)) / 1000000.0
          AS removed_frac
 FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
 GROUP BY sp.doc_id
@@ -1326,7 +1329,10 @@ SELECT sp.doc_id,
        CAST(sum(e2 - s) AS BIGINT) AS removed_chars,
        CAST(any_value(length(d.text)) - sum(e2 - s) AS BIGINT)
          AS kept_chars,
-       round(sum(e2 - s) / CAST(any_value(length(d.text)) AS DOUBLE), 6)
+       -- 6-decimal FLOOR via integer division: replays the kernel's
+       -- tie-free DIV (round() halves split Spark/DuckDB, r10)
+       (CAST(sum(e2 - s) AS BIGINT) * 1000000
+          // CAST(any_value(length(d.text)) AS BIGINT)) / 1000000.0
          AS removed_frac
 FROM spans sp JOIN documents d ON sp.doc_id = d.doc_id
 GROUP BY sp.doc_id
