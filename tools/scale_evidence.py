@@ -73,9 +73,18 @@ def ensure_fixtures(sf: int) -> str:
 
 def bench_at(sf_dir: str, tag: str) -> dict:
     """bench.py in a fresh interpreter (driver protocol: cold session,
-    warmup at sf0.001, timed at sf_dir); returns the per-query dict."""
-    _run([_PY, os.path.join(_REPO, "bench.py")],
-         env={"SPARK_GRAFT_SF_DIR": sf_dir})
+    warmup at sf0.001, timed at sf_dir); returns the per-query dict.
+
+    The sf10 run gets a bigger driver heap (unless the caller already
+    set one): the default 8g is sized for the driver's sf0.1 gate, and
+    at 100x data the single local JVM also holds 100x-sized cached
+    index relations — measured r10: the 8g JVM died at
+    text_substring_dedup.  On a real cluster this is ordinary executor
+    memory sizing, not a code path difference."""
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir}
+    if tag == "sf10" and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        env["SPARK_GRAFT_DRIVER_MEM"] = "32g"
+    _run([_PY, os.path.join(_REPO, "bench.py")], env=env)
     src = os.path.join(_REPO, "BENCH_QUERIES.json")
     dst = os.path.join(_TOOLS, f"scale_evidence_bench_{tag}.json")
     shutil.copyfile(src, dst)
