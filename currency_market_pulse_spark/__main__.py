@@ -21,6 +21,22 @@ import json
 import sys
 
 
+def _json_safe(obj):
+    """Recursively replace non-finite floats (the drift report's
+    ``dist_growth`` is ``inf`` when the training mean distance is 0)
+    with their string form — bare ``Infinity``/``NaN`` from json.dumps
+    is invalid JSON for downstream parsers (ADVICE r10)."""
+    import math
+
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return str(obj)
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    return obj
+
+
 def _parse_ts(s: str) -> dt.datetime:
     """RFC3339-ish -> naive UTC.  Offset-aware inputs are CONVERTED to
     UTC before the tzinfo is dropped (stripping a +05:00 offset without
@@ -186,9 +202,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.once:
                 q2.processAllAvailable()
                 q2.stop()
-                print(json.dumps(report))
+                print(json.dumps(_json_safe(report)))
             else:
-                print(json.dumps(report), flush=True)
+                print(json.dumps(_json_safe(report)), flush=True)
                 q2.awaitTermination()
         elif args.cmd == "query":
             import __spark_entry__ as entrymod

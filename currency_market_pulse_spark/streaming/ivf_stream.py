@@ -410,10 +410,17 @@ def retrain_with_handover(index: StreamingIVFIndex, spark: SparkSession,
     1. **Drain**: finish every available micro-batch
        (``processAllAvailable``) and stop the ingest query — the
        checkpoint is then quiescent, the stream-stopped precondition
-       ``retrain`` documents.  The standing index keeps SERVING
-       throughout: searches between drain and retrain read the last
-       consistent (stale) centroids/postings/codes, never a partial
-       rewrite.
+       ``retrain`` documents.  The standing index keeps serving
+       through the DRAINED WINDOW (between drain and the moment
+       ``retrain`` starts rewriting): searches there read the last
+       consistent — stale — centroids/postings/codes.  The claim is
+       scoped to that window on purpose (ADVICE r10): ``retrain``
+       itself rewrites centroids, assignments, codebooks, and codes
+       as separate relations, so a search issued CONCURRENTLY with
+       step 3 can observe new centroids with stale codebooks/codes.
+       Quiesce searches for the rebuild, or — if a deployment needs
+       search availability during rebuilds — stage the new relations
+       under temporary paths and swap all four at the end.
     2. **Gate**: one ``drift_report`` pass; retrain only if a gate
        fires (``force`` overrides — the scheduled-maintenance path).
     3. **Retrain**: full rebuild from the standing vector store;

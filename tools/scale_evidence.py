@@ -120,7 +120,15 @@ def main() -> None:
 
     selfcheck_tail = "(skipped)"
     if not args.no_selfcheck:
-        out = _run([_PY, os.path.join(_TOOLS, "selfcheck.py"), big_dir])
+        # the sf10 selfcheck runs the same 100x-sized relations as the
+        # bench — give it the same 32g heap default (ADVICE r10: the 8g
+        # default OOMs the ~1.5h differential gate at sf10 unless the
+        # user exports SPARK_GRAFT_DRIVER_MEM by hand)
+        env = None
+        if args.sf == 10 and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+            env = {"SPARK_GRAFT_DRIVER_MEM": "32g"}
+        out = _run([_PY, os.path.join(_TOOLS, "selfcheck.py"), big_dir],
+                   env=env)
         selfcheck_tail = out.strip().splitlines()[-1]
         print("selfcheck:", selfcheck_tail, flush=True)
         if not selfcheck_tail.endswith(" 0"):

@@ -212,9 +212,12 @@ def main() -> None:
         "txn_manifests": len(os.listdir(
             os.path.join(pipe.trades_path, "_txn"))),
     }
+    # default=None: a run too short for any query to record trigger
+    # progress must still emit its artifact, not die in the summary
+    # (ADVICE r10)
     saturating = max(
         (n for n in queries if queries[n]["batches"]),
-        key=lambda n: queries[n]["p95_over_budget"] or 0)
+        key=lambda n: queries[n]["p95_over_budget"] or 0, default=None)
     artifact = {
         "config": {
             "duration_sec": args.duration,
@@ -242,7 +245,8 @@ def main() -> None:
         "state": state,
         "saturation": {
             "first": saturating,
-            "p95_over_budget": queries[saturating]["p95_over_budget"],
+            "p95_over_budget": (queries[saturating]["p95_over_budget"]
+                                if saturating is not None else None),
         },
     }
     with open(args.out, "w") as f:
