@@ -55,7 +55,7 @@ def test_stream_flags_cross_batch_near_dup(spark, tmp_path):
             for r in spark.read.parquet(nd.dups_path).collect()}
     assert 2 in dups and dups[2][0] == 1 and dups[2][1] >= 0.5
     assert 3 not in dups and 1 not in dups
-    idx = spark.read.parquet(nd.bands_path)
+    idx = nd.read_bands(spark)
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} \
         == {1, 2, 3}
 
@@ -81,14 +81,14 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     nd.process_batch(b1, 1)
     first_dups = sorted((r.new_id, r.dup_of, r.jaccard) for r in
                         spark.read.parquet(nd.dups_path).collect())
-    first_idx = spark.read.parquet(nd.shingles_path).count()
+    first_idx = nd.read_shingles(spark).count()
 
     nd.process_batch(b1, 1)  # crash-replay of the same batch
     replay_dups = sorted((r.new_id, r.dup_of, r.jaccard) for r in
                          spark.read.parquet(nd.dups_path).collect())
     assert replay_dups == first_dups == [(2, 1, replay_dups[0][2])]
     # the replay must not have appended a second copy of batch 1's rows
-    assert spark.read.parquet(nd.shingles_path).count() == first_idx
+    assert nd.read_shingles(spark).count() == first_idx
 
 
 def test_stream_survives_empty_first_batch(spark, tmp_path):
@@ -139,3 +139,184 @@ def test_read_dups_on_all_empty_partitions(spark, tmp_path):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "new_id", "dup_of", "jaccard", "batch_id"]
+
+
+def _run_batches(nd, spark, texts_by_batch):
+    """Feed (batch_id -> [(doc_id, text)]) through process_batch."""
+    for bid in sorted(texts_by_batch):
+        df = spark.createDataFrame(texts_by_batch[bid],
+                                   "doc_id long, text string")
+        nd.process_batch(df, bid)
+
+
+def _dup_set(nd, spark):
+    return {(r.new_id, r.dup_of, r.jaccard)
+            for r in nd.read_dups(spark).collect()}
+
+
+def _corpus(n, salt=""):
+    """n mutually-distinct documents long enough to shingle (every
+    token carries the doc index, so cross-doc jaccard is ~0)."""
+    return [(i, " ".join(f"w{salt}{i}x{j}k{i * 31 + j * 7}"
+                         for j in range(20)))
+            for i in range(n)]
+
+
+def test_compaction_preserves_results_and_bounds_tail(spark, tmp_path):
+    """A run WITH compaction flags exactly the dups a run WITHOUT it
+    flags, folds the tail into base segments, and keeps probing
+    correctly afterwards (including a post-compaction near-dup of a
+    pre-compaction document)."""
+    batches = {i: [(i * 10, t)] for i, (_, t) in enumerate(_corpus(6))}
+    batches[2] = [(25, BASE)]
+    batches[6] = [(61, NEAR)]           # near-dup of batch 2's doc 25
+    batches[7] = [(71, batches[3][0][1])]   # exact dup of batch 3's doc
+
+    nd_c = StreamingNearDup(
+        bands_path=str(tmp_path / "c_bands"),
+        shingles_path=str(tmp_path / "c_shingles"),
+        dups_path=str(tmp_path / "c_dups"),
+        compact_every=3, n_buckets=4)
+    nd_p = StreamingNearDup(          # plain: compaction disabled
+        bands_path=str(tmp_path / "p_bands"),
+        shingles_path=str(tmp_path / "p_shingles"),
+        dups_path=str(tmp_path / "p_dups"),
+        compact_every=0, n_buckets=4)
+    _run_batches(nd_c, spark, batches)
+    _run_batches(nd_p, spark, batches)
+
+    dups = _dup_set(nd_c, spark)
+    assert dups == _dup_set(nd_p, spark)
+    assert {(n, d) for n, d, _ in dups} == {(61, 25), (71, 30)}
+    # the standing index is identical either way
+    assert (sorted(nd_c.read_bands(spark).collect())
+            == sorted(nd_p.read_bands(spark).collect()))
+    assert (nd_c.read_shingles(spark).count()
+            == nd_p.read_shingles(spark).count())
+    # tail is bounded: every batch below the last compaction (id 6)
+    # was folded into base segments
+    import os
+    tail = os.path.join(nd_c.bands_path, "tail")
+    ids = {int(d.split("=")[1]) for d in os.listdir(tail)}
+    assert ids == {6, 7}
+    base = os.path.join(nd_c.bands_path, "base")
+    assert any(d.startswith("segment=") for d in os.listdir(base))
+
+
+def test_major_compaction_merges_segments(spark, tmp_path):
+    """When the segment count would exceed max_segments, compaction
+    merges all existing segments into one — file count stays bounded."""
+    nd = StreamingNearDup(
+        bands_path=str(tmp_path / "bands"),
+        shingles_path=str(tmp_path / "shingles"),
+        dups_path=str(tmp_path / "dups"),
+        compact_every=2, n_buckets=4, max_segments=2)
+    batches = {i: [r] for i, r in enumerate(_corpus(9))}
+    _run_batches(nd, spark, batches)
+    import os
+    base = os.path.join(nd.bands_path, "base")
+    segs = [d for d in os.listdir(base) if d.startswith("segment=")]
+    assert len(segs) <= 2
+    assert nd.read_bands(spark).select("doc_id").distinct().count() == 9
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Both crash points of the compaction protocol: (a) manifest+tmp
+    left behind => rolled back, every row still probed exactly once;
+    (b) manifest+segment left behind (consumed dirs not yet deleted)
+    => rolled forward, no row probed twice (a double-counted shingle
+    relation would corrupt jaccard above 1.0 or change dup verdicts)."""
+    import json as _json
+    import os
+    import shutil
+
+    def fresh(tag):
+        nd = StreamingNearDup(
+            bands_path=str(tmp_path / f"{tag}_bands"),
+            shingles_path=str(tmp_path / f"{tag}_shingles"),
+            dups_path=str(tmp_path / f"{tag}_dups"),
+            compact_every=0, n_buckets=4)
+        _run_batches(nd, spark, {0: [(1, BASE)], 1: [(2, DISTINCT)]})
+        return nd
+
+    # (a) crash BEFORE the swap: tmp + manifest exist, consumed intact
+    nd = fresh("a")
+    root = nd.bands_path
+    os.makedirs(os.path.join(root, "_compacting_segment"))
+    with open(os.path.join(root, "_compaction_manifest"), "w") as f:
+        _json.dump({"segment": 2, "consumed": ["tail/batch_id=0"]}, f)
+    nd.process_batch(spark.createDataFrame([(3, NEAR)],
+                                           "doc_id long, text string"), 2)
+    assert {(r.new_id, r.dup_of)
+            for r in nd.read_dups(spark).collect()} == {(3, 1)}
+    assert not os.path.exists(os.path.join(root, "_compaction_manifest"))
+    assert not os.path.exists(os.path.join(root, "_compacting_segment"))
+
+    # (b) crash AFTER the swap: segment live, consumed dirs still
+    # present, manifest records them — recovery must delete them so the
+    # duplicate rows are never probed twice
+    nd = fresh("b")
+    nd2 = StreamingNearDup(bands_path=nd.bands_path,
+                           shingles_path=nd.shingles_path,
+                           dups_path=nd.dups_path,
+                           compact_every=0, n_buckets=4)
+    nd2.compact(spark, upto_batch_id=2)   # completed compaction
+    # re-create the "consumed not yet deleted" state by copying the
+    # base rows back into a tail dir and restoring the manifest
+    for r, bucket in ((nd.bands_path, "sig_bucket"),
+                      (nd.shingles_path, "id_bucket")):
+        seg = os.path.join(r, "base", "segment=2")
+        ghost = os.path.join(r, "tail", "batch_id=0")
+        os.makedirs(ghost, exist_ok=True)
+        for sub in os.listdir(seg):
+            if sub.startswith(bucket):
+                for fn in os.listdir(os.path.join(seg, sub)):
+                    shutil.copy(os.path.join(seg, sub, fn),
+                                os.path.join(ghost, fn))
+        with open(os.path.join(r, "_compaction_manifest"), "w") as f:
+            _json.dump({"segment": 2,
+                        "consumed": ["tail/batch_id=0"]}, f)
+    nd.process_batch(spark.createDataFrame([(3, NEAR)],
+                                           "doc_id long, text string"), 3)
+    dups = {(r.new_id, r.dup_of): r.jaccard
+            for r in nd.read_dups(spark).collect()}
+    assert set(dups) == {(3, 1)} and dups[(3, 1)] <= 1.0
+    # the ghost tail dir is gone: each row lives in exactly one tier
+    assert nd.read_bands(spark).count() == \
+        nd.read_bands(spark).dropDuplicates().count()
+
+
+def test_probe_prunes_base_buckets(spark, tmp_path):
+    """The probe's base read carries a PartitionFilter on sig_bucket:
+    only directories holding the batch's band signatures are scanned."""
+    nd = StreamingNearDup(
+        bands_path=str(tmp_path / "bands"),
+        shingles_path=str(tmp_path / "shingles"),
+        dups_path=str(tmp_path / "dups"),
+        compact_every=0, n_buckets=8)
+    nd.seed_index(spark.createDataFrame(_corpus(40),
+                                        "doc_id long, text string"))
+    df = nd._read_base(spark, nd.bands_path,
+                       "doc_id bigint, band int, band_sig string",
+                       "sig_bucket", buckets=[0, 1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig_bucket" in plan
+    n_all = len(nd._read_base(
+        spark, nd.bands_path, "doc_id bigint, band int, band_sig string",
+        "sig_bucket").inputFiles())
+    assert n_all >= 6  # seeded index actually spans most buckets
+
+
+def test_seeded_index_is_probed(spark, tmp_path):
+    """seed_index bulk-loads a base segment the streaming probe treats
+    exactly like compacted history."""
+    nd = StreamingNearDup(
+        bands_path=str(tmp_path / "bands"),
+        shingles_path=str(tmp_path / "shingles"),
+        dups_path=str(tmp_path / "dups"))
+    nd.seed_index(spark.createDataFrame(
+        [(100, BASE), (101, DISTINCT)], "doc_id long, text string"))
+    nd.process_batch(spark.createDataFrame(
+        [(200, NEAR)], "doc_id long, text string"), 0)
+    dups = {(r.new_id, r.dup_of) for r in nd.read_dups(spark).collect()}
+    assert dups == {(200, 100)}

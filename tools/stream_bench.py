@@ -137,6 +137,11 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(_REPO,
                                                   "STREAM_BENCH.json"))
     ap.add_argument("--keep-workdir", action="store_true")
+    ap.add_argument("--preseed-docs", type=int, default=0,
+                    help="bulk-load this many documents into the "
+                         "standing near-dup index BEFORE the run — the "
+                         "index-size axis (VERDICT r10 directive 5): "
+                         "per-batch probe cost should be flat in it")
     args = ap.parse_args()
 
     from currency_market_pulse_spark.session import get_spark
@@ -183,6 +188,30 @@ def main() -> None:
                      .load())
 
     out_dir = os.path.join(work, "out")
+    preseed_rows = 0
+    if args.preseed_docs:
+        # bulk-load the standing band/shingle index (ids disjoint from
+        # the stream's) so the run probes a 10x-class corpus from the
+        # first trigger — the layout is exactly what the compactor
+        # writes, so this measures the steady-state probe, not warmup
+        from currency_market_pulse_spark.streaming.neardup_stream import (
+            StreamingNearDup,
+        )
+        seed_rows, rep = [], 0
+        while len(seed_rows) < args.preseed_docs:
+            seed_rows.extend(
+                (int(r.doc_id) + 900_000_000 + rep * 10_000_000, r.text)
+                for r in docs)
+            rep += 1
+        nd_seed = StreamingNearDup(
+            bands_path=os.path.join(out_dir, "idx_bands"),
+            shingles_path=os.path.join(out_dir, "idx_shingles"),
+            dups_path=os.path.join(out_dir, "dups"))
+        nd_seed.seed_index(spark.createDataFrame(
+            seed_rows[:args.preseed_docs], "doc_id long, text string"))
+        preseed_rows = nd_seed.read_bands(spark).count()
+        print(f"preseeded standing index: {args.preseed_docs} docs, "
+              f"{preseed_rows} band rows", flush=True)
     t0 = time.time()
     pipe = run_composed_pipeline(
         spark, None, docs_dir, out_dir, eval_df=eval_df,
@@ -205,9 +234,11 @@ def main() -> None:
         "cms_sketch_bytes": _du(os.path.join(out_dir, "cms_sketch")),
         "cms_geometry": {"rows": pipe.heavy_hitters.rows,
                          "width": pipe.heavy_hitters.width},
-        "band_index_rows": spark.read.parquet(
-            os.path.join(out_dir, "idx_bands")).count(),
+        "band_index_rows": pipe.neardup.read_bands(spark).count(),
         "band_index_bytes": _du(os.path.join(out_dir, "idx_bands")),
+        "band_index_files": sum(
+            1 for _, _, fs in os.walk(os.path.join(out_dir, "idx_bands"))
+            for fn in fs if fn.endswith(".parquet")),
         "sink_bytes": _du(pipe.trades_path),
         "txn_manifests": len(os.listdir(
             os.path.join(pipe.trades_path, "_txn"))),
@@ -225,6 +256,8 @@ def main() -> None:
             "trades_rows_per_trigger": args.rows_per_batch,
             "docs_per_trigger": args.docs_per_file,
             "sf_dir": args.sf_dir,
+            "preseed_docs": args.preseed_docs,
+            "band_index_rows_at_start": preseed_rows,
             "note": ("per-query percentiles cover Spark's last 100 "
                      "triggers (progress retention)"),
         },
