@@ -181,6 +181,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           txn_sink: bool = True,
                           reservoir_k: int = 32,
                           requests_stream: DataFrame | None = None,
+                          view_rebuild_days: int | None = None,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -194,7 +195,10 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     ``requests_stream``: alternative ingest front door — a streaming
     DataFrame already in the ingest schema (e.g. the ``trades_gen``
     rate source, tools/stream_bench.py) used INSTEAD of the
-    ``requests_dir`` file drops (pass requests_dir=None then)."""
+    ``requests_dir`` file drops (pass requests_dir=None then).
+    ``view_rebuild_days``: bound the live view's rebuild-from-storage
+    window to the newest N trade-date partitions' horizon (VERDICT r10
+    directive 4) — see the query-2 comment for semantics and cost."""
     import os
 
     trades_path = f"{out_dir}/trades"
@@ -236,11 +240,16 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                 parse_ingest_json(admitted.select("payload"), "payload"))
             sink.write(trades.filter(F.col("time_placed").isNotNull()),
                        batch_id)
-            # dead-letter the rejects WITH their retry hint (429 twin)
+            # dead-letter the rejects WITH their retry hint (429 twin);
+            # repartition(1): rejects are a trickle — one file per
+            # batch, not one per gateway state partition (and the
+            # shuffle boundary keeps the cached stateful lineage from
+            # collapsing into a single task if the cache was evicted)
             (batch.filter(~F.col("admitted"))
              .select("user_id", "event_id", "ts_ms", "n_in_window",
                      "retry_after_ms")
              .withColumn("batch_id", F.lit(batch_id).cast("long"))
+             .repartition(1)
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(dead_path))
@@ -274,6 +283,27 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     shutil.rmtree(f"{out_dir}/ckpt_trends", ignore_errors=True)
     sink_stream = (spark.readStream.schema(_SINK_STREAM_SCHEMA)
                    .parquet(trades_path))
+    # Bounded rebuild (VERDICT r10 directive 4): unbounded, the boot
+    # cost above grows with the sink's whole history.  With
+    # ``view_rebuild_days`` set, the rebuild reads only trade_date
+    # partitions within N days of the newest one — the cutoff comes
+    # from the partition DIRECTORY NAMES (no data scan), and the
+    # filter is on the partition column, so pruned files contribute
+    # only listing cost, never content reads.  Boot cost is then
+    # O(horizon partitions), not O(history).  Semantics: the view
+    # serves the horizon — rows older than the cutoff (including ones
+    # arriving AFTER boot, which the watermark would expire anyway)
+    # are batch-path territory, exactly the live-view/batch split the
+    # trends_stream docstring documents for late data.
+    if view_rebuild_days is not None:
+        import datetime as _dt
+        dates = [d.split("=", 1)[1] for d in os.listdir(trades_path)
+                 if d.startswith("trade_date=")]
+        if dates:
+            cutoff = (max(_dt.date.fromisoformat(x) for x in dates)
+                      - _dt.timedelta(days=view_rebuild_days - 1))
+            sink_stream = sink_stream.filter(
+                F.col("trade_date") >= F.lit(cutoff))
     trends_writer = (trends_live(sink_stream, watermark=watermark)
                      .writeStream.format("memory").queryName(trends_view)
                      .option("checkpointLocation", f"{out_dir}/ckpt_trends")

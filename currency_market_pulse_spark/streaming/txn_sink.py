@@ -121,8 +121,19 @@ class TxnParquetTradesSink(Sink):
         # visible; replace them wholesale (mode=overwrite does this,
         # rmtree keeps even an aborted empty dir from surviving)
         shutil.rmtree(staged, ignore_errors=True)
+        # repartition by the partition key: ONE file per trade date per
+        # batch instead of one per upstream shuffle partition (32 ~60-row
+        # files for a 2,000-row flush — measured as the bulk of the
+        # import leg's fixed per-batch cost: a 32-task write job plus
+        # 36 fsyncs plus 33 publish renames plus 32 new paths PER BATCH
+        # for the live view's file stream to track, VERDICT r10
+        # directive 3).  A 1 s flush is small by construction; rows
+        # within the file stay time-sorted for row-group pruning.  The
+        # explicit shuffle (not coalesce) keeps the upstream stateful
+        # gateway's partitioning intact.
         (batch
          .withColumn("trade_date", F.to_date("time_placed"))
+         .repartition("trade_date")
          .sortWithinPartitions("time_placed")
          .write.mode("overwrite")
          .partitionBy("trade_date")

@@ -143,3 +143,48 @@ def test_composed_pipeline_with_document_screens(spark, tmp_path):
     assert flags == {(1, 900), (2, 900)}
     assert top.get("the", 0) >= 6   # 'the' appears 3x per doc, 2 docs
     assert res == {1, 2}            # k=32 > corpus: reservoir holds all
+
+
+def test_view_rebuild_window_bounds_boot(spark, tmp_path):
+    """Bounded live-view rebuild (VERDICT r10 directive 4): a restart
+    with view_rebuild_days=N rebuilds the trends view from only the
+    newest N trade-date partitions, and ON that horizon the rebuilt
+    view equals the uninterrupted run's — older windows are batch-path
+    territory, not silently wrong rows."""
+    import datetime as dt
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    req, docs = _plant(tmp_path)
+    # an 11-days-older trade date in front of the usual series: its
+    # window closes too (the 12-AUG events advance the global
+    # watermark far past it)
+    _write(req / "f0.json", [_req("old", "01-AUG-24 10:01:00",
+                                  buy=300.0)])
+    pipe = run_composed_pipeline(
+        spark, str(req), str(docs), str(tmp_path / "out"),
+        window_ms=1000, limit=2, trends_view="rb_full")
+    try:
+        pipe.wait_for(trades=5, dead=1, dups=1, windows=2)
+        full = sorted(tuple(r) for r in spark.table("rb_full").collect())
+    finally:
+        pipe.stop()
+
+    # restart against the same sink, horizon = newest 2 trade dates
+    pipe2 = run_composed_pipeline(
+        spark, str(req), str(docs), str(tmp_path / "out"),
+        window_ms=1000, limit=2, trends_view="rb_bounded",
+        view_rebuild_days=2)
+    try:
+        pipe2.wait_for(trades=5, dead=1, dups=1, windows=1)
+        bounded = sorted(tuple(r)
+                         for r in spark.table("rb_bounded").collect())
+    finally:
+        pipe2.stop()
+
+    cutoff = dt.date(2024, 8, 11)   # max(2024-08-12) - (2 - 1) days
+    want = [t for t in full if t[0].date() >= cutoff]
+    assert bounded == want
+    assert len(want) < len(full)    # the old window really was pruned
