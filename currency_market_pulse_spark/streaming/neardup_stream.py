@@ -329,7 +329,14 @@ class StreamingNearDup:
                 and batch_id % self.compact_every == 0):
             self.compact(spark, upto_batch_id=batch_id)
         toks = batch.select("doc_id", tokens(F.col("text")).alias("_t"))
-        sh = D.shingles_from_tokens(toks).persist()
+        # explicit 8-way hash repartition on the aggregation key: a
+        # micro-batch's shingle relation is ~1 MB, so AQE coalesces the
+        # groupBy exchange to ONE task — serializing the CPU-heavy
+        # minhash (12 seeded hashes per shingle).  A user repartition
+        # is exempt from AQE coalescing, and the downstream
+        # groupBy(doc_id) reuses its partitioning (no second exchange).
+        sh = (D.shingles_from_tokens(toks)
+              .repartition(8, "doc_id").persist())
         bands = D.minhash_bands(D.minhash_signatures(
             None, shingles_df=sh)).persist()
         cand = None
@@ -383,9 +390,19 @@ class StreamingNearDup:
                  .partitionBy("batch_id")
                  .parquet(path))
 
-            _write(dups, self.dups_path)
-            _write(bands, os.path.join(self.bands_path, "tail"))
-            _write(sh, os.path.join(self.shingles_path, "tail"))
+            # the two index-tail writes only dump the already-
+            # materialized caches — overlap them with the dup
+            # computation+write on worker threads (each inherits this
+            # query's FAIR pool via Spark's inheritable local props)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_bands = pool.submit(
+                    _write, bands, os.path.join(self.bands_path, "tail"))
+                f_sh = pool.submit(
+                    _write, sh, os.path.join(self.shingles_path, "tail"))
+                _write(dups, self.dups_path)
+                f_bands.result()
+                f_sh.result()
         finally:
             sh.unpersist()
             bands.unpersist()

@@ -201,6 +201,19 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     directive 4) — see the query-2 comment for semantics and cost."""
     import os
 
+    def _in_pool(name, start_fn):
+        # one FAIR pool per streaming query (session.py sets
+        # spark.scheduler.mode=FAIR): the pool name is a thread-local
+        # property inherited by the query's execution thread at
+        # start(), so the six queries' micro-batch jobs share task
+        # slots fairly instead of head-of-line-blocking each other.
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"stream-{name}")
+        try:
+            return start_fn()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
     trades_path = f"{out_dir}/trades"
     dead_path = f"{out_dir}/dead_letter"
     # the live-view file stream and the dead-letter reader start
@@ -268,7 +281,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
               .outputMode("append").foreachBatch(import_batch))
     if trigger:
         writer = writer.trigger(processingTime=trigger)
-    q_import = writer.start()
+    q_import = _in_pool("import", writer.start)
 
     # ---- query 2: live trends OVER THE SINK's files (storage hand-off)
     # The memory-sink view is EPHEMERAL by construction — it dies with
@@ -310,7 +323,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                      .outputMode("append"))
     if trigger:
         trends_writer = trends_writer.trigger(processingTime=trigger)
-    q_trends = trends_writer.start()
+    q_trends = _in_pool("trends", trends_writer.start)
 
     # ---- query 3: streaming near-dup index probe over the doc stream
     nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
@@ -318,8 +331,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           dups_path=f"{out_dir}/dups")
     doc_stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", "1").json(docs_dir))
-    q_dedup = nd.attach(doc_stream, f"{out_dir}/ckpt_neardup",
-                        trigger=trigger)
+    q_dedup = _in_pool("neardup", lambda: nd.attach(
+        doc_stream, f"{out_dir}/ckpt_neardup", trigger=trigger))
     queries = [q_import, q_trends, q_dedup]
 
     # ---- query 4: count-min heavy hitters over the same doc stream
@@ -327,8 +340,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                                cand_path=f"{out_dir}/cms_cand")
     hh_stream = (spark.readStream.schema("doc_id long, text string")
                  .option("maxFilesPerTrigger", "1").json(docs_dir))
-    queries.append(hh.attach(hh_stream, f"{out_dir}/ckpt_cms",
-                             trigger=trigger))
+    queries.append(_in_pool("cms", lambda: hh.attach(
+        hh_stream, f"{out_dir}/ckpt_cms", trigger=trigger)))
 
     # ---- query 5 (optional): decontaminate-at-ingest screen
     sd = None
@@ -338,8 +351,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                                flags_path=f"{out_dir}/decontam_flags")
         sd_stream = (spark.readStream.schema("doc_id long, text string")
                      .option("maxFilesPerTrigger", "1").json(docs_dir))
-        queries.append(sd.attach(sd_stream, f"{out_dir}/ckpt_decontam",
-                                 trigger=trigger))
+        queries.append(_in_pool("decontam", lambda: sd.attach(
+            sd_stream, f"{out_dir}/ckpt_decontam", trigger=trigger)))
 
     # ---- query 6 (optional): uniform reservoir of everything ingested
     # (constant k-row state; the eval/inspection draw — reservoir_stream)
@@ -350,8 +363,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
             weight_col=None)
         rs_stream = (spark.readStream.schema("doc_id long, text string")
                      .option("maxFilesPerTrigger", "1").json(docs_dir))
-        queries.append(rs.attach(rs_stream, f"{out_dir}/ckpt_reservoir",
-                                 trigger=trigger))
+        queries.append(_in_pool("reservoir", lambda: rs.attach(
+            rs_stream, f"{out_dir}/ckpt_reservoir", trigger=trigger)))
 
     return ComposedPipeline(
         spark=spark,

@@ -157,12 +157,20 @@ def test_view_rebuild_window_bounds_boot(spark, tmp_path):
         run_composed_pipeline,
     )
 
+    import os
+
     req, docs = _plant(tmp_path)
     # an 11-days-older trade date in front of the usual series: its
     # window closes too (the 12-AUG events advance the global
-    # watermark far past it)
+    # watermark far past it).  mtimes pin the ingest order — the file
+    # source processes oldest-first, so the 01-AUG event must reach
+    # the sink BEFORE the 11:30 event advances the view's watermark
+    # past it (otherwise it is legitimately dropped as late data and
+    # the full run's view itself would miss the old window).
     _write(req / "f0.json", [_req("old", "01-AUG-24 10:01:00",
                                   buy=300.0)])
+    for i, name in enumerate(["f0.json", "f1.json", "f2.json"]):
+        os.utime(req / name, (1_000_000 + i * 100, 1_000_000 + i * 100))
     pipe = run_composed_pipeline(
         spark, str(req), str(docs), str(tmp_path / "out"),
         window_ms=1000, limit=2, trends_view="rb_full")

@@ -142,6 +142,16 @@ def main() -> None:
                          "standing near-dup index BEFORE the run — the "
                          "index-size axis (VERDICT r10 directive 5): "
                          "per-batch probe cost should be flat in it")
+    ap.add_argument("--stream-shuffle-partitions", type=int, default=8,
+                    help="shuffle/state width for the STREAMING session "
+                         "(cloned off the main one): 1 s micro-batches "
+                         "are small by construction, and 32-way state "
+                         "ops pay 32 python-worker round-trips + 32 "
+                         "state-store commits per 2,000-row flush "
+                         "(measured import-solo p50 2.57 s at 32 vs "
+                         "1.15 s at 8).  Size UP with offered rate in "
+                         "production; the checkpoint pins state width "
+                         "at first start.")
     args = ap.parse_args()
 
     from currency_market_pulse_spark.session import get_spark
@@ -154,7 +164,13 @@ def main() -> None:
 
     spark = get_spark(app_name="stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.dataSource.register(TradesGenDataSource)
+    # the streaming queries run on a cloned session with shuffle width
+    # sized to the micro-batch volume (see --stream-shuffle-partitions);
+    # the main session keeps the engine default for batch reads
+    stream_spark = spark.newSession()
+    stream_spark.conf.set("spark.sql.shuffle.partitions",
+                          str(args.stream_shuffle_partitions))
+    stream_spark.dataSource.register(TradesGenDataSource)
 
     work = tempfile.mkdtemp(prefix="stream_bench_")
     docs_dir = os.path.join(work, "docs")
@@ -179,11 +195,11 @@ def main() -> None:
             for did, text in rows[s:s + args.docs_per_file]:
                 f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
         fidx += 1
-    eval_df = spark.createDataFrame(
+    eval_df = stream_spark.createDataFrame(
         [(int(r.doc_id), r.text) for r in docs[:50]],
         "doc_id long, text string")
 
-    trades_stream = (spark.readStream.format("trades_gen")
+    trades_stream = (stream_spark.readStream.format("trades_gen")
                      .option("rowsPerBatch", str(args.rows_per_batch))
                      .load())
 
@@ -197,24 +213,37 @@ def main() -> None:
         from currency_market_pulse_spark.streaming.neardup_stream import (
             StreamingNearDup,
         )
+        # rep 0 is the corpus verbatim (so the stream's docs have their
+        # genuine standing match — the steady-state dedup condition);
+        # later reps interleave a rep-salt token between every original
+        # token, which kills 3-shingle overlap with everything else —
+        # the extra index mass is DISTINCT content, so the axis being
+        # measured is index size, not candidate hit rate.
+        def _variant(text, rep):
+            if rep == 0:
+                return text
+            return " ".join(f"{t} z{rep}q{j}"
+                            for j, t in enumerate(text.split()))
+
         seed_rows, rep = [], 0
         while len(seed_rows) < args.preseed_docs:
             seed_rows.extend(
-                (int(r.doc_id) + 900_000_000 + rep * 10_000_000, r.text)
+                (int(r.doc_id) + 900_000_000 + rep * 10_000_000,
+                 _variant(r.text, rep))
                 for r in docs)
             rep += 1
         nd_seed = StreamingNearDup(
             bands_path=os.path.join(out_dir, "idx_bands"),
             shingles_path=os.path.join(out_dir, "idx_shingles"),
             dups_path=os.path.join(out_dir, "dups"))
-        nd_seed.seed_index(spark.createDataFrame(
+        nd_seed.seed_index(stream_spark.createDataFrame(
             seed_rows[:args.preseed_docs], "doc_id long, text string"))
         preseed_rows = nd_seed.read_bands(spark).count()
         print(f"preseeded standing index: {args.preseed_docs} docs, "
               f"{preseed_rows} band rows", flush=True)
     t0 = time.time()
     pipe = run_composed_pipeline(
-        spark, None, docs_dir, out_dir, eval_df=eval_df,
+        stream_spark, None, docs_dir, out_dir, eval_df=eval_df,
         requests_stream=trades_stream)
     try:
         time.sleep(args.duration)
@@ -258,6 +287,7 @@ def main() -> None:
             "sf_dir": args.sf_dir,
             "preseed_docs": args.preseed_docs,
             "band_index_rows_at_start": preseed_rows,
+            "stream_shuffle_partitions": args.stream_shuffle_partitions,
             "note": ("per-query percentiles cover Spark's last 100 "
                      "triggers (progress retention)"),
         },
