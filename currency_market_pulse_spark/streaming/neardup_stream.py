@@ -8,8 +8,9 @@ cost argument; this module is what executes it continuously).
 Standing-index layout (VERDICT r10 directive 1 — the pre-r11 version
 re-read the ENTIRE flat index every micro-batch, measured as the
 composed pipeline's saturation point at p95 11.5x the trigger budget):
-each of the two relations is a two-tier LSM-style store under its
-root —
+each of the THREE relations — bands, shingles, and the exact-hash
+relation (doc_id, md5(text)) that powers the exact fast path — is a
+two-tier LSM-style store under its root —
 
 - ``tail/batch_id=<id>/``   one coalesced file per micro-batch: the
   recent, not-yet-compacted appends.  Bounded: at most
@@ -17,8 +18,22 @@ root —
 - ``base/segment=<n>/<bucket>=<b>/``  immutable compacted segments,
   hash-bucketed by the PROBE KEY — ``sig_bucket =
   pmod(xxhash64(band, band_sig), n_buckets)`` for bands,
-  ``id_bucket = pmod(doc_id, n_buckets)`` for shingles — and sorted
-  by it within each file.
+  ``id_bucket = pmod(doc_id, n_buckets)`` for shingles,
+  ``h_bucket`` (first 8 hex chars of the md5, so the probe can
+  derive it driver-side) for hashes — and sorted by it within each
+  file.
+
+Probe order is the production ingest-dedup order: EXACT first (md5 of
+the full text against the standing hash relation — no shingling, no
+minhash, no verify; jaccard is 1.0 by construction), then the minhash
+band probe over only the exact-novel remainder.  Exact copies are NOT
+appended to the index: exact equality is transitive, so a future copy
+still matches the first-ingested document's hash — the standing index
+grows with NOVEL content, not with ingest volume.  (One documented
+consequence: a document with an exact standing match is reported
+against its hash-equal match even if some other standing document
+ties at jaccard 1.0 with a different shingle SET — both are correct
+best matches at the threshold.)
 
 The probe then reads ``base`` with a partition filter on the batch's
 touched buckets (plan shows ``PartitionFilters: [sig_bucket IN
@@ -89,6 +104,7 @@ from currency_market_pulse_spark.operators import dedup as D
 # "unable to infer schema".
 _BANDS_DATA = "doc_id bigint, band int, band_sig string"
 _SHINGLES_DATA = "doc_id bigint, n_sh bigint, sh string"
+_HASHES_DATA = "doc_id bigint, h string"
 _DUPS_SCHEMA = ("new_id bigint, dup_of bigint, jaccard double, "
                 "batch_id bigint")
 
@@ -107,6 +123,18 @@ def _sig_bucket(n: int) -> "F.Column":
 
 def _id_bucket(n: int) -> "F.Column":
     return F.pmod(F.col("doc_id"), F.lit(n)).cast("int")
+
+
+def _h_bucket(n: int) -> "F.Column":
+    """Bucket of an md5 hex string — the first 8 hex chars as an int,
+    chosen because the probe must derive the SAME bucket driver-side
+    from collected hash values (``_h_bucket_py``)."""
+    return F.pmod(F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+                  .cast("long"), F.lit(n)).cast("int")
+
+
+def _h_bucket_py(h: str, n: int) -> int:
+    return int(h[:8], 16) % n
 
 
 def _tail_dirs(root: str) -> list[tuple[int, str]]:
@@ -172,6 +200,13 @@ class StreamingNearDup:
     n_buckets: int = 8
     compact_every: int = 32
     max_segments: int = 8
+    #: standing (doc_id, md5(text)) relation for the exact fast path;
+    #: defaults to a sibling of bands_path
+    hashes_path: str | None = None
+
+    def __post_init__(self):
+        if self.hashes_path is None:
+            self.hashes_path = self.bands_path + "_hashes"
 
     # ---- standing-index reads -------------------------------------
 
@@ -225,6 +260,13 @@ class StreamingNearDup:
                               "id_bucket", batch_id=-1)
         return df if df is not None else \
             spark.createDataFrame([], _SHINGLES_DATA)
+
+    def read_hashes(self, spark) -> DataFrame:
+        """The full standing exact-hash relation (base + tail)."""
+        df = self._read_index(spark, self.hashes_path, _HASHES_DATA,
+                              "h_bucket", batch_id=-1)
+        return df if df is not None else \
+            spark.createDataFrame([], _HASHES_DATA)
 
     # ---- compaction ------------------------------------------------
 
@@ -286,6 +328,9 @@ class StreamingNearDup:
         self._compact_root(spark, self.shingles_path, _SHINGLES_DATA,
                            _id_bucket(self.n_buckets), "id_bucket",
                            ["doc_id"], upto_batch_id, seg)
+        self._compact_root(spark, self.hashes_path, _HASHES_DATA,
+                           _h_bucket(self.n_buckets), "h_bucket",
+                           ["h"], upto_batch_id, seg)
 
     def seed_index(self, docs: DataFrame, segment_id: int = 0) -> None:
         """Bulk-load a corpus as base segment ``segment_id`` without
@@ -316,6 +361,9 @@ class StreamingNearDup:
                    "sig_bucket", ["band", "band_sig"])
             _write(sh, self.shingles_path, _id_bucket(self.n_buckets),
                    "id_bucket", ["doc_id"])
+            _write(docs.select("doc_id", F.md5("text").alias("h")),
+                   self.hashes_path, _h_bucket(self.n_buckets),
+                   "h_bucket", ["h"])
         finally:
             sh.unpersist()
 
@@ -323,12 +371,122 @@ class StreamingNearDup:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        _recover(self.bands_path)
-        _recover(self.shingles_path)
+        for root in (self.bands_path, self.shingles_path,
+                     self.hashes_path):
+            _recover(root)
         if (self.compact_every and batch_id > 0
                 and batch_id % self.compact_every == 0):
             self.compact(spark, upto_batch_id=batch_id)
-        toks = batch.select("doc_id", tokens(F.col("text")).alias("_t"))
+
+        # ---- stage 1: the exact fast path (md5 of the full text).
+        # Production ingest dedups exact copies BEFORE near-dup
+        # machinery: an exact hit needs no shingling, no minhash, no
+        # jaccard verify — and an exact copy adds nothing to the
+        # standing index (exact equality is transitive, so future
+        # copies still match the FIRST-INGESTED doc's hash).  In the
+        # steady dup-heavy state the whole minhash branch is skipped.
+        # The per-batch hash relation is batch-sized by construction,
+        # so the dedup BOOKKEEPING runs driver-side on two bounded
+        # collects (batch hashes; matching standing rows) — but every
+        # relation that is WRITTEN derives from ``batch`` or the
+        # standing parquet (JVM sources), never from a Python-local
+        # DataFrame: a LocalRelation scan runs as Scan ExistingRDD
+        # through per-job Python workers, and coalesce(1) over it
+        # evaluates all parent partitions SERIALLY — measured at
+        # seconds per write.
+        # one materialization of the micro-batch: every downstream
+        # relation (exact hits, remainder shingles, index tails) reads
+        # the cache instead of re-scanning the source per write
+        batch = batch.persist()
+        try:
+            self._probe_batch(spark, batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _probe_batch(self, spark, batch: DataFrame,
+                     batch_id: int) -> None:
+        pairs = batch.select("doc_id", F.md5("text").alias("h")) \
+            .collect()
+        if not pairs:
+            return
+        owner: dict[str, int] = {}
+        for r in sorted(pairs):
+            owner.setdefault(r.h, r.doc_id)
+        idx_h = self._read_index(
+            spark, self.hashes_path, _HASHES_DATA, "h_bucket",
+            batch_id,
+            buckets=sorted({_h_bucket_py(h, self.n_buckets)
+                            for h in owner}))
+        std = None
+        matched: dict[str, int] = {}
+        if idx_h is not None:
+            std = idx_h.filter(F.col("h").isin(list(owner)))
+            for r in sorted(std.collect(), key=lambda r: r.doc_id):
+                matched.setdefault(r.h, r.doc_id)
+
+        hashed = batch.select("doc_id", F.md5("text").alias("_h"))
+        hits = []
+        # within-batch exact copies (usually none): first owner keeps
+        # the id; the owner lookup is a SMALL literal map over only
+        # the hashes that actually repeat in this batch
+        from collections import Counter
+        h_counts = Counter(r.h for r in pairs)
+        dup_hashes = {h: i for h, i in owner.items() if h_counts[h] > 1}
+        if dup_hashes:
+            m = F.map_from_arrays(
+                F.array(*[F.lit(h) for h in dup_hashes]),
+                F.array(*[F.lit(i).cast("bigint")
+                          for i in dup_hashes.values()]))
+            hits.append(
+                hashed.withColumn("_own", m[F.col("_h")])
+                .filter(F.col("_own").isNotNull()
+                        & (F.col("doc_id") != F.col("_own")))
+                .select(F.col("doc_id").alias("new_id"),
+                        F.col("_own").alias("dup_of"),
+                        F.lit(1.0).alias("jaccard")))
+        if matched:
+            # standing exact matches: a broadcast join against the
+            # (JVM, parquet-backed) pruned standing rows — NOT a
+            # literal map, whose hundreds of codegen'd literals were
+            # measured as per-batch plan-compile overhead
+            hits.append(
+                hashed.join(
+                    F.broadcast(std.withColumnRenamed(
+                        "doc_id", "corpus_id")),
+                    F.col("_h") == F.col("h"))
+                .select(F.col("doc_id").alias("new_id"),
+                        F.col("corpus_id").alias("dup_of"),
+                        F.lit(1.0).alias("jaccard")))
+        if not hits:
+            hits = [spark.range(0).select(
+                F.col("id").alias("new_id"),
+                F.col("id").alias("dup_of"),
+                F.lit(1.0).alias("jaccard"))]
+
+        # ---- stage 2: the minhash near-dup branch, over the
+        # exact-novel remainder only (first-owners with no standing
+        # exact match); only the remainder joins the standing index
+        # and only the remainder is appended to it.
+        rem_ids = [i for h, i in owner.items() if h not in matched]
+        if rem_ids:
+            rem_docs = batch.filter(F.col("doc_id").isin(rem_ids))
+            self._near_dup_stage(
+                spark, rem_docs, batch_id, hits,
+                hashes=rem_docs.select(
+                    "doc_id", F.md5("text").alias("h")))
+        else:
+            self._rank_and_write(dups_only=True, hits=hits,
+                                 batch_id=batch_id)
+
+    def _near_dup_stage(self, spark, rem_docs: DataFrame,
+                        batch_id: int, hits: list,
+                        hashes: DataFrame) -> None:
+        """The pre-fast-path probe, over the exact-novel remainder:
+        shingle -> minhash bands -> bucket-pruned standing probe ->
+        candidate-bounded exact-jaccard verify; then the remainder's
+        index contribution is appended (tail tier)."""
+        toks = rem_docs.select("doc_id", tokens(F.col("text"))
+                               .alias("_t"))
         # explicit 8-way hash repartition on the aggregation key: a
         # micro-batch's shingle relation is ~1 MB, so AQE coalesces the
         # groupBy exchange to ONE task — serializing the CPU-heavy
@@ -344,11 +502,10 @@ class StreamingNearDup:
             # batch-internal near-dups: lower doc_id wins, the higher
             # id is flagged as its dup (same first-owner convention as
             # the batch chunk/substring dedup operators)
-            intra = (D.jaccard_verify_candidates(
+            hits.append(D.jaccard_verify_candidates(
                 sh, D.pairs_from_bands(bands), threshold=self.threshold)
                 .select(F.col("id_b").alias("new_id"),
                         F.col("id_a").alias("dup_of"), "jaccard"))
-            hits = [intra]
             # bucket-pruned probe: only base dirs holding one of the
             # batch's band-signature buckets are scanned (bounded
             # collect — at most n_buckets ints)
@@ -369,45 +526,60 @@ class StreamingNearDup:
                 if cand_ids:
                     hits.append(self._verify_cross(
                         spark, sh, cand, cand_ids, batch_id))
-            union = hits[0]
-            for h in hits[1:]:
-                union = union.unionAll(h)
-            w = Window.partitionBy("new_id").orderBy(
-                F.desc("jaccard"), "dup_of")
-            dups = (union.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .select("new_id", "dup_of", "jaccard"))
-
-            def _write(df: DataFrame, path: str) -> None:
-                # coalesce(1): a micro-batch's contribution is one
-                # small file, not one per shuffle partition — the tail
-                # stays O(compact_every) files, not O(32x that)
-                (df.withColumn("batch_id",
-                               F.lit(batch_id).cast("bigint"))
-                 .coalesce(1)
-                 .write.mode("overwrite")
-                 .option("partitionOverwriteMode", "dynamic")
-                 .partitionBy("batch_id")
-                 .parquet(path))
-
-            # the two index-tail writes only dump the already-
-            # materialized caches — overlap them with the dup
-            # computation+write on worker threads (each inherits this
-            # query's FAIR pool via Spark's inheritable local props)
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_bands = pool.submit(
-                    _write, bands, os.path.join(self.bands_path, "tail"))
-                f_sh = pool.submit(
-                    _write, sh, os.path.join(self.shingles_path, "tail"))
-                _write(dups, self.dups_path)
-                f_bands.result()
-                f_sh.result()
+            self._rank_and_write(
+                dups_only=False, hits=hits, batch_id=batch_id,
+                bands=bands, sh=sh, hashes=hashes)
         finally:
             sh.unpersist()
             bands.unpersist()
             if cand is not None:
                 cand.unpersist()
+
+    def _rank_and_write(self, dups_only: bool, hits: list,
+                        batch_id: int, bands: DataFrame | None = None,
+                        sh: DataFrame | None = None,
+                        hashes: DataFrame | None = None) -> None:
+        union = hits[0]
+        for h in hits[1:]:
+            union = union.unionAll(h)
+        w = Window.partitionBy("new_id").orderBy(
+            F.desc("jaccard"), "dup_of")
+        dups = (union.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("new_id", "dup_of", "jaccard"))
+
+        def _write(df: DataFrame, path: str) -> None:
+            # coalesce(1): a micro-batch's contribution is one
+            # small file, not one per shuffle partition — the tail
+            # stays O(compact_every) files, not O(32x that)
+            (df.withColumn("batch_id",
+                           F.lit(batch_id).cast("bigint"))
+             .coalesce(1)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
+
+        if dups_only:
+            _write(dups, self.dups_path)
+            return
+        # the index-tail writes only dump the already-materialized
+        # caches — overlap them with the dup computation+write on
+        # worker threads (each inherits this query's FAIR pool via
+        # Spark's inheritable local props)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_write, bands,
+                            os.path.join(self.bands_path, "tail")),
+                pool.submit(_write, sh,
+                            os.path.join(self.shingles_path, "tail")),
+                pool.submit(_write, hashes,
+                            os.path.join(self.hashes_path, "tail")),
+            ]
+            _write(dups, self.dups_path)
+            for f in futs:
+                f.result()
 
     def _verify_cross(self, spark, sh: DataFrame, cand: DataFrame,
                       cand_ids: list[int], batch_id: int) -> DataFrame:

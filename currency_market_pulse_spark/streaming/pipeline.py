@@ -328,6 +328,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # ---- query 3: streaming near-dup index probe over the doc stream
     nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
                           shingles_path=f"{out_dir}/idx_shingles",
+                          hashes_path=f"{out_dir}/idx_hashes",
                           dups_path=f"{out_dir}/dups")
     doc_stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", "1").json(docs_dir))

@@ -194,11 +194,15 @@ def test_compaction_preserves_results_and_bounds_tail(spark, tmp_path):
     assert (nd_c.read_shingles(spark).count()
             == nd_p.read_shingles(spark).count())
     # tail is bounded: every batch below the last compaction (id 6)
-    # was folded into base segments
+    # was folded into base segments.  Batch 7's doc was an EXACT copy
+    # of standing content — the exact fast path flags it (above) and
+    # contributes nothing to the index, so only batch 6 has a tail dir.
     import os
     tail = os.path.join(nd_c.bands_path, "tail")
     ids = {int(d.split("=")[1]) for d in os.listdir(tail)}
-    assert ids == {6, 7}
+    assert ids == {6}
+    assert 71 not in {r.doc_id
+                      for r in nd_c.read_bands(spark).collect()}
     base = os.path.join(nd_c.bands_path, "base")
     assert any(d.startswith("segment=") for d in os.listdir(base))
 
@@ -320,3 +324,69 @@ def test_seeded_index_is_probed(spark, tmp_path):
         [(200, NEAR)], "doc_id long, text string"), 0)
     dups = {(r.new_id, r.dup_of) for r in nd.read_dups(spark).collect()}
     assert dups == {(200, 100)}
+
+
+def test_exact_fast_path_flags_and_skips_indexing(spark, tmp_path):
+    """An exact copy of standing content is flagged at jaccard 1.0 via
+    the hash fast path, is NOT appended to any index relation, and a
+    LATER exact copy still matches the FIRST-ingested doc's hash
+    (transitivity — the index grows with novel content only)."""
+    nd = _handler(tmp_path)
+    nd.process_batch(spark.createDataFrame([(1, BASE)],
+                                           "doc_id long, text string"), 0)
+    nd.process_batch(spark.createDataFrame([(2, BASE)],
+                                           "doc_id long, text string"), 1)
+    nd.process_batch(spark.createDataFrame([(3, BASE)],
+                                           "doc_id long, text string"), 2)
+    dups = {r.new_id: (r.dup_of, r.jaccard)
+            for r in nd.read_dups(spark).collect()}
+    assert dups == {2: (1, 1.0), 3: (1, 1.0)}
+    assert {r.doc_id for r in nd.read_bands(spark).collect()} == {1}
+    assert {r.doc_id for r in nd.read_hashes(spark).collect()} == {1}
+    assert nd.read_shingles(spark).select("doc_id").distinct().count() == 1
+
+
+def test_exact_within_batch_keeps_one_owner(spark, tmp_path):
+    """Two exact copies in ONE batch: the lower id owns, the higher is
+    flagged against it, and only the owner is indexed."""
+    nd = _handler(tmp_path)
+    nd.process_batch(spark.createDataFrame(
+        [(10, BASE), (11, BASE), (12, DISTINCT)],
+        "doc_id long, text string"), 0)
+    dups = {r.new_id: (r.dup_of, r.jaccard)
+            for r in nd.read_dups(spark).collect()}
+    assert dups == {11: (10, 1.0)}
+    assert {r.doc_id for r in nd.read_hashes(spark).collect()} \
+        == {10, 12}
+
+
+def test_exact_and_near_mix_in_one_batch(spark, tmp_path):
+    """A batch carrying an exact copy AND a near copy of standing
+    content: the exact one takes the fast path, the near one still
+    goes through the minhash probe, and both are flagged."""
+    nd = _handler(tmp_path)
+    nd.process_batch(spark.createDataFrame([(1, BASE)],
+                                           "doc_id long, text string"), 0)
+    nd.process_batch(spark.createDataFrame(
+        [(2, BASE), (3, NEAR)], "doc_id long, text string"), 1)
+    dups = {r.new_id: r.dup_of for r in nd.read_dups(spark).collect()}
+    assert dups == {2: 1, 3: 1}
+    # the near copy is novel content -> indexed; the exact copy is not
+    assert {r.doc_id for r in nd.read_hashes(spark).collect()} == {1, 3}
+
+
+def test_exact_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a batch whose docs were exact dups: no
+    double-flagging, no self-matching via its own prior hash rows."""
+    nd = _handler(tmp_path)
+    nd.process_batch(spark.createDataFrame([(1, BASE)],
+                                           "doc_id long, text string"), 0)
+    b1 = spark.createDataFrame([(2, BASE)], "doc_id long, text string")
+    nd.process_batch(b1, 1)
+    first = sorted((r.new_id, r.dup_of, r.jaccard)
+                   for r in nd.read_dups(spark).collect())
+    nd.process_batch(b1, 1)   # replay
+    again = sorted((r.new_id, r.dup_of, r.jaccard)
+                   for r in nd.read_dups(spark).collect())
+    assert first == again == [(2, 1, 1.0)]
+    assert nd.read_hashes(spark).count() == 1

@@ -234,6 +234,7 @@ def main() -> None:
         nd_seed = StreamingNearDup(
             bands_path=os.path.join(out_dir, "idx_bands"),
             shingles_path=os.path.join(out_dir, "idx_shingles"),
+            hashes_path=os.path.join(out_dir, "idx_hashes"),
             dups_path=os.path.join(out_dir, "dups"))
         nd_seed.seed_index(stream_spark.createDataFrame(
             seed_rows[:args.preseed_docs], "doc_id long, text string"))
