@@ -82,7 +82,27 @@ def _summarize(progress: list[dict], trigger_ms: int) -> dict:
     data_batches = [p for p in progress if int(p.get("numInputRows", 0))]
     prs = [float(p["processedRowsPerSecond"]) for p in data_batches
            if p.get("processedRowsPerSecond")]
-    return {
+    # per-trigger wall decomposition from Spark's own progress feed
+    # (r11 directive 1): addBatch is the foreachBatch/sink work,
+    # walCommit+commitOffsets are the checkpoint fsyncs, the rest is
+    # planning + source polling.  State-op internals (task-time SUMS
+    # across partitions, not wall) expose the stateful gateway's
+    # update/commit/timeout-scan split.
+    breakdown = {}
+    for k in ("addBatch", "walCommit", "commitOffsets",
+              "queryPlanning", "latestOffset", "getBatch"):
+        xs = [p["durationMs"][k] for p in data_batches
+              if "durationMs" in p and k in p["durationMs"]]
+        if xs:
+            breakdown[k] = {"p50": _pct(xs, 50), "p95": _pct(xs, 95)}
+    state_ms = {}
+    for k in ("allUpdatesTimeMs", "commitTimeMs", "allRemovalsTimeMs"):
+        xs = [p["stateOperators"][0][k] for p in data_batches
+              if p.get("stateOperators")
+              and k in p["stateOperators"][0]]
+        if xs:
+            state_ms[k] = {"p50": _pct(xs, 50), "p95": _pct(xs, 95)}
+    out = {
         "batches": len(walls),
         "data_batches": len(data_batches),
         "input_rows": rows,
@@ -94,7 +114,11 @@ def _summarize(progress: list[dict], trigger_ms: int) -> dict:
                             if walls else None),
         "processed_rows_per_sec_p50": (round(_pct(prs, 50), 1)
                                        if prs else None),
+        "wall_breakdown_ms": breakdown,
     }
+    if state_ms:
+        out["state_task_ms_sums"] = state_ms
+    return out
 
 
 def _view_pickup_lag(import_prog: list[dict],
