@@ -51,12 +51,35 @@ axis).
 Compaction (every ``compact_every`` batches, inside process_batch so
 it needs no side scheduler) folds committed tail dirs into a NEW base
 segment — segments are immutable, so a minor compaction costs
-O(tail), not O(index).  When the segment count would exceed
-``max_segments`` the compaction merges all existing segments too
-(major compaction, O(index) but amortized over
-``max_segments * compact_every`` batches; a production deployment at
-100 TB would replace merge-all with size-tiered levels — same
-protocol, more tiers).  Crash-safety is the manifest protocol of
+O(tail), not O(index).  When the segment count exceeds
+``max_segments``, SIZE-TIERED major compaction runs as carry
+propagation: merge the two smallest segments plus every next-larger
+one that is no bigger than the group's running sum (equals merge
+with equals; a big old segment is never dragged into a merge of
+small newcomers), repeating until within budget — each ingested byte
+is rewritten O(log(index / segment)) times instead of the
+O(index / tail) a merge-all policy pays (tools/compaction_bench.py
+measures the write-amplification delta on real index data;
+``compaction_policy="merge_all"`` keeps the r11 behavior for that
+A/B).  Tier-merge segments take ids from a reserved range
+(>= 10**12) so they can never collide with minor segments, whose id
+IS the compacting batch id (replay-idempotency relies on that).
+
+Bucket-count scaling: each segment records its own bucket count in a
+``_meta.json`` written into the segment directory BEFORE the
+atomic rename (so it travels with the data through every crash
+window).  At compaction time the new segment's count is sized from
+its input bytes — ``next_pow2(bytes / target_bucket_bytes)`` clamped
+to [``n_buckets``, ``max_buckets``] — so a 100x-grown index gets
+proportionally more buckets and the probe's pruning fraction stays
+~constant instead of flooring at 1/n_buckets.  The probe unions the
+touched-bucket lists computed under every bucket count present among
+segments: for each segment its true matching bucket is always in the
+union (correctness), and the only cost of mixed generations is a
+bounded over-read of old small segments until the next merge
+re-buckets them.
+
+Crash-safety is the manifest protocol of
 streaming/compaction.py adapted to append-only segments: write the
 new segment to a hidden tmp dir, durably record intent (atomic-rename
 manifest listing the consumed dirs), rename tmp into place, THEN
@@ -115,6 +138,49 @@ _CAND_COLLECT_CAP = 100_000
 
 _MANIFEST = "_compaction_manifest"
 _TMPSEG = "_compacting_segment"
+_SEGMETA = "_meta.json"
+#: tier-merge segments take ids from here up — minor segments' id IS
+#: the compacting batch id (replay idempotency keys on it), so the
+#: ranges must never collide; 10**12 batch ids at a 1 s trigger is
+#: ~31,000 years of uptime.
+_TIER_SEG_BASE = 10 ** 12
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def _dir_rows(path: str) -> int:
+    """Row count of a parquet dir from the file footers alone —
+    driver-side metadata reads, no Spark job.  Rows (not bytes) drive
+    the carry-merge guard: per-file footer/dictionary overhead floors
+    a tiny segment at a few KB per bucket file, which at 1-batch
+    compaction granularity makes every segment look byte-similar and
+    degenerates carry selection toward merge-all (measured: write amp
+    7.1 with a byte guard vs 8.6 merge_all at 100 unit minors; the
+    row guard restores the simulated O(log) behavior)."""
+    total = 0
+    import pyarrow.parquet as pq
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                try:
+                    total += pq.read_metadata(
+                        os.path.join(root, n)).num_rows
+                except OSError:
+                    pass
+    return total
 
 
 def _sig_bucket(n: int) -> "F.Column":
@@ -197,12 +263,34 @@ class StreamingNearDup:
     shingles_path: str
     dups_path: str
     threshold: float = 0.5
+    #: bucket-count FLOOR for new segments (and the assumed count for
+    #: pre-r12 segments without ``_meta.json``); segments written at
+    #: compaction scale their own count up from input bytes — see
+    #: target_bucket_bytes / max_buckets and the module docstring.
     n_buckets: int = 8
     compact_every: int = 32
     max_segments: int = 8
     #: standing (doc_id, md5(text)) relation for the exact fast path;
     #: defaults to a sibling of bands_path
     hashes_path: str | None = None
+    #: "tiered" (size-tiered major compaction, the default) or
+    #: "merge_all" (the r11 policy, kept for write-amplification A/Bs
+    #: — tools/compaction_bench.py).
+    compaction_policy: str = "tiered"
+    #: sizing rule for a new segment's bucket count:
+    #: n = next_pow2(input_bytes / target_bucket_bytes) clamped to
+    #: [n_buckets, max_buckets].  At 8 MiB per bucket a 1 GiB segment
+    #: gets 128 buckets, so the probe keeps scanning ~batch-touched
+    #: megabytes as the index grows 100x, instead of 1/8th of it.
+    target_bucket_bytes: int = 8 << 20
+    max_buckets: int = 1024
+    #: micro-batches with more rows than this take the fully
+    #: distributed exact stage (window-owner + anti-join) instead of
+    #: the driver-side (doc_id, md5) bookkeeping — identical output,
+    #: a few more Spark jobs; below the cap the driver dict path is
+    #: faster per batch (measured: the bookkeeping is ~ms at 1-10 k
+    #: rows but would be per-row Python work at a 100 k-row trigger).
+    hash_collect_cap: int = 50_000
 
     def __post_init__(self):
         if self.hashes_path is None:
@@ -235,6 +323,20 @@ class StreamingNearDup:
         if buckets is not None:
             df = df.filter(F.col(bucket_col).isin(buckets))
         return df.drop("segment", bucket_col)
+
+    def _base_bucket_counts(self, root: str) -> list[int]:
+        """Distinct bucket counts among this root's segments (from
+        each segment's _meta.json; segments predating the meta file
+        are assumed to be at the configured floor).  Bounded by
+        max_segments driver-side file reads."""
+        ns = set()
+        for _i, p in _segment_dirs(root):
+            try:
+                with open(os.path.join(p, _SEGMETA)) as f:
+                    ns.add(int(json.load(f)["n_buckets"]))
+            except (OSError, ValueError, KeyError):
+                ns.add(self.n_buckets)
+        return sorted(ns)
 
     def _read_index(self, spark, root: str, data_schema: str,
                     bucket_col: str, batch_id: int,
@@ -270,66 +372,133 @@ class StreamingNearDup:
 
     # ---- compaction ------------------------------------------------
 
-    def _compact_root(self, spark, root: str, data_schema: str,
-                      bucket_expr: "F.Column", bucket_col: str,
-                      sort_cols: list[str], upto_batch_id: int,
-                      segment_id: int) -> bool:
-        """Fold tail dirs with id < upto_batch_id (plus, on major
-        compactions, every existing segment) into base/segment=<id>.
-        Crash-safe per the module-docstring protocol.  Returns whether
-        a segment was written."""
-        _recover(root)
-        seg_dir = os.path.join(root, "base", f"segment={segment_id}")
-        if os.path.isdir(seg_dir):
-            return False  # crash-replayed compacting batch: done already
-        tails = [(i, p) for i, p in _tail_dirs(root) if i < upto_batch_id]
-        if not tails:
-            return False
-        segs = _segment_dirs(root)
-        consumed = [os.path.join("tail", os.path.basename(p))
-                    for _, p in tails]
+    def _choose_buckets(self, input_bytes: int) -> int:
+        """Bucket count for a new segment — next_pow2 of input bytes /
+        target_bucket_bytes, clamped to [n_buckets, max_buckets]."""
+        n = _next_pow2(max(1, -(-input_bytes // self.target_bucket_bytes)))
+        return min(max(n, self.n_buckets), self.max_buckets)
+
+    def _write_segment(self, spark, root: str, data_schema: str,
+                       bucket_expr_fn, bucket_col: str,
+                       sort_cols: list[str],
+                       tails: list[tuple[int, str]],
+                       segs: list[tuple[int, str]],
+                       segment_id: int) -> None:
+        """Fold the given tail dirs + segments into
+        ``base/segment=<segment_id>`` under the crash-safe manifest
+        protocol (module docstring).  The new segment's bucket count
+        is sized from its input bytes and recorded in its _meta.json
+        (written into the tmp dir BEFORE the atomic rename, so data
+        and meta become visible together in every crash window)."""
+        consumed = ([os.path.join("tail", os.path.basename(p))
+                     for _, p in tails]
+                    + [os.path.join("base", os.path.basename(p))
+                       for _, p in segs])
         srcs = [spark.read.schema(data_schema).parquet(p)
                 for _, p in tails]
-        if len(segs) + 1 > self.max_segments:  # major: merge-all
-            consumed += [os.path.join("base", os.path.basename(p))
-                         for _, p in segs]
-            srcs += [spark.read.schema(f"{data_schema}, {bucket_col} int")
-                     .parquet(p).drop(bucket_col) for _, p in segs]
+        srcs += [spark.read.schema(f"{data_schema}, {bucket_col} int")
+                 .parquet(p).drop(bucket_col) for _, p in segs]
+        input_bytes = sum(_dir_bytes(p) for _, p in tails + segs)
+        n = self._choose_buckets(input_bytes)
         df = srcs[0]
         for s in srcs[1:]:
             df = df.unionAll(s)
         tmp = os.path.join(root, _TMPSEG)
         shutil.rmtree(tmp, ignore_errors=True)
-        (df.withColumn(bucket_col, bucket_expr)
-         .repartition(self.n_buckets, bucket_col)
+        (df.withColumn(bucket_col, bucket_expr_fn(n))
+         .repartition(n, bucket_col)
          .sortWithinPartitions(*sort_cols)
          .write.mode("overwrite").partitionBy(bucket_col).parquet(tmp))
+        with open(os.path.join(tmp, _SEGMETA), "w") as f:
+            json.dump({"n_buckets": n, "input_bytes": input_bytes}, f)
         manifest = os.path.join(root, _MANIFEST)
         with open(manifest + ".tmp", "w") as f:
             json.dump({"segment": segment_id, "consumed": consumed}, f)
         os.replace(manifest + ".tmp", manifest)
         os.makedirs(os.path.join(root, "base"), exist_ok=True)
-        os.rename(tmp, seg_dir)
+        os.rename(tmp, os.path.join(root, "base",
+                                    f"segment={segment_id}"))
         for rel in consumed:
             shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
         os.remove(manifest)
-        return True
+
+    def _compact_root(self, spark, root: str, data_schema: str,
+                      bucket_expr_fn, bucket_col: str,
+                      sort_cols: list[str], upto_batch_id: int,
+                      segment_id: int) -> bool:
+        """Minor compaction: fold tail dirs with id < upto_batch_id
+        into base/segment=<segment_id>, then re-tier the segment set
+        if it outgrew max_segments.  Returns whether a minor segment
+        was written."""
+        _recover(root)
+        wrote = False
+        seg_dir = os.path.join(root, "base", f"segment={segment_id}")
+        tails = [(i, p) for i, p in _tail_dirs(root)
+                 if i < upto_batch_id]
+        if tails and not os.path.isdir(seg_dir):
+            # (crash-replayed compacting batch: segment already there)
+            self._write_segment(spark, root, data_schema,
+                                bucket_expr_fn, bucket_col, sort_cols,
+                                tails, [], segment_id)
+            wrote = True
+        self._tier_compact_root(spark, root, data_schema,
+                                bucket_expr_fn, bucket_col, sort_cols)
+        return wrote
+
+    def _tier_compact_root(self, spark, root: str, data_schema: str,
+                           bucket_expr_fn, bucket_col: str,
+                           sort_cols: list[str]) -> None:
+        """Major compaction.  tiered = carry-propagation size-tiering:
+        while over budget, start from the two smallest segments and
+        absorb each next-larger one only while it is no bigger than
+        the group's running sum — equals merge with equals (a carry,
+        as in an LSM level fill-up), but a big old segment is never
+        dragged into a merge of small newcomers.  Simulated against
+        merge_all at 1000 unit minors / max_segments=8: bytes
+        rewritten per ingested byte 3.8 vs 62 (merge_all) vs 25 (a
+        naive merge-smallest-k, which snowballs); measured on real
+        index data by tools/compaction_bench.py."""
+        while True:
+            segs = _segment_dirs(root)
+            if len(segs) <= self.max_segments:
+                return
+            if self.compaction_policy == "merge_all":
+                picked = segs
+            else:
+                # ROW-count-keyed carry (see _dir_rows for why not
+                # bytes); ties broken by segment id for determinism
+                by_size = sorted(
+                    ((_dir_rows(p), i, p) for i, p in segs))
+                picked = [(i, p) for _b, i, p in by_size[:2]]
+                total = sum(b for b, _i, _p in by_size[:2])
+                for b, i, p in by_size[2:]:
+                    if b > total:
+                        break
+                    picked.append((i, p))
+                    total += b
+            next_id = max(
+                [i for i, _ in segs if i >= _TIER_SEG_BASE],
+                default=_TIER_SEG_BASE - 1) + 1
+            self._write_segment(spark, root, data_schema,
+                                bucket_expr_fn, bucket_col, sort_cols,
+                                [], picked, next_id)
 
     def compact(self, spark, upto_batch_id: int,
                 segment_id: int | None = None) -> None:
-        """Compact both index relations' tails (ids < upto_batch_id)
-        into a base segment.  Also the bulk-seed path: after feeding a
+        """Compact all three index relations' tails (ids <
+        upto_batch_id) into a base segment (then re-tier if over
+        max_segments).  Also the bulk-seed path: after feeding a
         corpus through ``process_batch``/``seed_index``, call this to
         fold everything into pruned, sorted base segments."""
         seg = upto_batch_id if segment_id is None else segment_id
         self._compact_root(spark, self.bands_path, _BANDS_DATA,
-                           _sig_bucket(self.n_buckets), "sig_bucket",
+                           _sig_bucket, "sig_bucket",
                            ["band", "band_sig"], upto_batch_id, seg)
         self._compact_root(spark, self.shingles_path, _SHINGLES_DATA,
-                           _id_bucket(self.n_buckets), "id_bucket",
+                           _id_bucket, "id_bucket",
                            ["doc_id"], upto_batch_id, seg)
         self._compact_root(spark, self.hashes_path, _HASHES_DATA,
-                           _h_bucket(self.n_buckets), "h_bucket",
+                           _h_bucket, "h_bucket",
                            ["h"], upto_batch_id, seg)
 
     def seed_index(self, docs: DataFrame, segment_id: int = 0) -> None:
@@ -339,30 +508,50 @@ class StreamingNearDup:
         index-size axis).  Uses the exact same layout the compactor
         writes, so the streaming probe is oblivious to how the base
         was built."""
+        spark = docs.sparkSession
         toks = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
         sh = D.shingles_from_tokens(toks).persist()
         try:
             bands = D.minhash_bands(D.minhash_signatures(
                 None, shingles_df=sh))
 
-            def _write(df, root, bucket_expr, bucket_col, sort_cols):
+            def _write(df, root, data_schema, bucket_expr_fn,
+                       bucket_col, sort_cols):
+                def _dump(src, dest, n):
+                    (src.withColumn(bucket_col, bucket_expr_fn(n))
+                     .repartition(n, bucket_col)
+                     .sortWithinPartitions(*sort_cols)
+                     .write.mode("overwrite").partitionBy(bucket_col)
+                     .parquet(dest))
+                    with open(os.path.join(dest, _SEGMETA), "w") as f:
+                        json.dump({"n_buckets": n,
+                                   "input_bytes": _dir_bytes(dest)}, f)
+
                 tmp = os.path.join(root, _TMPSEG)
                 shutil.rmtree(tmp, ignore_errors=True)
-                (df.withColumn(bucket_col, bucket_expr)
-                 .repartition(self.n_buckets, bucket_col)
-                 .sortWithinPartitions(*sort_cols)
-                 .write.mode("overwrite").partitionBy(bucket_col)
-                 .parquet(tmp))
+                # pass 1 at the floor count to learn the real bytes;
+                # pass 2 (a read of the just-written parquet) only
+                # when the sizing rule asks for more buckets
+                _dump(df, tmp, self.n_buckets)
+                n = self._choose_buckets(_dir_bytes(tmp))
+                if n != self.n_buckets:
+                    tmp2 = tmp + "2"
+                    shutil.rmtree(tmp2, ignore_errors=True)
+                    _dump(spark.read
+                          .schema(f"{data_schema}, {bucket_col} int")
+                          .parquet(tmp).drop(bucket_col), tmp2, n)
+                    shutil.rmtree(tmp)
+                    os.rename(tmp2, tmp)
                 os.makedirs(os.path.join(root, "base"), exist_ok=True)
                 os.rename(tmp, os.path.join(
                     root, "base", f"segment={segment_id}"))
 
-            _write(bands, self.bands_path, _sig_bucket(self.n_buckets),
+            _write(bands, self.bands_path, _BANDS_DATA, _sig_bucket,
                    "sig_bucket", ["band", "band_sig"])
-            _write(sh, self.shingles_path, _id_bucket(self.n_buckets),
+            _write(sh, self.shingles_path, _SHINGLES_DATA, _id_bucket,
                    "id_bucket", ["doc_id"])
             _write(docs.select("doc_id", F.md5("text").alias("h")),
-                   self.hashes_path, _h_bucket(self.n_buckets),
+                   self.hashes_path, _HASHES_DATA, _h_bucket,
                    "h_bucket", ["h"])
         finally:
             sh.unpersist()
@@ -405,18 +594,31 @@ class StreamingNearDup:
 
     def _probe_batch(self, spark, batch: DataFrame,
                      batch_id: int) -> None:
-        pairs = batch.select("doc_id", F.md5("text").alias("h")) \
-            .collect()
+        # Driver-side bookkeeping envelope: the (doc_id, md5) collect
+        # below is O(batch rows) dicts on the driver — measured ~ms at
+        # the 1 s-trigger batch sizes this pipeline runs (hundreds to
+        # low thousands of rows), and capped: the limit collects at
+        # most hash_collect_cap+1 rows, and a batch bigger than the
+        # cap takes the fully distributed twin instead (same output,
+        # window-owner + anti-join, a few more jobs).  One job either
+        # way — no extra count() on the trigger hot path.
+        pairs = (batch.select("doc_id", F.md5("text").alias("h"))
+                 .limit(self.hash_collect_cap + 1).collect())
         if not pairs:
+            return
+        if len(pairs) > self.hash_collect_cap:
+            self._probe_batch_distributed(spark, batch, batch_id)
             return
         owner: dict[str, int] = {}
         for r in sorted(pairs):
             owner.setdefault(r.h, r.doc_id)
+        ns_h = (self._base_bucket_counts(self.hashes_path)
+                or [self.n_buckets])
         idx_h = self._read_index(
             spark, self.hashes_path, _HASHES_DATA, "h_bucket",
             batch_id,
-            buckets=sorted({_h_bucket_py(h, self.n_buckets)
-                            for h in owner}))
+            buckets=sorted({_h_bucket_py(h, n)
+                            for h in owner for n in ns_h}))
         std = None
         matched: dict[str, int] = {}
         if idx_h is not None:
@@ -478,6 +680,62 @@ class StreamingNearDup:
             self._rank_and_write(dups_only=True, hits=hits,
                                  batch_id=batch_id)
 
+    def _probe_batch_distributed(self, spark, batch: DataFrame,
+                                 batch_id: int) -> None:
+        """The exact stage for batches over ``hash_collect_cap``:
+        identical semantics to the driver-dict path — within-batch
+        copies flagged against the lowest-id owner, standing matches
+        flagged at jaccard 1.0, and only exact-novel first-owners
+        proceed to the minhash stage / the index — but expressed as a
+        window-min + joins, so the driver never holds per-row state.
+        Only the touched-bucket list (<= sum of segment bucket counts
+        ints) and an isEmpty probe are ever collected.
+        Equality with the dict path is test-pinned
+        (tests/test_neardup_stream.py::test_collect_cap_path_matches).
+        """
+        hashed = batch.select("doc_id", F.md5("text").alias("_h"))
+        ns_h = (self._base_bucket_counts(self.hashes_path)
+                or [self.n_buckets])
+        touched = [r[0] for r in hashed
+                   .select(F.col("_h").alias("h"))
+                   .select(F.explode(F.array(
+                       *[_h_bucket(n) for n in ns_h])).alias("b"))
+                   .distinct().collect()]
+        idx_h = self._read_index(
+            spark, self.hashes_path, _HASHES_DATA, "h_bucket",
+            batch_id, buckets=touched)
+        owned = hashed.withColumn(
+            "_own", F.min("doc_id").over(Window.partitionBy("_h")))
+        hits = [
+            # within-batch exact copies: first (lowest-id) owner keeps
+            owned.filter(F.col("doc_id") != F.col("_own"))
+            .select(F.col("doc_id").alias("new_id"),
+                    F.col("_own").alias("dup_of"),
+                    F.lit(1.0).alias("jaccard"))]
+        rem = owned.filter(F.col("doc_id") == F.col("_own")) \
+            .select("doc_id", "_h")
+        if idx_h is not None:
+            std = idx_h.withColumnRenamed("doc_id", "corpus_id")
+            hits.append(
+                hashed.join(std, F.col("_h") == F.col("h"))
+                .select(F.col("doc_id").alias("new_id"),
+                        F.col("corpus_id").alias("dup_of"),
+                        F.lit(1.0).alias("jaccard")))
+            rem = rem.join(std.select("h"),
+                           F.col("_h") == F.col("h"), "left_anti")
+        rem_docs = batch.join(rem.select("doc_id"), "doc_id").persist()
+        try:
+            if rem_docs.isEmpty():
+                self._rank_and_write(dups_only=True, hits=hits,
+                                     batch_id=batch_id)
+            else:
+                self._near_dup_stage(
+                    spark, rem_docs, batch_id, hits,
+                    hashes=rem_docs.select(
+                        "doc_id", F.md5("text").alias("h")))
+        finally:
+            rem_docs.unpersist()
+
     def _near_dup_stage(self, spark, rem_docs: DataFrame,
                         batch_id: int, hits: list,
                         hashes: DataFrame) -> None:
@@ -507,11 +765,16 @@ class StreamingNearDup:
                 .select(F.col("id_b").alias("new_id"),
                         F.col("id_a").alias("dup_of"), "jaccard"))
             # bucket-pruned probe: only base dirs holding one of the
-            # batch's band-signature buckets are scanned (bounded
-            # collect — at most n_buckets ints)
-            touched = [r[0] for r in bands.select(
-                _sig_bucket(self.n_buckets).alias("b")).distinct()
-                .collect()]
+            # batch's band-signature buckets are scanned.  The touched
+            # list unions the buckets computed under every bucket
+            # count present among segments (mixed generations after a
+            # bucket-count rescale) — bounded collect, at most the sum
+            # of the distinct counts' values.
+            ns_b = (self._base_bucket_counts(self.bands_path)
+                    or [self.n_buckets])
+            touched = [r[0] for r in bands.select(F.explode(F.array(
+                *[_sig_bucket(n) for n in ns_b])).alias("b"))
+                .distinct().collect()]
             idx_bands = self._read_index(
                 spark, self.bands_path, _BANDS_DATA, "sig_bucket",
                 batch_id, buckets=touched) if touched else None
@@ -588,7 +851,9 @@ class StreamingNearDup:
         doc_id IN filter when the candidate set was small enough to
         collect in full)."""
         capped = len(cand_ids) <= _CAND_COLLECT_CAP
-        buckets = (sorted({i % self.n_buckets for i in cand_ids})
+        ns_s = (self._base_bucket_counts(self.shingles_path)
+                or [self.n_buckets])
+        buckets = (sorted({i % n for i in cand_ids for n in ns_s})
                    if capped else None)
         idx_sh = self._read_index(
             spark, self.shingles_path, _SHINGLES_DATA, "id_bucket",

@@ -390,3 +390,115 @@ def test_exact_replay_is_idempotent(spark, tmp_path):
                    for r in nd.read_dups(spark).collect())
     assert first == again == [(2, 1, 1.0)]
     assert nd.read_hashes(spark).count() == 1
+
+
+def test_tiered_compaction_spares_largest_segment(spark, tmp_path):
+    """Size-tiered major compaction (r12): when the segment count
+    exceeds max_segments, only the SMALLEST max_segments//2+1 are
+    merged — the big old segment survives untouched, so its bytes are
+    not rewritten (the write-amplification win merge_all cannot have;
+    tools/compaction_bench.py measures the delta)."""
+    nd = StreamingNearDup(
+        bands_path=str(tmp_path / "bands"),
+        shingles_path=str(tmp_path / "shingles"),
+        dups_path=str(tmp_path / "dups"),
+        compact_every=0, n_buckets=4, max_segments=2)
+    # the big segment must out-BYTE the two 1-doc segments combined
+    # (carry guard compares parquet bytes, and footer overhead floors
+    # a 1-doc file at a few KB) — 150 distinct docs does it
+    big = [(i, f"{DISTINCT} salt{i} " + " ".join(
+        f"w{i}x{j}" for j in range(60))) for i in range(150)]
+    nd.process_batch(spark.createDataFrame(big,
+                                           "doc_id long, text string"), 0)
+    nd.compact(spark, upto_batch_id=1)          # segment=1 (big)
+    nd.process_batch(spark.createDataFrame(
+        [(100, BASE)], "doc_id long, text string"), 1)
+    nd.compact(spark, upto_batch_id=2)          # segment=2 (small)
+    nd.process_batch(spark.createDataFrame(
+        [(101, DISTINCT)], "doc_id long, text string"), 2)
+    nd.compact(spark, upto_batch_id=3)          # 3rd -> tier merge
+    base = os.path.join(nd.bands_path, "base")
+    ids = sorted(int(d.split("=", 1)[1]) for d in os.listdir(base)
+                 if d.startswith("segment="))
+    assert len(ids) <= 2
+    assert 1 in ids                 # the big segment was NOT rewritten
+    assert any(i >= 10 ** 12 for i in ids)   # the tier-merge segment
+    got = {r.doc_id
+           for r in nd.read_bands(spark).select("doc_id").distinct()
+           .collect()}
+    assert got == {i for i, _ in big} | {100, 101}
+
+
+def test_rebucketed_index_serves_identical_dups(spark, tmp_path):
+    """Bucket-count scaling (r12): an index whose compaction rescaled
+    n_buckets (tiny target_bucket_bytes) serves exactly the dups the
+    floor-bucketed index serves — mixed bucket generations included."""
+    def run(sub, **kw):
+        nd = StreamingNearDup(
+            bands_path=str(tmp_path / sub / "bands"),
+            shingles_path=str(tmp_path / sub / "shingles"),
+            dups_path=str(tmp_path / sub / "dups"),
+            compact_every=0, n_buckets=4, **kw)
+        nd.process_batch(spark.createDataFrame(
+            [(1, BASE), (2, DISTINCT)], "doc_id long, text string"), 0)
+        nd.compact(spark, upto_batch_id=1)
+        nd.process_batch(spark.createDataFrame(
+            [(3, NEAR), (4, BASE), (5, "too short")],
+            "doc_id long, text string"), 1)
+        return nd
+
+    nd_scaled = run("scaled", target_bucket_bytes=1, max_buckets=32)
+    nd_floor = run("floor")
+    meta = json.load(open(os.path.join(
+        nd_scaled.bands_path, "base", "segment=1", "_meta.json")))
+    assert meta["n_buckets"] == 32      # the rescale really happened
+    scaled = sorted((r.new_id, r.dup_of, round(r.jaccard, 9))
+                    for r in nd_scaled.read_dups(spark).collect())
+    floor = sorted((r.new_id, r.dup_of, round(r.jaccard, 9))
+                   for r in nd_floor.read_dups(spark).collect())
+    assert scaled == floor and scaled
+    assert scaled[0] == (3, 1, scaled[0][2])    # near dup found
+    assert (4, 1, 1.0) in scaled                # exact dup found
+
+
+def test_collect_cap_path_matches(spark, tmp_path):
+    """Batches over hash_collect_cap take the fully distributed exact
+    stage (window-owner + anti-join, no driver-side per-row dicts) —
+    its output and its index growth must equal the driver-dict
+    path's, including exact-copies-not-indexed."""
+    def run(sub, cap):
+        nd = StreamingNearDup(
+            bands_path=str(tmp_path / sub / "bands"),
+            shingles_path=str(tmp_path / sub / "shingles"),
+            dups_path=str(tmp_path / sub / "dups"),
+            hash_collect_cap=cap)
+        nd.process_batch(spark.createDataFrame(
+            [(1, BASE), (2, DISTINCT)], "doc_id long, text string"), 0)
+        nd.process_batch(spark.createDataFrame(
+            [(3, BASE), (4, BASE), (5, NEAR), (6, "too short"),
+             (7, DISTINCT + " tail marker")],
+            "doc_id long, text string"), 1)
+        # an all-exact-dup batch exercises the empty-remainder branch
+        nd.process_batch(spark.createDataFrame(
+            [(8, BASE), (9, DISTINCT)], "doc_id long, text string"), 2)
+        dups = sorted((r.new_id, r.dup_of, round(r.jaccard, 9))
+                      for r in nd.read_dups(spark).collect())
+        hashes = sorted(r.doc_id
+                        for r in nd.read_hashes(spark).collect())
+        bands = sorted(r.doc_id for r in nd.read_bands(spark)
+                       .select("doc_id").distinct().collect())
+        return dups, hashes, bands
+
+    distributed = run("dist", cap=1)      # every batch over the cap
+    driver = run("drv", cap=50_000)       # the dict path
+    assert distributed == driver
+    dups, hashes, _ = driver
+    assert (3, 1, 1.0) in dups and (4, 1, 1.0) in dups
+    assert (8, 1, 1.0) in dups and (9, 2, 1.0) in dups
+    got = {n for n, _, _ in dups}
+    # 5 near-dups 1 (one token changed); 7 near-dups 2 (two appended
+    # tokens, jaccard ~0.87); 3/4/8/9 are exact copies
+    assert got == {3, 4, 5, 7, 8, 9}
+    # exact copies are never indexed: hashes hold novel content only
+    # (6 is short but exact-novel, so its hash IS recorded)
+    assert hashes == [1, 2, 5, 6, 7]
