@@ -182,6 +182,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           reservoir_k: int = 32,
                           requests_stream: DataFrame | None = None,
                           view_rebuild_days: int | None = None,
+                          doc_trigger: str | None = None,
+                          doc_files_per_trigger: int = 1,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -198,7 +200,17 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     ``requests_dir`` file drops (pass requests_dir=None then).
     ``view_rebuild_days``: bound the live view's rebuild-from-storage
     window to the newest N trade-date partitions' horizon (VERDICT r10
-    directive 4) — see the query-2 comment for semantics and cost."""
+    directive 4) — see the query-2 comment for semantics and cost.
+    ``doc_trigger`` / ``doc_files_per_trigger``: run the BACKGROUND
+    document probes (near-dup, CMS, decontam, reservoir) on a slower,
+    batchier trigger than the latency-critical import/trends legs —
+    e.g. doc_trigger="2 seconds", doc_files_per_trigger=2 keeps doc
+    throughput identical while halving their per-trigger fixed costs
+    (state commits, python round trips) and their scheduling
+    collisions with the import leg's tasks (FAIR shares slots but
+    never preempts a running task — SCALE.md Round 12).  Defaults
+    keep every query on ``trigger`` at 1 file per trigger (the r11
+    behavior)."""
     import os
 
     def _in_pool(name, start_fn):
@@ -340,23 +352,26 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     q_trends = _in_pool("trends", trends_writer.start)
 
     # ---- query 3: streaming near-dup index probe over the doc stream
+    d_trigger = doc_trigger if doc_trigger is not None else trigger
+    d_files = str(doc_files_per_trigger)
+
+    def _doc_stream():
+        return (spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", d_files).json(docs_dir))
+
     nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
                           shingles_path=f"{out_dir}/idx_shingles",
                           hashes_path=f"{out_dir}/idx_hashes",
                           dups_path=f"{out_dir}/dups")
-    doc_stream = (spark.readStream.schema("doc_id long, text string")
-                  .option("maxFilesPerTrigger", "1").json(docs_dir))
     q_dedup = _in_pool("neardup", lambda: nd.attach(
-        doc_stream, f"{out_dir}/ckpt_neardup", trigger=trigger))
+        _doc_stream(), f"{out_dir}/ckpt_neardup", trigger=d_trigger))
     queries = [q_import, q_trends, q_dedup]
 
     # ---- query 4: count-min heavy hitters over the same doc stream
     hh = StreamingHeavyHitters(sketch_path=f"{out_dir}/cms_sketch",
                                cand_path=f"{out_dir}/cms_cand")
-    hh_stream = (spark.readStream.schema("doc_id long, text string")
-                 .option("maxFilesPerTrigger", "1").json(docs_dir))
     queries.append(_in_pool("cms", lambda: hh.attach(
-        hh_stream, f"{out_dir}/ckpt_cms", trigger=trigger)))
+        _doc_stream(), f"{out_dir}/ckpt_cms", trigger=d_trigger)))
 
     # ---- query 5 (optional): decontaminate-at-ingest screen
     sd = None
@@ -364,10 +379,9 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         sd = StreamingDecontam(eval_df,
                                eval_index_path=f"{out_dir}/eval_idx",
                                flags_path=f"{out_dir}/decontam_flags")
-        sd_stream = (spark.readStream.schema("doc_id long, text string")
-                     .option("maxFilesPerTrigger", "1").json(docs_dir))
         queries.append(_in_pool("decontam", lambda: sd.attach(
-            sd_stream, f"{out_dir}/ckpt_decontam", trigger=trigger)))
+            _doc_stream(), f"{out_dir}/ckpt_decontam",
+            trigger=d_trigger)))
 
     # ---- query 6 (optional): uniform reservoir of everything ingested
     # (constant k-row state; the eval/inspection draw — reservoir_stream)
@@ -376,10 +390,9 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         rs = StreamingReservoir(
             reservoir_path=f"{out_dir}/reservoir", k=reservoir_k,
             weight_col=None)
-        rs_stream = (spark.readStream.schema("doc_id long, text string")
-                     .option("maxFilesPerTrigger", "1").json(docs_dir))
         queries.append(_in_pool("reservoir", lambda: rs.attach(
-            rs_stream, f"{out_dir}/ckpt_reservoir", trigger=trigger)))
+            _doc_stream(), f"{out_dir}/ckpt_reservoir",
+            trigger=d_trigger)))
 
     return ComposedPipeline(
         spark=spark,

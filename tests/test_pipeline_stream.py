@@ -196,3 +196,28 @@ def test_view_rebuild_window_bounds_boot(spark, tmp_path):
     want = [t for t in full if t[0].date() >= cutoff]
     assert bounded == want
     assert len(want) < len(full)    # the old window really was pruned
+
+
+def test_composed_pipeline_doc_trigger_tier(spark, tmp_path):
+    """The background document probes can run on a slower, batchier
+    trigger than the latency-critical legs (r12: doc_trigger +
+    doc_files_per_trigger) — outputs are identical, only the trigger
+    cadence changes."""
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    req, docs = _plant(tmp_path)
+    pipe = run_composed_pipeline(spark, str(req), str(docs),
+                                 str(tmp_path / "out"),
+                                 window_ms=1000, limit=2,
+                                 doc_trigger="2 seconds",
+                                 doc_files_per_trigger=2)
+    try:
+        pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+        dups = pipe.neardup.read_dups(spark).collect()
+        trades = spark.read.parquet(pipe.trades_path).count()
+    finally:
+        pipe.stop()
+    assert trades == 4
+    assert [(d.new_id, d.dup_of) for d in dups] == [(2, 1)]

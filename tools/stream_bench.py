@@ -165,6 +165,14 @@ def main() -> None:
                          "standing near-dup index BEFORE the run — the "
                          "index-size axis (VERDICT r10 directive 5): "
                          "per-batch probe cost should be flat in it")
+    ap.add_argument("--doc-trigger", default=None,
+                    help="trigger for the BACKGROUND document probes "
+                         "(near-dup/CMS/decontam/reservoir), e.g. "
+                         "'2 seconds'; default = the 1 s import "
+                         "trigger.  Pair with --doc-files-per-trigger "
+                         "to keep offered doc throughput identical "
+                         "while halving per-trigger fixed costs.")
+    ap.add_argument("--doc-files-per-trigger", type=int, default=1)
     ap.add_argument("--stream-shuffle-partitions", type=int, default=8,
                     help="shuffle/state width for the STREAMING session "
                          "(cloned off the main one): 1 s micro-batches "
@@ -268,7 +276,9 @@ def main() -> None:
     t0 = time.time()
     pipe = run_composed_pipeline(
         stream_spark, None, docs_dir, out_dir, eval_df=eval_df,
-        requests_stream=trades_stream)
+        requests_stream=trades_stream,
+        doc_trigger=args.doc_trigger,
+        doc_files_per_trigger=args.doc_files_per_trigger)
     try:
         time.sleep(args.duration)
         pipe._raise_if_failed()
@@ -280,7 +290,16 @@ def main() -> None:
 
     sink_rows = spark.read.parquet(pipe.trades_path).count()
     dead_rows = pipe.read_dead_letters(spark).count()
-    queries = {n: _summarize(p, 1000) for n, p in progress.items()}
+    # per-query trigger budget: the doc legs may run on a slower tier
+    doc_ms = 1000
+    if args.doc_trigger:
+        import re as _re
+        m = _re.match(r"(\d+)\s*(second|sec|s)", args.doc_trigger)
+        doc_ms = int(m.group(1)) * 1000 if m else 1000
+    budget = {n: (doc_ms if n in ("neardup", "cms", "decontam",
+                                  "reservoir") else 1000)
+              for n in QUERY_NAMES}
+    queries = {n: _summarize(p, budget[n]) for n, p in progress.items()}
     state = {
         "reservoir_rows": pipe.reservoir.read_reservoir(spark).count(),
         "reservoir_bytes": _du(os.path.join(out_dir, "reservoir")),
@@ -308,6 +327,8 @@ def main() -> None:
             "trigger": "1 second",
             "trades_rows_per_trigger": args.rows_per_batch,
             "docs_per_trigger": args.docs_per_file,
+            "doc_trigger": args.doc_trigger or "1 second",
+            "doc_files_per_trigger": args.doc_files_per_trigger,
             "sf_dir": args.sf_dir,
             "preseed_docs": args.preseed_docs,
             "band_index_rows_at_start": preseed_rows,
