@@ -78,6 +78,28 @@ def derive_rate(buy_micros: Column, sell_micros: Column) -> Column:
                   buy_micros.cast("double") / sell_micros.cast("double"))
 
 
+#: Unresolved-Column memo, keyed by expression-list name and owning
+#: SparkContext.  Unresolved Columns are immutable expression trees
+#: reusable across DataFrames, but CONSTRUCTING them is py4j RPC —
+#: measured 134 ms per normalize_trades chain, paid per micro-batch
+#: inside every streaming foreachBatch (r12 import-leg decomposition).
+#: The memo makes the build once-per-JVM; the context check rebuilds
+#: after a Spark restart in the same python process (stale py4j refs).
+_COL_MEMO: dict[str, tuple[object, list]] = {}
+
+
+def _memo_cols(key: str, build) -> list:
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    hit = _COL_MEMO.get(key)
+    if hit is not None and hit[0] is sc:
+        return hit[1]
+    cols = build()
+    if sc is not None:
+        _COL_MEMO[key] = (sc, cols)
+    return cols
+
+
 def normalize_trades(raw: DataFrame) -> DataFrame:
     """Full ingest chain: raw JSON-shaped rows -> storage-shaped trades.
 
@@ -85,24 +107,29 @@ def normalize_trades(raw: DataFrame) -> DataFrame:
     timestamps yield NULL time_placed; callers route them to a dead
     letter (the reference returns HTTP 400 — api.go:62-65).
     """
-    sell = money_to_micros(F.col("amountSell"))
-    buy = money_to_micros(F.col("amountBuy"))
-    return raw.select(
-        F.col("userId").alias("user_id"),
-        F.col("currencyFrom").alias("currency_from"),
-        F.col("currencyTo").alias("currency_to"),
-        sell.alias("amount_sell_micros"),
-        buy.alias("amount_buy_micros"),
-        derive_rate(buy, sell).alias("rate"),
-        F.col("originatingCountry").alias("originating_country"),
-        parse_time_placed(F.col("timePlaced")).alias("time_placed"),
-        # client-supplied `rate` intentionally dropped (P6)
-    )
+    def build():
+        sell = money_to_micros(F.col("amountSell"))
+        buy = money_to_micros(F.col("amountBuy"))
+        return [
+            F.col("userId").alias("user_id"),
+            F.col("currencyFrom").alias("currency_from"),
+            F.col("currencyTo").alias("currency_to"),
+            sell.alias("amount_sell_micros"),
+            buy.alias("amount_buy_micros"),
+            derive_rate(buy, sell).alias("rate"),
+            F.col("originatingCountry").alias("originating_country"),
+            parse_time_placed(F.col("timePlaced")).alias("time_placed"),
+            # client-supplied `rate` intentionally dropped (P6)
+        ]
+
+    return raw.select(*_memo_cols("normalize_trades", build))
 
 
 def parse_ingest_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Kafka/raw-bytes -> typed ingest rows (P1).  Corrupt records yield
     a NULL struct; kept so callers can route them (reference: HTTP 400)."""
-    return df.select(
-        F.from_json(F.col(value_col).cast("string"), INGEST_SCHEMA).alias("msg")
-    ).select("msg.*")
+    cols = _memo_cols(
+        f"parse_ingest_json:{value_col}",
+        lambda: [F.from_json(F.col(value_col).cast("string"),
+                             INGEST_SCHEMA).alias("msg")])
+    return df.select(*cols).select("msg.*")
