@@ -150,6 +150,23 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
+def _carry_pick(sizes: list[int]) -> list[int]:
+    """Indices (into ``sizes``) of the segments a carry merge folds:
+    the two smallest, plus each next-larger one that is no bigger
+    than the group's running sum.  Pure function — property-tested in
+    tests/test_neardup_stream.py (termination, monotone selection,
+    the largest segment spared whenever it dominates the rest)."""
+    order = sorted(range(len(sizes)), key=lambda i: (sizes[i], i))
+    picked = order[:2]
+    total = sum(sizes[i] for i in picked)
+    for i in order[2:]:
+        if sizes[i] > total:
+            break
+        picked.append(i)
+        total += sizes[i]
+    return picked
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, names in os.walk(path):
@@ -466,16 +483,10 @@ class StreamingNearDup:
                 picked = segs
             else:
                 # ROW-count-keyed carry (see _dir_rows for why not
-                # bytes); ties broken by segment id for determinism
-                by_size = sorted(
-                    ((_dir_rows(p), i, p) for i, p in segs))
-                picked = [(i, p) for _b, i, p in by_size[:2]]
-                total = sum(b for b, _i, _p in by_size[:2])
-                for b, i, p in by_size[2:]:
-                    if b > total:
-                        break
-                    picked.append((i, p))
-                    total += b
+                # bytes); _carry_pick ties on list position = segment
+                # id order, so selection is deterministic
+                rows = [_dir_rows(p) for _i, p in segs]
+                picked = [segs[i] for i in _carry_pick(rows)]
             next_id = max(
                 [i for i, _ in segs if i >= _TIER_SEG_BASE],
                 default=_TIER_SEG_BASE - 1) + 1

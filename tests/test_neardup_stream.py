@@ -502,3 +502,40 @@ def test_collect_cap_path_matches(spark, tmp_path):
     # exact copies are never indexed: hashes hold novel content only
     # (6 is short but exact-novel, so its hash IS recorded)
     assert hashes == [1, 2, 5, 6, 7]
+
+
+def test_carry_pick_properties():
+    """Pure-function properties of the carry-merge selection (r12):
+    always picks >=2 segments (so every merge strictly reduces the
+    count and the over-budget loop terminates); picks exactly the
+    size-ordered prefix closed under 'next <= running sum'; never
+    drags in a segment that out-sizes everything smaller combined."""
+    from hypothesis import given, strategies as st
+
+    from currency_market_pulse_spark.streaming.neardup_stream import (
+        _carry_pick,
+    )
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**12),
+                    min_size=2, max_size=64))
+    def prop(sizes):
+        picked = _carry_pick(sizes)
+        assert 2 <= len(picked) <= len(sizes)
+        assert len(set(picked)) == len(picked)
+        by_size = sorted(range(len(sizes)),
+                         key=lambda i: (sizes[i], i))
+        # the selection is a prefix of the size order
+        assert picked == by_size[:len(picked)]
+        # closure: everything just past the prefix was too big
+        if len(picked) < len(sizes):
+            nxt = by_size[len(picked)]
+            assert sizes[nxt] > sum(sizes[i] for i in picked)
+        # dominance: a segment larger than the sum of ALL smaller
+        # ones is never picked (unless it is one of the two smallest)
+        for i in by_size[2:]:
+            smaller = sum(sizes[j] for j in by_size
+                          if (sizes[j], j) < (sizes[i], i))
+            if sizes[i] > smaller:
+                assert i not in picked
+
+    prop()

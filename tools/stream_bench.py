@@ -15,7 +15,10 @@ Method: drive all six queries of ``streaming/pipeline.py`` for
 - the DOCUMENT legs (near-dup index, CMS heavy hitters, decontam
   screen, reservoir) from the sf corpus (``--sf-dir`` documents,
   replicated if short), pre-chunked into ``--docs-per-file``-row
-  JSON-lines drops consumed at 1 file per trigger.
+  JSON-lines drops consumed at ``--doc-files-per-trigger`` files per
+  trigger (default 1 on the 1 s tier; pair ``--doc-trigger
+  '2 seconds' --doc-files-per-trigger 2`` for the batchier
+  background tier at identical offered throughput).
 
 Instrumentation is Spark's own per-trigger progress feed
 (``StreamingQuery.recentProgress``): per query we report batches run,
