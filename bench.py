@@ -14,6 +14,20 @@ inline) and the complete per-query dict is written to
 Each query executes to completion through the noop sink (full plan
 runs, no driver-side collect bottleneck).  A warmup pass on sf0.001
 triggers JVM/codegen warmup so timings reflect steady-state execution.
+
+SANITY-PROBE PROTOCOL (r12 host-drift lesson — the shared host's
+throughput varies by ~±10% across boots and by ~40% under transient
+throttling, which once masqueraded as a regression): before comparing
+a new bench number against a previous round's artifact, run this
+script once on an otherwise-idle machine and check the probe — if the
+total is within ~5% of the most recent committed BENCH_r*.json, the
+machine state is comparable and deltas are attributable to code; if
+it is uniformly slower across ALL queries (not one hot spot), the
+host is throttled — re-measure later rather than committing a fake
+regression.  Anchor early in the round (fresh boot, median of 3) so a
+clean baseline exists before long streaming runs heat the machine.
+Round-13 anchor: 32.76/33.67/35.27 s (median 33.67) on a fresh boot,
+vs r11 32.45 / r12 34.70 — the r12 number was drift, not code.
 """
 
 from __future__ import annotations

@@ -87,6 +87,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pl.add_argument("--once", action="store_true",
                     help="process available files then exit")
 
+    bf = sub.add_parser(
+        "backfill",
+        help="cold-corpus bootstrap: batch-dedup a corpus, seed the "
+             "streaming near-dup index, record the cold dup log "
+             "(streaming/backfill.py) — then point `pipeline` at the "
+             "same --index-dir to stream the remainder")
+    bf.add_argument("--docs-path", required=True,
+                    help="parquet or JSON-lines corpus of "
+                         "(doc_id long, text string)")
+    bf.add_argument("--index-dir", required=True,
+                    help="root for the standing index relations "
+                         "(idx_bands, idx_shingles, idx_hashes, dups) "
+                         "— the composed pipeline's --out-dir layout")
+    bf.add_argument("--threshold", type=float, default=0.5)
+
     am = sub.add_parser(
         "ann-maintain",
         help="streaming ANN index ops loop: ingest -> drift gate -> "
@@ -166,6 +181,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 for qh in pipe.queries:
                     qh.awaitTermination()
+        elif args.cmd == "backfill":
+            from currency_market_pulse_spark.streaming.backfill import (
+                backfill_bootstrap)
+            from currency_market_pulse_spark.streaming.neardup_stream import (
+                StreamingNearDup)
+            import os as _os
+            schema = "doc_id bigint, text string"
+            is_json = (args.docs_path.endswith((".json", ".jsonl"))
+                       or (_os.path.isdir(args.docs_path)
+                           and any(n.endswith((".json", ".jsonl"))
+                                   for n in _os.listdir(args.docs_path))))
+            docs = (spark.read.schema(schema).json(args.docs_path)
+                    if is_json
+                    else spark.read.schema(schema).parquet(args.docs_path))
+            nd = StreamingNearDup(
+                bands_path=f"{args.index_dir}/idx_bands",
+                shingles_path=f"{args.index_dir}/idx_shingles",
+                hashes_path=f"{args.index_dir}/idx_hashes",
+                dups_path=f"{args.index_dir}/dups",
+                threshold=args.threshold)
+            cold = backfill_bootstrap(nd, docs)
+            print(json.dumps({
+                "cold_docs": docs.count(),
+                "cold_dups_flagged": cold.count(),
+                "index_band_rows": nd.read_bands(spark).count()}))
         elif args.cmd == "ann-maintain":
             from currency_market_pulse_spark.streaming.ivf_stream import (
                 StreamingIVFPQIndex, retrain_with_handover)

@@ -45,9 +45,18 @@ _PAIRS = [("EUR", "USD"), ("GBP", "USD"), ("EUR", "GBP"), ("USD", "JPY")]
 _COUNTRIES = ["FR", "DE", "GB", "US", "JP"]
 
 
-def gen_row(i: int) -> tuple:
-    """Trade request #i — a pure function of i (md5-derived), so any
-    reader producing index i emits the identical row."""
+#: default user-id cardinality; overridable per read with the
+#: ``users`` option — the reference limiter keys per userId at
+#: production cardinalities (consumer/ratelimit/ratelimit.go:38-47),
+#: so stateful-op benchmarks must be able to offer realistic key
+#: counts (VERDICT r12 directive 1; tools/gateway_cardinality_bench.py)
+DEFAULT_USERS = 50
+
+
+def gen_row(i: int, users: int = DEFAULT_USERS) -> tuple:
+    """Trade request #i — a pure function of (i, users) (md5-derived),
+    so any reader producing index i under the same ``users`` option
+    emits the identical row."""
     h = hashlib.md5(f"trade|{i}".encode()).hexdigest()
     a, b, c, d = (int(h[j * 8:(j + 1) * 8], 16) for j in range(4))
     cf, ct = _PAIRS[a % len(_PAIRS)]
@@ -58,7 +67,7 @@ def gen_row(i: int) -> tuple:
     day = 1 + (i // 86_400) % 28
     hh, mm, ss = (i // 3600) % 24, (i // 60) % 60, i % 60
     ts = f"{day:02d}-AUG-24 {hh:02d}:{mm:02d}:{ss:02d}"
-    return (f"u{a % 50}", cf, ct, sell, buy, rate, ts,
+    return (f"u{a % users}", cf, ct, sell, buy, rate, ts,
             _COUNTRIES[d % len(_COUNTRIES)])
 
 
@@ -72,6 +81,7 @@ class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("parts", 8))
+        self.users = int(options.get("users", DEFAULT_USERS))
 
     def partitions(self):
         step = max(1, -(-self.n // self.parts))
@@ -80,7 +90,7 @@ class _BatchReader(DataSourceReader):
 
     def read(self, partition):
         for i in range(partition.start, partition.end):
-            yield gen_row(i)
+            yield gen_row(i, self.users)
 
 
 class _StreamReader(SimpleDataSourceStreamReader):
@@ -91,6 +101,7 @@ class _StreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.users = int(options.get("users", DEFAULT_USERS))
 
     def initialOffset(self):
         return {"index": 0}
@@ -98,10 +109,12 @@ class _StreamReader(SimpleDataSourceStreamReader):
     def read(self, start):
         s = start["index"]
         e = s + self.rows_per_batch
-        return ([gen_row(i) for i in range(s, e)], {"index": e})
+        return ([gen_row(i, self.users) for i in range(s, e)],
+                {"index": e})
 
     def readBetweenOffsets(self, start, end):
-        return [gen_row(i) for i in range(start["index"], end["index"])]
+        return [gen_row(i, self.users)
+                for i in range(start["index"], end["index"])]
 
 
 class TradesGenDataSource(DataSource):

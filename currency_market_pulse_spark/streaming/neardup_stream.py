@@ -312,6 +312,12 @@ class StreamingNearDup:
     def __post_init__(self):
         if self.hashes_path is None:
             self.hashes_path = self.bands_path + "_hashes"
+        if self.max_segments < 1:
+            # a 0/negative budget would make _tier_compact_root loop
+            # forever (a 1-segment carry pick rewrites that segment
+            # under a fresh tier id without reducing the count)
+            raise ValueError(
+                f"max_segments must be >= 1, got {self.max_segments}")
 
     # ---- standing-index reads -------------------------------------
 
@@ -477,7 +483,9 @@ class StreamingNearDup:
         index data by tools/compaction_bench.py."""
         while True:
             segs = _segment_dirs(root)
-            if len(segs) <= self.max_segments:
+            # <= 1 guard: merging a single segment cannot reduce the
+            # count — it would rewrite forever under fresh tier ids
+            if len(segs) <= max(1, self.max_segments):
                 return
             if self.compaction_policy == "merge_all":
                 picked = segs
@@ -534,9 +542,15 @@ class StreamingNearDup:
                      .sortWithinPartitions(*sort_cols)
                      .write.mode("overwrite").partitionBy(bucket_col)
                      .parquet(dest))
+                    # output_bytes, not input_bytes: the seed pass has
+                    # no consumed-source dirs to size, so it records
+                    # the segment's own on-disk bytes under a name
+                    # that says so (the compactor's _write_segment
+                    # records genuine consumed-input bytes instead;
+                    # readers only ever use n_buckets)
                     with open(os.path.join(dest, _SEGMETA), "w") as f:
                         json.dump({"n_buckets": n,
-                                   "input_bytes": _dir_bytes(dest)}, f)
+                                   "output_bytes": _dir_bytes(dest)}, f)
 
                 tmp = os.path.join(root, _TMPSEG)
                 shutil.rmtree(tmp, ignore_errors=True)

@@ -403,9 +403,10 @@ def test_tiered_compaction_spares_largest_segment(spark, tmp_path):
         shingles_path=str(tmp_path / "shingles"),
         dups_path=str(tmp_path / "dups"),
         compact_every=0, n_buckets=4, max_segments=2)
-    # the big segment must out-BYTE the two 1-doc segments combined
-    # (carry guard compares parquet bytes, and footer overhead floors
-    # a 1-doc file at a few KB) — 150 distinct docs does it
+    # the big segment must out-ROW the two 1-doc segments combined
+    # (the carry guard compares row counts via _dir_rows — the byte
+    # guard was abandoned because footer overhead floors a 1-doc file
+    # at a few KB, see _dir_rows) — 150 distinct docs does it
     big = [(i, f"{DISTINCT} salt{i} " + " ".join(
         f"w{i}x{j}" for j in range(60))) for i in range(150)]
     nd.process_batch(spark.createDataFrame(big,
@@ -539,3 +540,21 @@ def test_carry_pick_properties():
                 assert i not in picked
 
     prop()
+
+
+def test_max_segments_validation():
+    """ADVICE r12: max_segments < 1 would make the tier loop rewrite a
+    lone segment forever (a 1-segment carry pick never reduces the
+    count) — the constructor rejects it up front."""
+    import pytest
+
+    from currency_market_pulse_spark.streaming.neardup_stream import (
+        StreamingNearDup,
+    )
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_segments"):
+            StreamingNearDup(bands_path="x", shingles_path="y",
+                             dups_path="z", max_segments=bad)
+    StreamingNearDup(bands_path="x", shingles_path="y",
+                     dups_path="z", max_segments=1)  # boundary ok

@@ -211,6 +211,20 @@ neardup_stream as _ns
                        "max_segments": args.max_segments},
             "policies": results,
             "index_contents_identical": same,
+            # ADVICE r12: in this harness BOTH arms run the r12 code
+            # path where a major follows the minor tail-fold, so the
+            # merge_all arm rewrites tail bytes twice per major (minor
+            # segment, then merge-all) — the true r11 policy folded
+            # tails directly into its single combined major.  The
+            # merge_all numbers therefore OVERSTATE r11's write amp by
+            # up to one extra tail rewrite per major; the tiered-vs-
+            # merge_all gap (3.77 vs 8.35 rows at 100 unit minors) is
+            # far larger than that bias and widens with index
+            # lifetime (simulated 3.8x vs 62x at 1,000 minors).
+            "note_merge_all_arm": (
+                "merge_all arm includes the r12 minor tail-fold "
+                "before each major; r11's single combined major "
+                "rewrote each tail byte once less per major"),
         }
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=2)

@@ -53,6 +53,24 @@ QUERY_NAMES = ["import", "trends_view", "neardup", "cms", "decontam",
                "reservoir"]
 
 
+def _trigger_ms(s: str) -> int:
+    """Spark processingTime string -> ms, all units Spark accepts at
+    this harness (ADVICE r12: the old second-only regex silently
+    budgeted '500 milliseconds' as 1000 ms).  Unknown formats fail
+    loudly rather than skew trigger_utilization."""
+    import re as _re
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(millisecond|milli|ms|second|sec|s|minute|min|m)"
+        r"s?\s*", s)
+    if not m:
+        raise SystemExit(f"unsupported --doc-trigger format: {s!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    scale = {"millisecond": 1, "milli": 1, "ms": 1,
+             "second": 1000, "sec": 1000, "s": 1000,
+             "minute": 60_000, "min": 60_000, "m": 60_000}[unit]
+    return n * scale
+
+
 def _du(path: str) -> int:
     total = 0
     for root, _dirs, names in os.walk(path):
@@ -187,6 +205,8 @@ def main() -> None:
                          "production; the checkpoint pins state width "
                          "at first start.")
     args = ap.parse_args()
+    if args.doc_trigger:
+        _trigger_ms(args.doc_trigger)  # fail fast, not after the run
 
     from currency_market_pulse_spark.session import get_spark
     from currency_market_pulse_spark.sources.trades_source import (
@@ -294,11 +314,8 @@ def main() -> None:
     sink_rows = spark.read.parquet(pipe.trades_path).count()
     dead_rows = pipe.read_dead_letters(spark).count()
     # per-query trigger budget: the doc legs may run on a slower tier
-    doc_ms = 1000
-    if args.doc_trigger:
-        import re as _re
-        m = _re.match(r"(\d+)\s*(second|sec|s)", args.doc_trigger)
-        doc_ms = int(m.group(1)) * 1000 if m else 1000
+    doc_ms = (_trigger_ms(args.doc_trigger) if args.doc_trigger
+              else 1000)
     budget = {n: (doc_ms if n in ("neardup", "cms", "decontam",
                                   "reservoir") else 1000)
               for n in QUERY_NAMES}
