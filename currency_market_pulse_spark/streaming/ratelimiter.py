@@ -65,6 +65,14 @@ def admit_fold(recent: list[int], ts_ms: int, window_ms: int,
 
 
 def _make_fold(window_ms: int, limit: int, with_payload: bool = False):
+    # Per-GROUP cost is the scaling axis at realistic user
+    # cardinality: a 2,000-row trigger at 100k users is ~2,000
+    # single-row groups, so this closure runs ~2,000 times per batch
+    # and every avoidable pandas call in it multiplies (measured:
+    # gateway trigger p50 2.08 s at 100k users vs 0.96 s at 50,
+    # STREAM_BENCH_cardinality.json).  Hence the shape below: no
+    # pd.concat for the common single-chunk group, no sort for
+    # single-row groups, column numpy views instead of itertuples.
     def fold(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -72,22 +80,26 @@ def _make_fold(window_ms: int, limit: int, with_payload: bool = False):
             return
         (recent,) = state.get if state.exists else ([],)
         recent = list(recent)
-        rows = pd.concat(list(pdfs)).sort_values(["ts_ms", "event_id"])
-        out = {"user_id": [], "event_id": [], "ts_ms": [],
-               "n_in_window": [], "admitted": [], "retry_after_ms": []}
-        if with_payload:
-            out["payload"] = []
-        for r in rows.itertuples():
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts_ms", "event_id"])
+        ts_a = rows["ts_ms"].to_numpy()
+        n_out = [0] * len(ts_a)
+        ok_out = [False] * len(ts_a)
+        retry_out: list = [None] * len(ts_a)
+        for j in range(len(ts_a)):
             recent, n, ok, retry = admit_fold(
-                recent, int(r.ts_ms), window_ms, limit)
-            out["user_id"].append(key[0])
-            out["event_id"].append(int(r.event_id))
-            out["ts_ms"].append(int(r.ts_ms))
-            out["n_in_window"].append(n)
-            out["admitted"].append(ok)
-            out["retry_after_ms"].append(retry)
-            if with_payload:
-                out["payload"].append(r.payload)
+                recent, int(ts_a[j]), window_ms, limit)
+            n_out[j], ok_out[j], retry_out[j] = n, ok, retry
+        out = {"user_id": key[0],
+               "event_id": rows["event_id"].to_numpy(),
+               "ts_ms": ts_a,
+               "n_in_window": pd.array(n_out, dtype="int32"),
+               "admitted": ok_out,
+               "retry_after_ms": pd.array(retry_out, dtype="Int64")}
+        if with_payload:
+            out["payload"] = rows["payload"].to_numpy()
         state.update((recent,))
         state.setTimeoutDuration(window_ms)  # Redis Expire(duration)
         yield pd.DataFrame(out)

@@ -124,7 +124,7 @@ def run_scenario(spark, name: str, *, users: int, window_ms: int,
     from currency_market_pulse_spark.sources.trades_source import (
         TradesGenDataSource,
     )
-    from currency_market_pulse_spark.streaming.importer import (
+    from currency_market_pulse_spark.streaming.txn_sink import (
         TxnParquetTradesSink,
     )
     from currency_market_pulse_spark.streaming.ratelimiter import (
