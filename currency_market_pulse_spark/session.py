@@ -11,57 +11,8 @@ timezone is pinned to UTC to mirror the reference storage schema
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import SparkSession
-
-
-def _fair_allocation_file() -> str:
-    """Write (once per process) the FAIR pool allocation file and
-    return its path.
-
-    Pool weights encode the composed pipeline's latency priorities
-    (streaming/pipeline.py names one pool per query): the IMPORT leg
-    is the latency-critical ingest path — the reference's 1 s flush
-    contract (importer/importing/service.go:96-106) is a user-facing
-    freshness promise — and the TRENDS view is what users query, while
-    the document-side probes (near-dup index, CMS, decontam,
-    reservoir) are background index maintenance that only needs to
-    keep pace on average.  Under equal weights a burst of doc-leg
-    tasks queues ahead of an import trigger's tasks and the import
-    p50 pays the wait (measured: solo 1.15 s vs composed 1.6 s at
-    identical offered load, STREAM_BENCH r11 -> r12).  minShare gives
-    the two latency legs task slots immediately even while a doc-leg
-    stage occupies the rest; weight splits contended excess 4:2:1.
-    Pools not listed fall back to weight 1 / minShare 0.
-    """
-    xml = """<?xml version="1.0"?>
-<allocations>
-  <pool name="stream-import">
-    <schedulingMode>FIFO</schedulingMode>
-    <weight>4</weight>
-    <minShare>8</minShare>
-  </pool>
-  <pool name="stream-trends">
-    <schedulingMode>FIFO</schedulingMode>
-    <weight>2</weight>
-    <minShare>4</minShare>
-  </pool>
-</allocations>
-"""
-    path = os.path.join(tempfile.gettempdir(),
-                        f"cmp_spark_fair_pools_{os.getuid()}.xml")
-    try:
-        with open(path) as f:
-            if f.read() == xml:
-                return path
-    except OSError:
-        pass
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(xml)
-    os.replace(tmp, path)
-    return path
 
 
 def get_spark(app_name: str = "currency-market-pulse-spark",
@@ -120,15 +71,15 @@ def get_spark(app_name: str = "currency-market-pulse-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
-    # Weighted pools for the composed pipeline's latency tiers
-    # (import > trends > document probes) — see _fair_allocation_file.
-    # Inert unless a query is started in one of the named pools;
-    # harmless under FIFO mode.  SPARK_GRAFT_FAIR_WEIGHTS=0 reverts to
-    # equal-weight pools (the r11 behavior — tools/stream_bench.py
-    # A/Bs the two).  Context-level conf: only effective at JVM launch.
-    if os.environ.get("SPARK_GRAFT_FAIR_WEIGHTS") != "0":
-        builder = builder.config("spark.scheduler.allocation.file",
-                                 _fair_allocation_file())
+    # Pools are EQUAL-weight (no allocation file).  The r12 weighted
+    # pools (import 4 / trends 2 / probes 1 + minShares) were retired
+    # on two null measurements: steady-state A/B within noise
+    # (STREAM_BENCH_flatpools.json, r12 — FAIR assigns free slots but
+    # never preempts, so weights cannot rescue latency under long doc
+    # tasks) and a 5x doc-burst A/B ALSO within noise
+    # (STREAM_BENCH_burst_{weighted,flat}.json, r13 — import p50/p95
+    # during the burst identical both ways).  Per-query pools + FAIR
+    # mode carry all of the measured benefit.
     spark = builder.getOrCreate()
     _silence_windowexec_warning(spark)
     return spark

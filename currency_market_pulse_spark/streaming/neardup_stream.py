@@ -308,6 +308,12 @@ class StreamingNearDup:
     #: faster per batch (measured: the bookkeeping is ~ms at 1-10 k
     #: rows but would be per-row Python work at a 100 k-row trigger).
     hash_collect_cap: int = 50_000
+    #: optional JSONL file recording every segment write as it
+    #: happens ({wall, relation, segment, kind minor|major, consumed,
+    #: rows}) — the ops/bench timeline (tools/stream_bench.py soak
+    #: mode asserts majors fired inside the live pipeline).  Appended
+    #: driver-side from the single foreachBatch thread; None = off.
+    events_path: str | None = None
 
     def __post_init__(self):
         if self.hashes_path is None:
@@ -444,6 +450,16 @@ class StreamingNearDup:
         for rel in consumed:
             shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
         os.remove(manifest)
+        if self.events_path:
+            import time as _time
+            with open(self.events_path, "a") as f:
+                f.write(json.dumps({
+                    "wall": _time.time(),
+                    "relation": os.path.basename(root),
+                    "segment": segment_id,
+                    "kind": "major" if segs else "minor",
+                    "consumed": len(consumed),
+                    "input_bytes": input_bytes}) + "\n")
 
     def _compact_root(self, spark, root: str, data_schema: str,
                       bucket_expr_fn, bucket_col: str,

@@ -184,6 +184,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           view_rebuild_days: int | None = None,
                           doc_trigger: str | None = None,
                           doc_files_per_trigger: int = 1,
+                          neardup_compact_every: int = 32,
+                          neardup_max_segments: int = 8,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -362,7 +364,13 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
                           shingles_path=f"{out_dir}/idx_shingles",
                           hashes_path=f"{out_dir}/idx_hashes",
-                          dups_path=f"{out_dir}/dups")
+                          dups_path=f"{out_dir}/dups",
+                          compact_every=neardup_compact_every,
+                          max_segments=neardup_max_segments,
+                          # ops timeline: one JSON line per segment
+                          # write (minor fold / tier major) — cheap,
+                          # and the soak bench reads it back
+                          events_path=f"{out_dir}/compaction_events.jsonl")
     q_dedup = _in_pool("neardup", lambda: nd.attach(
         _doc_stream(), f"{out_dir}/ckpt_neardup", trigger=d_trigger))
     queries = [q_import, q_trends, q_dedup]

@@ -123,13 +123,23 @@ def _summarize(progress: list[dict], trigger_ms: int) -> dict:
               and k in p["stateOperators"][0]]
         if xs:
             state_ms[k] = {"p50": _pct(xs, 50), "p95": _pct(xs, 95)}
+    # wall p95 by thirds of the run (soak evidence: a flat series
+    # across tier compactions / index growth; one third is noise-prone
+    # on short runs — read it only on 300 s+ runs)
+    thirds = []
+    dws = [p["durationMs"]["triggerExecution"] for p in data_batches]
+    if dws:
+        k = max(1, len(dws) // 3)
+        thirds = [_pct(dws[i:i + k], 95)
+                  for i in range(0, len(dws), k)][:3]
     out = {
         "batches": len(walls),
         "data_batches": len(data_batches),
         "input_rows": rows,
         "trigger_wall_ms": {
             "p50": _pct(walls, 50), "p95": _pct(walls, 95),
-            "max": max(walls) if walls else None},
+            "max": max(walls) if walls else None,
+            "p95_by_third": thirds},
         "trigger_budget_ms": trigger_ms,
         "p95_over_budget": (round(_pct(walls, 95) / trigger_ms, 3)
                             if walls else None),
@@ -174,6 +184,11 @@ def main() -> None:
                     help="seconds of sustained ingest")
     ap.add_argument("--rows-per-batch", type=int, default=2000,
                     help="trades offered per 1 s trigger (trades_gen)")
+    ap.add_argument("--users", type=int, default=None,
+                    help="trades_gen user-id cardinality (default: the "
+                         "source's 50); ~100000 = the realistic "
+                         "per-user-limiter key space "
+                         "(STREAM_BENCH_cardinality.json)")
     ap.add_argument("--docs-per-file", type=int, default=300,
                     help="documents offered per 1 s trigger (1 file)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -194,6 +209,24 @@ def main() -> None:
                          "to keep offered doc throughput identical "
                          "while halving per-trigger fixed costs.")
     ap.add_argument("--doc-files-per-trigger", type=int, default=1)
+    ap.add_argument("--burst-factor", type=int, default=1,
+                    help="multiply docs-per-file by this for the "
+                         "burst window's files (1 = no burst)")
+    ap.add_argument("--burst-start-trigger", type=int, default=None,
+                    help="file index where the burst begins "
+                         "(default: mid-run)")
+    ap.add_argument("--burst-triggers", type=int, default=10,
+                    help="how many consecutive files carry the burst")
+    ap.add_argument("--neardup-compact-every", type=int, default=32,
+                    help="near-dup index minor-compaction cadence "
+                         "(batches); lower = more compactions per "
+                         "run, the HARDER case for probe latency")
+    ap.add_argument("--neardup-max-segments", type=int, default=8,
+                    help="segment budget before a tier (major) merge")
+    ap.add_argument("--min-majors", type=int, default=0,
+                    help="soak gate: exit nonzero unless at least "
+                         "this many MAJOR (tier) compactions fired "
+                         "inside the run")
     ap.add_argument("--stream-shuffle-partitions", type=int, default=8,
                     help="shuffle/state width for the STREAMING session "
                          "(cloned off the main one): 1 s micro-batches "
@@ -231,31 +264,62 @@ def main() -> None:
     os.makedirs(docs_dir)
 
     # pre-chunk the corpus into 1-file-per-trigger drops; replicate to
-    # cover the whole duration (+25% head room) if the corpus is short
+    # cover the whole duration (+25% head room) if the corpus is short.
+    # With --burst-factor F, files [burst-start-trigger, +burst-
+    # triggers) carry F x docs-per-file — a doc-side load burst at a
+    # known point in the run (the FAIR-pool burst A/B, r12 directive 5)
     docs = (spark.read.parquet(os.path.join(args.sf_dir,
                                             "documents.parquet"))
             .select("doc_id", "text").collect())
     need_files = int(args.duration * 1.25) + 5
-    need_docs = need_files * args.docs_per_file
+    burst_start = (args.burst_start_trigger
+                   if args.burst_start_trigger is not None
+                   else args.duration // 2)
+    sizes = []
+    for fidx in range(need_files):
+        n = args.docs_per_file
+        if (args.burst_factor > 1
+                and burst_start <= fidx < burst_start
+                + args.burst_triggers):
+            n *= args.burst_factor
+        sizes.append(n)
+    need_docs = sum(sizes)
+
+    def _rep_text(text, rep):
+        # replication beyond the corpus must stay NOVEL: rep 0 is the
+        # corpus verbatim, later reps suffix every token with the rep
+        # id — same length, no shingle overlap with other reps.  A
+        # verbatim replica would be all exact copies, which the index
+        # deliberately does NOT ingest (hash fast path) — a soak run
+        # would stop growing the index after one corpus pass and
+        # never compact (discovered in the r13 soak: tail writes
+        # ceased at batch 99 and no major could ever fire).
+        if rep == 0:
+            return text
+        return " ".join(f"{t}z{rep}q" for t in text.split())
+
     rows, rep = [], 0
     while len(rows) < need_docs:
-        rows.extend((int(r.doc_id) + rep * 10_000_000, r.text)
+        rows.extend((int(r.doc_id) + rep * 10_000_000,
+                     _rep_text(r.text, rep))
                     for r in docs)
         rep += 1
-    fidx = 0
-    for s in range(0, need_docs, args.docs_per_file):
+    pos = 0
+    for fidx, size in enumerate(sizes):
         with open(os.path.join(docs_dir, f"chunk-{fidx:05d}.json"),
                   "w") as f:
-            for did, text in rows[s:s + args.docs_per_file]:
+            for did, text in rows[pos:pos + size]:
                 f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
-        fidx += 1
+        pos += size
     eval_df = stream_spark.createDataFrame(
         [(int(r.doc_id), r.text) for r in docs[:50]],
         "doc_id long, text string")
 
-    trades_stream = (stream_spark.readStream.format("trades_gen")
-                     .option("rowsPerBatch", str(args.rows_per_batch))
-                     .load())
+    trades_reader = (stream_spark.readStream.format("trades_gen")
+                     .option("rowsPerBatch", str(args.rows_per_batch)))
+    if args.users is not None:
+        trades_reader = trades_reader.option("users", str(args.users))
+    trades_stream = trades_reader.load()
 
     out_dir = os.path.join(work, "out")
     preseed_rows = 0
@@ -301,12 +365,27 @@ def main() -> None:
         stream_spark, None, docs_dir, out_dir, eval_df=eval_df,
         requests_stream=trades_stream,
         doc_trigger=args.doc_trigger,
-        doc_files_per_trigger=args.doc_files_per_trigger)
+        doc_files_per_trigger=args.doc_files_per_trigger,
+        neardup_compact_every=args.neardup_compact_every,
+        neardup_max_segments=args.neardup_max_segments)
+    # accumulate progress DURING the run (keyed by batchId): Spark
+    # retains only the last 100 triggers per query, so a single drain
+    # at the end would truncate a soak run's early history
+    acc: dict[str, dict] = {name: {} for name in QUERY_NAMES}
+
+    def _drain():
+        for name, q in zip(QUERY_NAMES, pipe.queries):
+            for p in _progress(q):
+                acc[name][p["batchId"]] = p
     try:
-        time.sleep(args.duration)
-        pipe._raise_if_failed()
-        progress = {name: _progress(q)
-                    for name, q in zip(QUERY_NAMES, pipe.queries)}
+        while time.time() - t0 < args.duration:
+            time.sleep(min(5.0, max(0.1, args.duration
+                                    - (time.time() - t0))))
+            pipe._raise_if_failed()
+            _drain()
+        _drain()
+        progress = {name: [acc[name][b] for b in sorted(acc[name])]
+                    for name in QUERY_NAMES}
     finally:
         pipe.stop()
     wall = time.time() - t0
@@ -335,6 +414,69 @@ def main() -> None:
         "txn_manifests": len(os.listdir(
             os.path.join(pipe.trades_path, "_txn"))),
     }
+    # ---- burst analysis (r12 directive 5): import-leg latency DURING
+    # the doc-side burst window vs outside it.  The window is located
+    # from the doc legs' own progress (triggers that consumed more
+    # than the steady per-trigger quota), not assumed from the file
+    # indices — consumption can lag the drop.
+    burst = None
+    if args.burst_factor > 1:
+        import datetime as _dt
+
+        def _ts(p):
+            return _dt.datetime.fromisoformat(
+                p["timestamp"].replace("Z", "+00:00")).timestamp()
+
+        quota = args.docs_per_file * args.doc_files_per_trigger
+        bursty = [p for p in progress["neardup"]
+                  if int(p.get("numInputRows", 0)) > quota]
+        if bursty:
+            w0 = min(_ts(p) for p in bursty)
+            w1 = max(_ts(p) + p["durationMs"]["triggerExecution"] / 1e3
+                     for p in bursty)
+            imp = [p for p in progress["import"]
+                   if int(p.get("numInputRows", 0))]
+            during = [p["durationMs"]["triggerExecution"] for p in imp
+                      if w0 <= _ts(p) <= w1]
+            outside = [p["durationMs"]["triggerExecution"] for p in imp
+                       if not (w0 <= _ts(p) <= w1)]
+            nd_during = [p["durationMs"]["triggerExecution"]
+                         for p in bursty]
+            burst = {
+                "factor": args.burst_factor,
+                "burst_files": args.burst_triggers,
+                "window_sec": round(w1 - w0, 1),
+                "burst_doc_triggers": len(bursty),
+                "import_during": {
+                    "n": len(during), "p50": _pct(during, 50),
+                    "p95": _pct(during, 95)},
+                "import_outside": {
+                    "n": len(outside), "p50": _pct(outside, 50),
+                    "p95": _pct(outside, 95)},
+                "neardup_burst_wall_ms": {
+                    "p50": _pct(nd_during, 50),
+                    "p95": _pct(nd_during, 95)},
+                "fair_weights_env": os.environ.get(
+                    "SPARK_GRAFT_FAIR_WEIGHTS", "default"),
+            }
+
+    # ---- compaction timeline (r12 directive 4): segment writes the
+    # index performed DURING the run, from its own events log
+    compaction = None
+    ev_path = os.path.join(out_dir, "compaction_events.jsonl")
+    if os.path.exists(ev_path):
+        with open(ev_path) as f:
+            evs = [json.loads(line) for line in f]
+        compaction = {
+            "minors": sum(e["kind"] == "minor" for e in evs),
+            "majors": sum(e["kind"] == "major" for e in evs),
+            "timeline": [
+                {"t_rel_sec": round(e["wall"] - t0, 1),
+                 "relation": e["relation"], "kind": e["kind"],
+                 "segment": e["segment"], "consumed": e["consumed"]}
+                for e in evs],
+        }
+
     # default=None: a run too short for any query to record trigger
     # progress must still emit its artifact, not die in the summary
     # (ADVICE r10)
@@ -346,6 +488,7 @@ def main() -> None:
             "duration_sec": args.duration,
             "trigger": "1 second",
             "trades_rows_per_trigger": args.rows_per_batch,
+            "trades_users": args.users or 50,
             "docs_per_trigger": args.docs_per_file,
             "doc_trigger": args.doc_trigger or "1 second",
             "doc_files_per_trigger": args.doc_files_per_trigger,
@@ -353,8 +496,13 @@ def main() -> None:
             "preseed_docs": args.preseed_docs,
             "band_index_rows_at_start": preseed_rows,
             "stream_shuffle_partitions": args.stream_shuffle_partitions,
-            "note": ("per-query percentiles cover Spark's last 100 "
-                     "triggers (progress retention)"),
+            "burst_factor": args.burst_factor,
+            "neardup_compact_every": args.neardup_compact_every,
+            "neardup_max_segments": args.neardup_max_segments,
+            "fair_weights_env": os.environ.get(
+                "SPARK_GRAFT_FAIR_WEIGHTS", "default"),
+            "note": ("per-query percentiles cover the WHOLE run "
+                     "(progress drained every 5 s, keyed by batchId)"),
         },
         "throughput": {
             "trades_offered_rows_per_sec": args.rows_per_batch,
@@ -377,14 +525,29 @@ def main() -> None:
                                 if saturating is not None else None),
         },
     }
+    if burst is not None:
+        artifact["burst"] = burst
+    if compaction is not None:
+        artifact["compaction"] = compaction
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps(artifact["throughput"]))
     print(json.dumps(artifact["saturation"]))
+    if compaction is not None:
+        print(json.dumps({"compaction": {
+            "minors": compaction["minors"],
+            "majors": compaction["majors"]}}))
+    if burst is not None:
+        print(json.dumps({"burst": burst}))
     print(f"wrote {args.out}")
     if not args.keep_workdir:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
+    if args.min_majors and (compaction is None
+                            or compaction["majors"] < args.min_majors):
+        raise SystemExit(
+            f"soak gate: {0 if compaction is None else compaction['majors']} "
+            f"major compactions < required {args.min_majors}")
 
 
 if __name__ == "__main__":
