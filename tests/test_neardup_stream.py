@@ -558,3 +558,78 @@ def test_max_segments_validation():
                              dups_path="z", max_segments=bad)
     StreamingNearDup(bands_path="x", shingles_path="y",
                      dups_path="z", max_segments=1)  # boundary ok
+
+
+def test_recovery_and_probe_independent_of_listing_order(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r12 directive 2: the index store's driver-side protocol
+    (tail/segment discovery, bucket-count reads, crash recovery) must
+    never depend on the ORDER a directory listing returns — POSIX
+    leaves readdir order unspecified and object-store listings differ
+    again.  Run an identical ingest (minor folds, tier merges, an
+    injected mid-compaction crash, a post-recovery probe) with
+    os.listdir and os.walk returning entries REVERSED, and require
+    bit-identical dup logs and standing index contents."""
+    import json as _json
+    import os
+
+    real_listdir, real_walk = os.listdir, os.walk
+
+    def scenario(tag, reverse):
+        if reverse:
+            monkeypatch.setattr(
+                os, "listdir",
+                lambda p=".": list(reversed(real_listdir(p))))
+            monkeypatch.setattr(
+                os, "walk",
+                lambda *a, **k: reversed(list(real_walk(*a, **k))))
+        else:
+            monkeypatch.setattr(os, "listdir", real_listdir)
+            monkeypatch.setattr(os, "walk", real_walk)
+        nd = StreamingNearDup(
+            bands_path=str(tmp_path / f"{tag}_bands"),
+            shingles_path=str(tmp_path / f"{tag}_shingles"),
+            dups_path=str(tmp_path / f"{tag}_dups"),
+            compact_every=2, max_segments=2, n_buckets=4)
+        def novel(base_id, salt, n=2):
+            # mutually-distinct shingleable docs at disjoint id ranges
+            return [(base_id + i,
+                     " ".join(f"w{salt}{i}x{j}k{i * 31 + j * 7}"
+                              for j in range(20)))
+                    for i in range(n)]
+
+        batches = {0: [(1, BASE)], 1: [(2, DISTINCT)],
+                   2: novel(10, "a"), 3: [(30, NEAR)],
+                   4: novel(40, "b"), 5: [(50, BASE)],
+                   6: novel(60, "c")}
+        _run_batches(nd, spark, batches)
+        # injected crash: pre-swap state (manifest + tmp) on bands
+        root = nd.bands_path
+        os.makedirs(os.path.join(root, "_compacting_segment"),
+                    exist_ok=True)
+        with open(os.path.join(root, "_compaction_manifest"),
+                  "w") as f:
+            _json.dump({"segment": 99,
+                        "consumed": ["tail/batch_id=6"]}, f)
+        # recovery runs at the top of this batch; then a probe that
+        # must see every standing row exactly once
+        nd.process_batch(spark.createDataFrame(
+            [(70, NEAR.replace("dusk", "noon"))],
+            "doc_id long, text string"), 7)
+        return (
+            sorted((r.new_id, r.dup_of, round(r.jaccard, 6))
+                   for r in nd.read_dups(spark).collect()),
+            sorted(map(tuple, nd.read_bands(spark).collect())),
+            sorted(map(tuple, nd.read_hashes(spark).collect())),
+            nd.read_shingles(spark).count(),
+        )
+
+    normal = scenario("fwd", reverse=False)
+    reversed_ = scenario("rev", reverse=True)
+    monkeypatch.setattr(os, "listdir", real_listdir)
+    monkeypatch.setattr(os, "walk", real_walk)
+    assert normal == reversed_
+    # sanity: the scenario exercised what it claims (dups were found,
+    # exact copy 50 flagged against 1, near-dups 30 and 70 flagged)
+    flagged = {n for n, _, _ in normal[0]}
+    assert {30, 50, 70} <= flagged
