@@ -74,6 +74,7 @@ from currency_market_pulse_spark.streaming.neardup_stream import (
 )
 from currency_market_pulse_spark.streaming.ratelimiter import (
     DEFAULT_LIMIT, DEFAULT_WINDOW_MS, rate_limit_gateway,
+    rate_limit_gateway_bucketed,
 )
 from currency_market_pulse_spark.streaming.trends_stream import trends_live
 
@@ -186,6 +187,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           doc_files_per_trigger: int = 1,
                           neardup_compact_every: int = 32,
                           neardup_max_segments: int = 8,
+                          gateway_buckets: int | None = None,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -253,7 +255,16 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         F.to_json(F.struct(*raw.columns)).alias("payload"),
     ).withColumn("event_id", F.xxhash64("payload")) \
      .filter(F.col("ts_ms").isNotNull())   # malformed -> 400 pre-gate
-    decisions = rate_limit_gateway(requests, window_ms, limit)
+    # gateway_buckets: the cardinality-scale switch — hash-slot
+    # bucketed state caps the stateful op's groups-per-trigger
+    # (identical admission decisions, test-pinned; measured at 100k
+    # users: trigger p50 1.9 s per-user vs 1.25 s bucketed, SCALE.md
+    # Round 13).  None keeps the per-user twin of the reference's
+    # Redis keys with engine-managed idle expiry.
+    decisions = (rate_limit_gateway_bucketed(
+        requests, window_ms, limit, buckets=gateway_buckets)
+        if gateway_buckets
+        else rate_limit_gateway(requests, window_ms, limit))
     # write-once txn sink by default: the live view's file stream is
     # exactly-once under crash-replay (module docstring; txn_sink.py)
     sink = (TxnParquetTradesSink(trades_path) if txn_sink

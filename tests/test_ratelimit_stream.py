@@ -127,3 +127,76 @@ def test_gateway_decisions_match_batch_replay(spark, tmp_path):
     for eid, b in batch.items():
         assert live[eid][:3] == b, eid
         assert live[eid][3] == f"p{eid}"   # payload carried through
+
+
+def test_bucketed_gateway_equals_per_user_gateway(spark, tmp_path):
+    """The cardinality-scale bucketed gateway (state keyed by
+    hash(user)%buckets) makes IDENTICAL admission decisions to the
+    per-user operator — same n_in_window, admitted, retry_after_ms,
+    payload — across multi-batch streams with over-limit bursts,
+    multiple users per bucket (buckets=2 forces collisions), and
+    window slides."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        rate_limit_gateway, rate_limit_gateway_bucketed,
+    )
+
+    def mk_events():
+        evs = []
+        eid = 0
+        # burst user exceeding limit, steady user, one-shot users
+        for b in range(3):
+            for i in range(5):
+                evs.append({"user_id": "burst", "event_id": eid,
+                            "ts_ms": 1000 + b * 700 + i * 10}); eid += 1
+            evs.append({"user_id": "steady", "event_id": eid,
+                        "ts_ms": 1000 + b * 700}); eid += 1
+            evs.append({"user_id": f"once{b}", "event_id": eid,
+                        "ts_ms": 1000 + b * 700}); eid += 1
+        return evs
+
+    def run(tag, fn):
+        src = tmp_path / f"in_{tag}"
+        src.mkdir()
+        evs = mk_events()
+        import os
+        for b in range(3):                 # 3 micro-batches
+            p = src / f"f{b}.json"
+            with open(p, "w") as f:
+                for e in evs[b * 7:(b + 1) * 7]:
+                    f.write(_json.dumps(e | {"payload": "p" +
+                            str(e["event_id"])}) + "\n")
+            os.utime(p, (1_000_000 + b * 100,) * 2)
+        stream = (spark.readStream
+                  .schema("user_id string, event_id long, ts_ms long, "
+                          "payload string")
+                  .option("maxFilesPerTrigger", "1").json(str(src)))
+        out = fn(stream)
+        q = (out.writeStream.format("memory").queryName(f"bg_{tag}")
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .outputMode("append").start())
+        try:
+            import time as _t
+            deadline = _t.time() + 90
+            while _t.time() < deadline:
+                if spark.table(f"bg_{tag}").count() >= 21:
+                    break
+                _t.sleep(0.5)
+            return sorted(map(tuple, spark.table(f"bg_{tag}")
+                              .collect()))
+        finally:
+            q.stop()
+
+    per_user = run("user", lambda s: rate_limit_gateway(
+        s, window_ms=1000, limit=3))
+    bucketed = run("bkt", lambda s: rate_limit_gateway_bucketed(
+        s, window_ms=1000, limit=3, buckets=2))
+    assert len(per_user) == 21
+    assert per_user == bucketed
+    # the scenario actually exercised rejection + retry hints
+    rejected = [r for r in per_user if not r[4]]
+    assert rejected and all(r[5] is not None and r[5] > 0
+                            for r in rejected)

@@ -114,7 +114,8 @@ def _trivial_gateway(requests, window_ms):
 
 def run_scenario(spark, name: str, *, users: int, window_ms: int,
                  limit: int, rows_per_batch: int, duration: int,
-                 width: int, state_store: str, fold: str) -> dict:
+                 width: int, state_store: str, fold: str,
+                 buckets: int = 128) -> dict:
     """One solo-import-leg run; returns the scenario's summary dict."""
     from pyspark.sql import functions as F
 
@@ -156,6 +157,12 @@ def run_scenario(spark, name: str, *, users: int, window_ms: int,
      .filter(F.col("ts_ms").isNotNull())
     if fold == "trivial":
         decisions = _trivial_gateway(requests, window_ms)
+    elif fold == "bucketed":
+        from currency_market_pulse_spark.streaming.ratelimiter import (
+            rate_limit_gateway_bucketed,
+        )
+        decisions = rate_limit_gateway_bucketed(
+            requests, window_ms, limit, buckets=buckets)
     else:
         decisions = rate_limit_gateway(requests, window_ms, limit)
     sink = TxnParquetTradesSink(trades_path)
@@ -212,7 +219,9 @@ def run_scenario(spark, name: str, *, users: int, window_ms: int,
         "config": {"users": users, "window_ms": window_ms,
                    "limit": limit, "rows_per_batch": rows_per_batch,
                    "duration_sec": duration, "width": width,
-                   "state_store": state_store, "fold": fold},
+                   "state_store": state_store, "fold": fold,
+                   **({"buckets": buckets}
+                      if fold == "bucketed" else {})},
         "triggers": len(data),
         "trigger_wall_ms": {
             "all_p50": _pct(walls(data), 50),
@@ -257,6 +266,12 @@ MATRIX = [
                         state_store="hdfs", fold="normal")),
     ("hi_60s_triv", dict(users=100_000, window_ms=60_000, width=8,
                          state_store="hdfs", fold="trivial")),
+    # the shipped cardinality answer: hash-slot bucketed state caps
+    # groups-per-trigger at 1024 (ratelimiter.rate_limit_gateway_bucketed)
+    ("hi_1s_bkt", dict(users=100_000, window_ms=1000, width=8,
+                       state_store="hdfs", fold="bucketed")),
+    ("hi_60s_bkt", dict(users=100_000, window_ms=60_000, width=8,
+                        state_store="hdfs", fold="bucketed")),
 ]
 
 
@@ -274,8 +289,14 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=8)
     ap.add_argument("--state-store", choices=["hdfs", "rocksdb"],
                     default="hdfs")
-    ap.add_argument("--fold", choices=["normal", "trivial"],
+    ap.add_argument("--fold",
+                    choices=["normal", "trivial", "bucketed"],
                     default="normal")
+    ap.add_argument("--buckets", type=int, default=128,
+                    help="hash-slot count for --fold bucketed; must "
+                         "be well below rows-per-batch to actually "
+                         "cap groups-per-trigger (2,000 draws into "
+                         "1,024 slots still touch ~880 of them)")
     ap.add_argument("--out", default=os.path.join(
         _REPO, "STREAM_BENCH_cardinality.json"))
     args = ap.parse_args()
@@ -297,7 +318,7 @@ def main() -> None:
         results[name] = run_scenario(
             spark, name, limit=args.limit,
             rows_per_batch=args.rows_per_batch,
-            duration=args.duration, **cfg)
+            duration=args.duration, buckets=args.buckets, **cfg)
         print(json.dumps({name: results[name]["trigger_wall_ms"] |
                           results[name]["standing_keys"]}), flush=True)
     artifact = {"offered_rows_per_sec": args.rows_per_batch,

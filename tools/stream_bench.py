@@ -217,6 +217,10 @@ def main() -> None:
                          "(default: mid-run)")
     ap.add_argument("--burst-triggers", type=int, default=10,
                     help="how many consecutive files carry the burst")
+    ap.add_argument("--gateway-buckets", type=int, default=None,
+                    help="hash-slot bucketed gateway state (the "
+                         "cardinality-scale switch); default = the "
+                         "per-user twin")
     ap.add_argument("--neardup-compact-every", type=int, default=32,
                     help="near-dup index minor-compaction cadence "
                          "(batches); lower = more compactions per "
@@ -367,7 +371,8 @@ def main() -> None:
         doc_trigger=args.doc_trigger,
         doc_files_per_trigger=args.doc_files_per_trigger,
         neardup_compact_every=args.neardup_compact_every,
-        neardup_max_segments=args.neardup_max_segments)
+        neardup_max_segments=args.neardup_max_segments,
+        gateway_buckets=args.gateway_buckets)
     # accumulate progress DURING the run (keyed by batchId): Spark
     # retains only the last 100 triggers per query, so a single drain
     # at the end would truncate a soak run's early history
@@ -489,6 +494,7 @@ def main() -> None:
             "trigger": "1 second",
             "trades_rows_per_trigger": args.rows_per_batch,
             "trades_users": args.users or 50,
+            "gateway_buckets": args.gateway_buckets,
             "docs_per_trigger": args.docs_per_file,
             "doc_trigger": args.doc_trigger or "1 second",
             "doc_files_per_trigger": args.doc_files_per_trigger,
