@@ -221,3 +221,35 @@ def test_composed_pipeline_doc_trigger_tier(spark, tmp_path):
         pipe.stop()
     assert trades == 4
     assert [(d.new_id, d.dup_of) for d in dups] == [(2, 1)]
+
+
+def test_composed_pipeline_bucketed_gateway(spark, tmp_path):
+    """run_composed_pipeline(gateway_buckets=...) — the cardinality-
+    scale switch — produces the exact same end-to-end outputs as the
+    per-user default: same admissions, same 429 with its retry hint,
+    same normalized rates, same closed trend window."""
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    req, docs = _plant(tmp_path)
+    pipe = run_composed_pipeline(spark, str(req), str(docs),
+                                 str(tmp_path / "out"),
+                                 window_ms=1000, limit=2,
+                                 trends_view="bkt_trends_live",
+                                 gateway_buckets=4)
+    try:
+        pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+        got = spark.read.parquet(pipe.trades_path).collect()
+        dead = pipe.read_dead_letters(spark).collect()
+        trends = {(r.time_window.isoformat(), r.currency_from): r
+                  for r in spark.table(pipe.trends_view).collect()}
+    finally:
+        pipe.stop()
+
+    assert len(got) == 4
+    assert len(dead) == 1
+    assert dead[0].user_id == "hot" and dead[0].retry_after_ms == 1000
+    assert sorted(round(r.rate, 6) for r in got) == [1.1, 1.2, 2.0, 2.5]
+    w = trends[("2024-08-12T10:00:00", "EUR")]
+    assert (w.n_trades, w.min, w.max) == (3, 1.1, 2.0)
