@@ -175,7 +175,33 @@ BUCKET_STATE_SCHEMA = T.StructType([
 DEFAULT_GATEWAY_BUCKETS = 128
 
 
-def _make_bucket_fold(window_ms: int, limit: int):
+def auto_buckets(rows_per_trigger: int, min_parallelism: int = 32,
+                 target_rows_per_group: int = 16,
+                 max_buckets: int = 65_536) -> int:
+    """Bucket count for ``rate_limit_gateway_bucketed`` from the
+    measured physics (STREAM_BENCH_cardinality.json / SCALE.md Round
+    13): the stateful op's cost scales with GROUPS per trigger, so
+    buckets must sit well below the offered rows-per-trigger for the
+    per-group framework cost to amortize — ~``target_rows_per_group``
+    rows per bucket per trigger reproduces the measured sweet spot
+    (2,000-row triggers -> 128 buckets ~= 15.6 rows/group, which
+    erased the 100k-user penalty; 1,024 buckets at the same rate was
+    measured as NO win because 2,000 uniform draws still touch ~880
+    groups).  Clamped below by ``min_parallelism`` (buckets are also
+    the operator's parallelism — size it >= ~4x the state-store
+    partition count so every executor core has work) and above by
+    ``max_buckets`` (beyond which per-trigger state serialization,
+    ~users-in-window/buckets rows per bucket, stops shrinking).
+    """
+    if rows_per_trigger <= 0:
+        return min_parallelism
+    want = -(-rows_per_trigger // target_rows_per_group)
+    n = 1 << max(0, int(want - 1).bit_length())   # next pow2
+    return max(min(n, max_buckets), min_parallelism)
+
+
+def _make_bucket_fold(window_ms: int, limit: int,
+                      late_allowance_ms: int):
     def fold(key, pdfs, state) -> "pd.DataFrame":
         if state.hasTimedOut:
             state.remove()
@@ -196,17 +222,27 @@ def _make_bucket_fold(window_ms: int, limit: int):
                 m.get(uid_a[j], []), int(ts_a[j]), window_ms, limit)
             m[uid_a[j]] = rec
             n_out[j], ok_out[j], retry_out[j] = n, ok, retry
-        # state hygiene: drop users whose newest in-window entry is
-        # older than the batch's event-time horizon — the bucketed
-        # analogue of the per-user ProcessingTimeTimeout (there the
-        # engine expired idle USERS; here the bucket stays live under
-        # steady traffic, so idle users inside it are evicted by
-        # event time instead).  Admission correctness never depends
-        # on this: a stale entry is trimmed by admit_fold on the
-        # user's next request anyway.
+        # state hygiene: drop users whose NEWEST entry (max, not the
+        # last appended — entries are unsorted under cross-batch
+        # event-time regression, ADVICE r13) has fallen
+        # ``late_allowance_ms`` beyond the in-window horizon of the
+        # bucket's max observed event time — the bucketed analogue of
+        # the per-user ProcessingTimeTimeout (there the engine expired
+        # idle USERS by processing time; here the bucket stays live
+        # under steady traffic, so idle users inside it are evicted by
+        # watermarked event time instead).  The allowance is the
+        # late-data guard: a user's next request carrying an event
+        # time up to ``late_allowance_ms`` behind a co-bucketed
+        # user's max still finds its state intact, so decisions match
+        # the per-user operator for any stream whose per-bucket
+        # event-time lateness stays within the allowance
+        # (test-pinned, test_bucketed_gateway_late_data_*).  Beyond
+        # it the two variants legitimately diverge — in the same way
+        # the per-user engine timeout itself forgets state across a
+        # window_ms processing-time idle gap.
         if len(ts_a):
-            floor = int(ts_a.max()) - window_ms
-            m = {u: r for u, r in m.items() if r and r[-1] >= floor}
+            floor = int(ts_a.max()) - window_ms - late_allowance_ms
+            m = {u: r for u, r in m.items() if r and max(r) >= floor}
         out = {"user_id": uid_a,
                "event_id": rows["event_id"].to_numpy(),
                "ts_ms": ts_a,
@@ -225,7 +261,8 @@ def rate_limit_gateway_bucketed(
         requests: DataFrame,
         window_ms: int = DEFAULT_WINDOW_MS,
         limit: int = DEFAULT_LIMIT,
-        buckets: int = DEFAULT_GATEWAY_BUCKETS) -> DataFrame:
+        buckets: int = DEFAULT_GATEWAY_BUCKETS,
+        late_allowance_ms: int | None = None) -> DataFrame:
     """The gateway keyed by ``xxhash64(user_id) % buckets`` instead of
     by raw user_id — Redis-Cluster hash slots in Spark terms.
 
@@ -240,20 +277,31 @@ def rate_limit_gateway_bucketed(
     (equality with the per-user operator is test-pinned,
     tests/test_ratelimit_stream.py).
 
-    Scale shape: state per bucket = the in-window entries of its
-    users (~users/buckets per bucket, md5-uniform user ids keep
-    buckets balanced); raise ``buckets`` with fleet size — it is the
-    parallelism knob exactly like the near-dup index's bucket count.
-    Semantic delta vs per-user: idle-user state is evicted by EVENT
-    time inside the fold rather than by the engine's processing-time
-    timeout (the bucket itself stays hot); admission decisions are
-    unaffected.
+    Scale shape: state per bucket = the in-window (+ allowance)
+    entries of its users (~users/buckets per bucket, md5-uniform user
+    ids keep buckets balanced); size ``buckets`` with the offered
+    rows-per-trigger x executor count — ``auto_buckets`` encodes the
+    measured rule — it is the parallelism knob exactly like the
+    near-dup index's bucket count.  Semantic delta vs per-user:
+    idle-user state is evicted by EVENT time inside the fold (floor =
+    bucket max event time - window - ``late_allowance_ms``, default
+    one extra window) rather than by the engine's processing-time
+    timeout (the bucket itself stays hot).  Admission decisions match
+    the per-user operator whenever per-bucket event-time lateness
+    stays within the allowance; a request later than that may be
+    over-admitted where the per-user variant would still have counted
+    the evicted entries (mirror image: the per-user engine timeout
+    forgets state across a window_ms processing-time idle gap, which
+    this variant does not).  Raise the allowance for streams with
+    deeper disorder — state grows linearly in it.
 
     Reference: consumer/ratelimit/ratelimit.go:38-47 keys a shared
     Redis per user — a hash-slot CLUSTER of that Redis is this exact
     layout."""
     from pyspark.sql import functions as F
 
+    if late_allowance_ms is None:
+        late_allowance_ms = window_ms
     if limit <= 0 or window_ms <= 0:
         return requests.select(
             "user_id", "event_id", "ts_ms",
@@ -266,7 +314,7 @@ def rate_limit_gateway_bucketed(
                           F.lit(buckets)).cast("int"))
     return (keyed.groupBy("_bucket")
             .applyInPandasWithState(
-                _make_bucket_fold(window_ms, limit),
+                _make_bucket_fold(window_ms, limit, late_allowance_ms),
                 outputStructType=GATEWAY_OUTPUT_SCHEMA,
                 stateStructType=BUCKET_STATE_SCHEMA,
                 outputMode="append",

@@ -200,3 +200,101 @@ def test_bucketed_gateway_equals_per_user_gateway(spark, tmp_path):
     rejected = [r for r in per_user if not r[4]]
     assert rejected and all(r[5] is not None and r[5] > 0
                             for r in rejected)
+
+
+def test_bucketed_gateway_late_data_equals_per_user(spark, tmp_path):
+    """ADVICE r13 (medium): with LATE / event-time-regressing
+    requests, the bucketed gateway's state eviction must not forget a
+    user whose next request the per-user operator would still count
+    against standing entries.  The fix under test: eviction keys on
+    max(recent) (not the last APPENDED entry, which is not the newest
+    under cross-batch ts regression) and carries a late allowance
+    (default one extra window) below the bucket-wide horizon.
+    buckets=1 co-locates every user; the scenario is built so the
+    PRE-fix eviction (floor = bucket_max - window, keyed on r[-1])
+    diverges on three counts: a late user evicted by a co-bucketed
+    user's advance, a regressing user evicted via its unsorted last
+    entry, and the n_in_window counts downstream of both."""
+    import json as _json
+    import os
+    import time as _t
+
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        rate_limit_gateway, rate_limit_gateway_bucketed,
+    )
+
+    W = 60_000
+    batches = [
+        # (user, event_id, ts_ms)
+        [("late", 0, 100_000), ("late", 1, 110_000),
+         ("ahead", 2, 120_000), ("reg", 3, 180_000)],
+        # ahead advances the bucket horizon; reg REGRESSES (appends a
+        # ts below its own previous entry -> state list unsorted)
+        [("ahead", 4, 200_000), ("reg", 5, 130_000)],
+        # late returns 35 s behind the bucket max (inside the
+        # allowance): per-user still holds [100k, 110k] -> n=3 reject
+        [("late", 6, 145_000), ("ahead", 7, 260_000)],
+        # reg returns: per-user trims to [180k] -> n=2 admitted; an
+        # r[-1]-keyed eviction would have dropped reg's state in the
+        # previous batch (last entry 130k < the 140k floor there)
+        [("reg", 8, 195_000)],
+    ]
+
+    def run(tag, fn):
+        src = tmp_path / f"in_{tag}"
+        src.mkdir()
+        for b, evs in enumerate(batches):
+            p = src / f"f{b}.json"
+            with open(p, "w") as f:
+                for u, eid, ts in evs:
+                    f.write(_json.dumps(
+                        {"user_id": u, "event_id": eid, "ts_ms": ts,
+                         "payload": f"p{eid}"}) + "\n")
+            os.utime(p, (1_000_000 + b * 100,) * 2)
+        stream = (spark.readStream
+                  .schema("user_id string, event_id long, ts_ms long, "
+                          "payload string")
+                  .option("maxFilesPerTrigger", "1").json(str(src)))
+        q = (fn(stream).writeStream.format("memory")
+             .queryName(f"ld_{tag}")
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .outputMode("append").start())
+        try:
+            deadline = _t.time() + 90
+            while _t.time() < deadline:
+                if spark.table(f"ld_{tag}").count() >= 9:
+                    break
+                _t.sleep(0.5)
+            return sorted(map(tuple, spark.table(f"ld_{tag}").collect()))
+        finally:
+            q.stop()
+
+    per_user = run("user", lambda s: rate_limit_gateway(
+        s, window_ms=W, limit=2))
+    bucketed = run("bkt", lambda s: rate_limit_gateway_bucketed(
+        s, window_ms=W, limit=2, buckets=1))
+    assert len(per_user) == 9
+    assert per_user == bucketed
+    by_eid = {r[1]: r for r in per_user}
+    # the late return was genuinely rejected against standing entries
+    assert not by_eid[6][4] and by_eid[6][5] == 15_000
+    # the regressing user's final request counts its standing 180k
+    # entry (n=2), which only survives max-keyed eviction
+    assert by_eid[8][3] == 2 and by_eid[8][4]
+
+
+def test_auto_buckets_rule():
+    """The documented sizing physics as code (VERDICT r13 directive
+    3): ~16 rows per bucket per trigger, next power of two, clamped
+    to [min_parallelism, max_buckets]."""
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        auto_buckets,
+    )
+
+    assert auto_buckets(2000) == 128          # the measured sweet spot
+    assert auto_buckets(2000, min_parallelism=32) == 128
+    assert auto_buckets(200) == 32            # clamped up to parallelism
+    assert auto_buckets(100_000) == 8192
+    assert auto_buckets(10 ** 9) == 65_536    # capped
+    assert auto_buckets(0) == 32              # degenerate -> floor
+    assert auto_buckets(2000, min_parallelism=256) == 256
