@@ -201,9 +201,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 hashes_path=f"{args.index_dir}/idx_hashes",
                 dups_path=f"{args.index_dir}/dups",
                 threshold=args.threshold)
+            # persist + count BEFORE the bootstrap: the count both
+            # materializes the cache every bootstrap stage then reads
+            # and avoids re-scanning the corpus for the summary line
+            # after backfill_bootstrap unpersists (ADVICE r13 — at
+            # the 100 TB posture that second scan is hours)
+            docs = docs.persist()
+            n_docs = docs.count()
             cold = backfill_bootstrap(nd, docs)
             print(json.dumps({
-                "cold_docs": docs.count(),
+                "cold_docs": n_docs,
                 "cold_dups_flagged": cold.count(),
                 "index_band_rows": nd.read_bands(spark).count()}))
         elif args.cmd == "ann-maintain":

@@ -96,13 +96,40 @@ def cold_corpus_dups(docs: DataFrame,
             .select("new_id", "dup_of", "jaccard"))
 
 
+def _require_fresh_index(nd: StreamingNearDup) -> None:
+    """Backfill is a FRESH-INDEX-ONLY bootstrap (ADVICE r13):
+    ``cold_corpus_dups`` is blind to standing index content and
+    ``seed_index`` renames into the fixed ``base/segment=0`` — run
+    against a populated index it would either fail with an opaque
+    ENOTEMPTY or silently miss standing near-dups.  Refuse up front
+    with an actionable message instead."""
+    import os
+
+    dirty = [root for root in (nd.bands_path, nd.shingles_path,
+                               nd.hashes_path)
+             if any(os.path.isdir(os.path.join(root, t))
+                    and os.listdir(os.path.join(root, t))
+                    for t in ("base", "tail"))]
+    if dirty:
+        raise ValueError(
+            "backfill_bootstrap requires an EMPTY standing index — it "
+            "is a cold-corpus bootstrap, not an incremental load "
+            f"(non-empty: {dirty}).  To add a corpus to a standing "
+            "index, stream it through process_batch instead; to "
+            "rebuild, point --index-dir at a fresh directory.")
+
+
 def backfill_bootstrap(nd: StreamingNearDup, docs: DataFrame,
                        ) -> DataFrame:
     """Batch-dedup ``docs``, seed ``nd``'s standing index with the
     exact-novel content, and record the cold dup log under
     ``batch_id=-1``.  Returns the cold dup log (new_id, dup_of,
     jaccard).  After this, attach the stream: micro-batches probe the
-    seeded index exactly as if the corpus had been streamed."""
+    seeded index exactly as if the corpus had been streamed.
+
+    Fresh-index-only: raises ValueError if the index already holds
+    data (see ``_require_fresh_index``)."""
+    _require_fresh_index(nd)
     spark = docs.sparkSession
     docs = docs.persist()
     try:

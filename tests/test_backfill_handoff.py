@@ -157,3 +157,23 @@ def test_backfill_cli_subcommand(spark, tmp_path):
     assert {n for n, _, _ in _dups(nd, spark)} == {3, 4}
     # seeded index holds the 5 exact-novel docs' hashes
     assert nd.read_hashes(spark).count() == 5
+
+
+def test_backfill_refuses_non_empty_index(spark, tmp_path):
+    """ADVICE r13: backfill is a fresh-index-only bootstrap — against
+    an index that already holds data it must refuse with a clear
+    error, not die in an opaque ENOTEMPTY rename or silently compute
+    dups blind to standing docs."""
+    import pytest
+
+    nd = _nd(tmp_path, "refuse")
+    cold, _rest = _corpus()
+    docs = spark.createDataFrame(cold[:3], "doc_id long, text string")
+    backfill_bootstrap(nd, docs)          # first bootstrap: fine
+    with pytest.raises(ValueError, match="EMPTY standing index"):
+        backfill_bootstrap(nd, docs)      # re-run: refused
+    # a streamed-only index (tail, no base) is refused just the same
+    nd2 = _nd(tmp_path, "refuse2")
+    nd2.process_batch(docs, 0)
+    with pytest.raises(ValueError, match="EMPTY standing index"):
+        backfill_bootstrap(nd2, docs)

@@ -125,13 +125,15 @@ def _summarize(progress: list[dict], trigger_ms: int) -> dict:
             state_ms[k] = {"p50": _pct(xs, 50), "p95": _pct(xs, 95)}
     # wall p95 by thirds of the run (soak evidence: a flat series
     # across tier compactions / index growth; one third is noise-prone
-    # on short runs — read it only on 300 s+ runs)
+    # on short runs — read it only on 300 s+ runs).  Even partitioning
+    # at indices len*i//3 (ADVICE r13: the old fixed-step chunking
+    # silently dropped up to 2 remainder triggers from the last third)
     thirds = []
     dws = [p["durationMs"]["triggerExecution"] for p in data_batches]
     if dws:
-        k = max(1, len(dws) // 3)
-        thirds = [_pct(dws[i:i + k], 95)
-                  for i in range(0, len(dws), k)][:3]
+        cuts = [len(dws) * i // 3 for i in range(4)]
+        thirds = [_pct(dws[cuts[i]:cuts[i + 1]], 95)
+                  for i in range(3) if cuts[i] < cuts[i + 1]]
     out = {
         "batches": len(walls),
         "data_batches": len(data_batches),
@@ -461,8 +463,9 @@ def main() -> None:
                 "neardup_burst_wall_ms": {
                     "p50": _pct(nd_during, 50),
                     "p95": _pct(nd_during, 95)},
-                "fair_weights_env": os.environ.get(
-                    "SPARK_GRAFT_FAIR_WEIGHTS", "default"),
+                # the weighted-pool knob was retired r13 (null A/B
+                # result); record the retirement, not a live arm
+                "fair_weights_env": "retired-r13",
             }
 
     # ---- compaction timeline (r12 directive 4): segment writes the
@@ -505,8 +508,7 @@ def main() -> None:
             "burst_factor": args.burst_factor,
             "neardup_compact_every": args.neardup_compact_every,
             "neardup_max_segments": args.neardup_max_segments,
-            "fair_weights_env": os.environ.get(
-                "SPARK_GRAFT_FAIR_WEIGHTS", "default"),
+            "fair_weights_env": "retired-r13",
             "note": ("per-query percentiles cover the WHOLE run "
                      "(progress drained every 5 s, keyed by batchId)"),
         },
