@@ -123,9 +123,11 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rate_limit_replay",
-    oracle=f"""
+#: shared by the batch replay and its streaming bucketed-gateway twin
+#: (the two engines must agree with the SAME oracle; no per-user
+#: timestamp ties exist in the events fixtures, so the RANGE-frame
+#: count equals the sequential fold's count).
+_RATE_LIMIT_REPLAY_ORACLE = f"""
 WITH {ORACLE_EVENTS_CTE},
 framed AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
@@ -139,8 +141,10 @@ SELECT event_id, user_id, ts_ms, n_in_window,
        CASE WHEN n_in_window > 3
             THEN oldest_ms + 86400000 - ts_ms END AS retry_after_ms
 FROM framed ORDER BY event_id
-""",
-)
+"""
+
+
+@query("rate_limit_replay", oracle=_RATE_LIMIT_REPLAY_ORACLE)
 def rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of the reference's sliding-window rate limiter
     (consumer/ratelimit/ratelimit.go:38-62): 24 h window, limit 3,
@@ -148,3 +152,75 @@ def rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sliding_window_admission(
         load_table(spark, sf_dir, "events"),
         window_ms=86_400_000, limit=3)
+
+
+@extra_query("rate_limit_replay_bucketed",
+             oracle=_RATE_LIMIT_REPLAY_ORACLE)
+def rate_limit_replay_bucketed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The STREAMING hash-slot-bucketed gateway
+    (streaming/ratelimiter.py:rate_limit_gateway_bucketed, the
+    cardinality-scale variant) replaying the events log under the
+    SAME DuckDB oracle as the batch ``rate_limit_replay`` — so
+    decision-for-decision equality of the bucketed state machine is
+    differentially proven every round, not only by pytest (VERDICT
+    r13 directive 6).  The events table is staged once as a
+    normalized parquet drop, streamed through the gateway in one
+    availableNow pass (state carries the whole log), and the memory
+    sink is returned cast to the replay's column types."""
+    import tempfile
+    import uuid
+
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        rate_limit_gateway_bucketed,
+    )
+
+    import time
+
+    staged = tempfile.mkdtemp(prefix="rl_bucketed_replay_")
+    (load_table(spark, sf_dir, "events")
+     .select(F.col("event_id"),
+             F.col("user_id").cast("string").alias("user_id"),
+             F.unix_millis("ts").alias("ts_ms"),
+             F.lit("").alias("payload"))
+     .write.mode("overwrite").parquet(staged))
+    n_events = spark.read.parquet(staged).count()
+    stream = (spark.readStream
+              .schema("event_id long, user_id string, ts_ms long, "
+                      "payload string")
+              .parquet(staged))
+    name = f"rlb_{uuid.uuid4().hex[:12]}"
+    q = (rate_limit_gateway_bucketed(stream, window_ms=86_400_000,
+                                     limit=3, buckets=32)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", f"{staged}/_ckpt")
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    # poll-then-stop, NOT awaitTermination: the gateway's
+    # processing-time state timeout keeps the engine scheduling
+    # timeout-evaluation micro-batches, so even an availableNow run
+    # never reaches the idle point termination waits for (the same
+    # livelock streaming/pipeline.py documents for
+    # processAllAvailable; the repo's rate-limiter tests poll too).
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if spark.table(name).count() >= n_events:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"bucketed replay stuck below {n_events} rows")
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .select(F.col("event_id"),
+                    F.col("user_id").cast("bigint").alias("user_id"),
+                    F.col("ts_ms"),
+                    F.col("n_in_window").cast("bigint")
+                    .alias("n_in_window"),
+                    F.col("admitted"),
+                    F.col("retry_after_ms"))
+            .orderBy("event_id"))
