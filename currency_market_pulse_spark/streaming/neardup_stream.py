@@ -81,12 +81,22 @@ re-buckets them.
 
 Crash-safety is the manifest protocol of
 streaming/compaction.py adapted to append-only segments: write the
-new segment to a hidden tmp dir, durably record intent (atomic-rename
-manifest listing the consumed dirs), rename tmp into place, THEN
-delete the consumed dirs.  ``_recover`` runs at the top of every
-batch: manifest+tmp => the swap never happened, drop both (every row
-still lives in its consumed dir); manifest+segment => finish the
-deletes.  At no point does a reader see a row in zero or two places.
+new segment to a hidden tmp dir, durably record intent (a manifest
+listing the consumed dirs), PUBLISH through the segment store's
+commit point, THEN delete the consumed dirs.  Publication and
+discovery go through the ``segment_store`` seam
+(streaming/segment_store.py): the default RenameSegmentStore commits
+with one atomic directory rename (POSIX/HDFS); MarkerSegmentStore is
+the object-store twin — per-object copies plus a conditional-PUT
+commit marker, no rename anywhere — with recovery equality across
+both test-pinned under injected crashes (tests/test_segment_store.py).
+``_recover_root`` runs at the top of every batch: intent without the
+store's commit record => the publish never committed, drop staging
+and any uncommitted partials (every row still lives in its consumed
+dir); intent with it => finish the deletes.  At no point does a
+reader see a row in zero or two places, and reads list COMMITTED
+segments only (a marker store exposes partially-uploaded dirs to
+listings; ``discover_committed`` excludes them).
 
 Replay interplay: only batch ids STRICTLY BELOW the current one are
 ever compacted — Structured Streaming can only replay the newest
@@ -118,6 +128,9 @@ from pyspark.sql.utils import AnalysisException
 
 from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
+from currency_market_pulse_spark.streaming.segment_store import (
+    RenameSegmentStore,
+)
 
 # Explicit index schemas: the standing relations are read with these
 # instead of inference, so a dataset whose only partitions so far are
@@ -136,7 +149,6 @@ _DUPS_SCHEMA = ("new_id bigint, dup_of bigint, jaccard double, "
 #: prune alone (still exact, just no pushed doc_id IN filter).
 _CAND_COLLECT_CAP = 100_000
 
-_MANIFEST = "_compaction_manifest"
 _TMPSEG = "_compacting_segment"
 _SEGMETA = "_meta.json"
 #: tier-merge segments take ids from here up — minor segments' id IS
@@ -231,41 +243,6 @@ def _tail_dirs(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _segment_dirs(root: str) -> list[tuple[int, str]]:
-    base = os.path.join(root, "base")
-    if not os.path.isdir(base):
-        return []
-    out = []
-    for d in os.listdir(base):
-        if d.startswith("segment="):
-            out.append((int(d.split("=", 1)[1]), os.path.join(base, d)))
-    return sorted(out)
-
-
-def _recover(root: str) -> None:
-    """Roll an interrupted compaction forward or back (module
-    docstring protocol).  Cheap (os.path checks) — runs every batch."""
-    manifest = os.path.join(root, _MANIFEST)
-    tmp = os.path.join(root, _TMPSEG)
-    if not os.path.exists(manifest):
-        shutil.rmtree(tmp, ignore_errors=True)  # pre-manifest garbage
-        return
-    with open(manifest) as f:
-        intent = json.load(f)
-    seg_dir = os.path.join(root, "base", f"segment={intent['segment']}")
-    if os.path.isdir(tmp):
-        # crashed before the swap: the new segment never went live and
-        # every row still lives in its consumed dir.
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.remove(manifest)
-        return
-    if os.path.isdir(seg_dir):
-        # swap happened: finish deleting the consumed sources.
-        for rel in intent["consumed"]:
-            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
-    os.remove(manifest)
-
-
 @dataclass
 class StreamingNearDup:
     """foreachBatch handler maintaining the incremental dedup index.
@@ -314,8 +291,16 @@ class StreamingNearDup:
     #: mode asserts majors fired inside the live pipeline).  Appended
     #: driver-side from the single foreachBatch thread; None = off.
     events_path: str | None = None
+    #: segment publication/discovery seam (streaming/segment_store.py):
+    #: RenameSegmentStore (default — atomic-rename commit, POSIX/HDFS)
+    #: or MarkerSegmentStore (object-store twin: per-object PUTs +
+    #: conditional-PUT commit marker, no rename anywhere).  Recovery
+    #: equality across both is test-pinned (test_segment_store.py).
+    segment_store: "object | None" = None
 
     def __post_init__(self):
+        if self.segment_store is None:
+            self.segment_store = RenameSegmentStore()
         if self.hashes_path is None:
             self.hashes_path = self.bands_path + "_hashes"
         if self.max_segments < 1:
@@ -324,6 +309,38 @@ class StreamingNearDup:
             # under a fresh tier id without reducing the count)
             raise ValueError(
                 f"max_segments must be >= 1, got {self.max_segments}")
+
+    # ---- recovery / discovery through the publication seam ---------
+
+    def _segments(self, root: str) -> list[tuple[int, str]]:
+        """discover_committed(): only fully committed segments — a
+        partially published one (possible on marker stores, where
+        objects appear one PUT at a time) is never read or compacted."""
+        return self.segment_store.committed(root)
+
+    def _recover_root(self, root: str) -> None:
+        """Roll an interrupted compaction forward or back (module
+        docstring protocol), store-agnostically: committed (by the
+        store's own commit record) => finish the consumed-source
+        deletes; uncommitted => drop staging + any visible
+        uncommitted partials (their rows all still live in the
+        consumed sources).  Cheap driver-side checks — runs every
+        batch."""
+        store = self.segment_store
+        tmp = os.path.join(root, _TMPSEG)
+        intent = store.read_intent(root)
+        if intent is None:
+            shutil.rmtree(tmp, ignore_errors=True)  # pre-intent garbage
+            store.clean_uncommitted(root)
+            return
+        if store.is_committed(root, intent["segment"]):
+            for rel in intent["consumed"]:
+                shutil.rmtree(os.path.join(root, rel),
+                              ignore_errors=True)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            store.clean_uncommitted(root)
+        store.clear_intent(root)
 
     # ---- standing-index reads -------------------------------------
 
@@ -343,12 +360,17 @@ class StreamingNearDup:
     def _read_base(self, spark, root: str, data_schema: str,
                    bucket_col: str,
                    buckets: list[int] | None = None) -> DataFrame | None:
-        try:
-            df = spark.read.schema(
-                f"{data_schema}, segment bigint, {bucket_col} int") \
-                .parquet(os.path.join(root, "base"))
-        except AnalysisException:
+        # read the COMMITTED segment list, not the base dir wholesale:
+        # on a marker store a partially-published segment is visible
+        # to listings before its commit marker lands, and must never
+        # be scanned (discover_committed contract, segment_store.py).
+        segs = self._segments(root)
+        if not segs:
             return None
+        df = (spark.read
+              .schema(f"{data_schema}, segment bigint, {bucket_col} int")
+              .option("basePath", os.path.join(root, "base"))
+              .parquet(*[p for _i, p in segs]))
         if buckets is not None:
             df = df.filter(F.col(bucket_col).isin(buckets))
         return df.drop("segment", bucket_col)
@@ -359,7 +381,7 @@ class StreamingNearDup:
         are assumed to be at the configured floor).  Bounded by
         max_segments driver-side file reads."""
         ns = set()
-        for _i, p in _segment_dirs(root):
+        for _i, p in self._segments(root):
             try:
                 with open(os.path.join(p, _SEGMETA)) as f:
                     ns.add(int(json.load(f)["n_buckets"]))
@@ -440,16 +462,16 @@ class StreamingNearDup:
          .write.mode("overwrite").partitionBy(bucket_col).parquet(tmp))
         with open(os.path.join(tmp, _SEGMETA), "w") as f:
             json.dump({"n_buckets": n, "input_bytes": input_bytes}, f)
-        manifest = os.path.join(root, _MANIFEST)
-        with open(manifest + ".tmp", "w") as f:
-            json.dump({"segment": segment_id, "consumed": consumed}, f)
-        os.replace(manifest + ".tmp", manifest)
-        os.makedirs(os.path.join(root, "base"), exist_ok=True)
-        os.rename(tmp, os.path.join(root, "base",
-                                    f"segment={segment_id}"))
+        # intent -> durable_publish -> delete consumed -> clear: the
+        # commit point lives inside the store (atomic rename, or the
+        # marker store's conditional-PUT commit marker) — the protocol
+        # above it is store-agnostic (segment_store.py)
+        store = self.segment_store
+        store.record_intent(root, segment_id, consumed)
+        store.publish(root, tmp, segment_id)
         for rel in consumed:
             shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
-        os.remove(manifest)
+        store.clear_intent(root)
         if self.events_path:
             import time as _time
             with open(self.events_path, "a") as f:
@@ -469,12 +491,12 @@ class StreamingNearDup:
         into base/segment=<segment_id>, then re-tier the segment set
         if it outgrew max_segments.  Returns whether a minor segment
         was written."""
-        _recover(root)
+        self._recover_root(root)
         wrote = False
-        seg_dir = os.path.join(root, "base", f"segment={segment_id}")
         tails = [(i, p) for i, p in _tail_dirs(root)
                  if i < upto_batch_id]
-        if tails and not os.path.isdir(seg_dir):
+        if tails and not self.segment_store.is_committed(root,
+                                                         segment_id):
             # (crash-replayed compacting batch: segment already there)
             self._write_segment(spark, root, data_schema,
                                 bucket_expr_fn, bucket_col, sort_cols,
@@ -498,7 +520,7 @@ class StreamingNearDup:
         naive merge-smallest-k, which snowballs); measured on real
         index data by tools/compaction_bench.py."""
         while True:
-            segs = _segment_dirs(root)
+            segs = self._segments(root)
             # <= 1 guard: merging a single segment cannot reduce the
             # count — it would rewrite forever under fresh tier ids
             if len(segs) <= max(1, self.max_segments):
@@ -583,9 +605,7 @@ class StreamingNearDup:
                           .parquet(tmp).drop(bucket_col), tmp2, n)
                     shutil.rmtree(tmp)
                     os.rename(tmp2, tmp)
-                os.makedirs(os.path.join(root, "base"), exist_ok=True)
-                os.rename(tmp, os.path.join(
-                    root, "base", f"segment={segment_id}"))
+                self.segment_store.publish(root, tmp, segment_id)
 
             _write(bands, self.bands_path, _BANDS_DATA, _sig_bucket,
                    "sig_bucket", ["band", "band_sig"])
@@ -603,7 +623,7 @@ class StreamingNearDup:
         spark = batch.sparkSession
         for root in (self.bands_path, self.shingles_path,
                      self.hashes_path):
-            _recover(root)
+            self._recover_root(root)
         if (self.compact_every and batch_id > 0
                 and batch_id % self.compact_every == 0):
             self.compact(spark, upto_batch_id=batch_id)

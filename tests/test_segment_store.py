@@ -1,0 +1,203 @@
+"""The segment publication seam (VERDICT r13 directive 2): the
+near-dup index's durability contract — durable_publish /
+discover_committed — executed against BOTH implementations:
+
+- RenameSegmentStore (default): atomic-rename commit, the pre-r14
+  protocol byte-for-byte;
+- MarkerSegmentStore: the object-store twin with NO rename anywhere —
+  per-object copies become visible one at a time, commit is a single
+  conditional-PUT marker object — under injected crashes at every
+  window class (mid-copy, at the commit boundary, after commit
+  before source cleanup).
+
+The scenario mirrors
+test_neardup_stream.py::test_recovery_and_probe_independent_of_listing_order
+(minor folds, tier majors, a post-recovery probe) and the assertion is
+the same: bit-identical dup logs and standing index contents."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from currency_market_pulse_spark.streaming.neardup_stream import (
+    StreamingNearDup,
+)
+from currency_market_pulse_spark.streaming.segment_store import (
+    InjectedCrash, MarkerSegmentStore, RenameSegmentStore,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the calm "
+        "river flows past the old stone bridge at dawn")
+NEAR = BASE.replace("dawn", "dusk")
+DISTINCT = ("completely unrelated text about parquet row groups and "
+            "shuffle partitions in a distributed query engine runtime")
+
+
+def _novel(base_id, salt, n=2):
+    return [(base_id + i,
+             " ".join(f"w{salt}{i}x{j}k{i * 31 + j * 7}"
+                      for j in range(20)))
+            for i in range(n)]
+
+
+#: batch_id -> rows; compact_every=2 makes batches 2/4/6 compact,
+#: max_segments=2 forces tier (major) merges inside the run
+_BATCHES = {0: [(1, BASE)], 1: [(2, DISTINCT)],
+            2: _novel(10, "a"), 3: [(30, NEAR)],
+            4: _novel(40, "b"), 5: [(50, BASE)],
+            6: _novel(60, "c"),
+            7: [(70, NEAR.replace("dusk", "noon"))]}
+
+
+def _mk_nd(tmp_path, tag, store):
+    return StreamingNearDup(
+        bands_path=str(tmp_path / f"{tag}_bands"),
+        shingles_path=str(tmp_path / f"{tag}_shingles"),
+        hashes_path=str(tmp_path / f"{tag}_hashes"),
+        dups_path=str(tmp_path / f"{tag}_dups"),
+        compact_every=2, max_segments=2, n_buckets=4,
+        segment_store=store)
+
+
+def _state(nd, spark):
+    return (
+        sorted((r.new_id, r.dup_of, round(r.jaccard, 6))
+               for r in nd.read_dups(spark).collect()),
+        sorted(map(tuple, nd.read_bands(spark).collect())),
+        sorted(map(tuple, nd.read_hashes(spark).collect())),
+        nd.read_shingles(spark).count(),
+    )
+
+
+def _run(spark, tmp_path, tag, store_fn, crash_at=None):
+    """Run the scenario under store_fn()-built stores.  With
+    ``crash_at`` = the 1-based index of the fault-hook invocation to
+    crash on, the run takes one InjectedCrash, then 'restarts' (a
+    fresh handler + fault-free store on the same paths — the
+    streaming engine would likewise replay the crashed batch) and
+    finishes."""
+    calls = {"n": 0, "labels": []}
+
+    def fault(label):
+        calls["n"] += 1
+        calls["labels"].append(label)
+        if crash_at is not None and calls["n"] == crash_at:
+            raise InjectedCrash(f"{label} (call {calls['n']})")
+
+    nd = _mk_nd(tmp_path, tag, store_fn(fault))
+    crashed = None
+    for b in sorted(_BATCHES):
+        df = spark.createDataFrame(_BATCHES[b],
+                                   "doc_id long, text string")
+        try:
+            nd.process_batch(df, b)
+        except InjectedCrash as e:
+            assert crash_at is not None, f"unexpected crash: {e}"
+            crashed = (b, str(e))
+            # restart: new handler, fault-free store, same paths; the
+            # engine replays the crashed batch (foreachBatch redelivers)
+            nd = _mk_nd(tmp_path, tag, store_fn(lambda _l: None))
+            nd.process_batch(df, b)
+    if crash_at is not None:
+        assert crashed is not None, (
+            f"crash_at={crash_at} never fired ({calls['n']} calls)")
+    return _state(nd, spark), calls["labels"], crashed
+
+
+def _assert_scenario_bit(state):
+    dups, _bands, hashes, _n_sh = state
+    flagged = {n for n, _, _ in dups}
+    # exact copy 50 and near-dups 30/70 flagged; novel content indexed
+    assert {30, 50, 70} <= flagged
+    assert 1 in [d for _n, d, _j in dups]
+    assert 50 not in hashes  # exact copies are never indexed
+
+
+def test_marker_store_equals_rename_store(spark, tmp_path):
+    """Crash-free: the no-rename marker protocol produces bit-identical
+    index state and dup log to the atomic-rename default."""
+    rename_state, _, _ = _run(spark, tmp_path, "ren",
+                              lambda _f: RenameSegmentStore())
+    marker_state, labels, _ = _run(spark, tmp_path, "mrk",
+                                   lambda f: MarkerSegmentStore(fault=f))
+    assert rename_state == marker_state
+    _assert_scenario_bit(marker_state)
+    # the run exercised real publishes through the marker protocol
+    assert any(l.startswith("copy:") for l in labels)
+    assert "before_marker" in labels and "after_marker" in labels
+
+
+@pytest.mark.parametrize("window", ["first_copy", "first_marker",
+                                    "last_marker", "after_commit"])
+def test_marker_store_crash_windows(spark, tmp_path, window):
+    """Recovery equality with NO atomic rename anywhere: crash the
+    publish at every window class — mid-copy (some objects visible,
+    no commit), just before the commit marker (fully copied,
+    uncommitted), and just after it (committed, consumed sources not
+    yet deleted) — restart, and require the final state bit-equal to
+    the crash-free run."""
+    clean_state, labels, _ = _run(
+        spark, tmp_path, f"clean_{window}",
+        lambda f: MarkerSegmentStore(fault=f))
+    idx = {
+        "first_copy": labels.index(
+            next(l for l in labels if l.startswith("copy:"))),
+        "first_marker": labels.index("before_marker"),
+        "last_marker": len(labels) - 1
+        - labels[::-1].index("before_marker"),
+        "after_commit": labels.index("after_marker"),
+    }[window]
+    crash_state, _, crashed = _run(
+        spark, tmp_path, f"crash_{window}",
+        lambda f: MarkerSegmentStore(fault=f), crash_at=idx + 1)
+    assert crashed is not None
+    assert crash_state == clean_state
+
+
+def test_committed_excludes_partial_segments(spark, tmp_path):
+    """discover_committed never returns a marker-less (partial)
+    segment: a reader between a crashed publish and its recovery sees
+    only committed data, and recovery then removes the partial."""
+    store = MarkerSegmentStore()
+    nd = _mk_nd(tmp_path, "part", store)
+    for b in (0, 1, 2):   # batch 2 compacts -> segment 2 committed
+        nd.process_batch(spark.createDataFrame(
+            _BATCHES[b], "doc_id long, text string"), b)
+    root = nd.bands_path
+    committed_before = store.committed(root)
+    assert committed_before, "scenario must have a committed segment"
+    before = _state(nd, spark)
+    # a crashed publish left a partial, marker-less segment dir
+    partial = os.path.join(root, "base", "segment=777")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-fake.parquet"), "w") as f:
+        f.write("not parquet — must never be opened")
+    assert store.committed(root) == committed_before
+    assert _state(nd, spark) == before       # reads skip the partial
+    store.clean_uncommitted(root)
+    assert not os.path.exists(partial)
+
+
+def test_marker_commit_is_single_winner(tmp_path):
+    """The commit marker is a conditional PUT: once a segment id is
+    committed, a second publish of the same id is a no-op that keeps
+    the committed bytes (never a silent overwrite)."""
+    store = MarkerSegmentStore()
+    root = str(tmp_path / "idx")
+
+    def stage(content):
+        staged = os.path.join(root, "_staged_probe")
+        os.makedirs(staged, exist_ok=True)
+        with open(os.path.join(staged, "data.parquet"), "w") as f:
+            f.write(content)
+        return staged
+
+    store.publish(root, stage("winner"), 5)
+    assert store.is_committed(root, 5)
+    store.publish(root, stage("loser"), 5)   # replayed attempt: no-op
+    with open(os.path.join(root, "base", "segment=5",
+                           "data.parquet")) as f:
+        assert f.read() == "winner"
+    assert [i for i, _p in store.committed(root)] == [5]
