@@ -1,0 +1,201 @@
+"""Manifest-log-backed streaming source over the write-once txn sink —
+the bounded live-view feed (VERDICT r13 directive 1).
+
+Why it exists: the composed pipeline's live trends view used to be a
+``readStream.parquet`` file stream over the sink directory, and a file
+stream RE-LISTS the whole directory tree every trigger to diff its
+seen-set — O(total files in sink history) driver-side work that the
+900 s soak measured growing 1.6 -> 3.7 s view p95 at ~4,000 files.
+Unbounded in uptime: at 100x the run length the view stalls regardless
+of data rate.
+
+The fix is the one Delta/Iceberg streaming readers use: key the
+stream on the table's own COMMIT LOG, not on storage listings.  The
+write-once sink (streaming/txn_sink.py) already durably writes one
+manifest per micro-batch at ``_txn/batch=<B>.json`` recording exactly
+the final data-file paths that batch published — and Structured
+Streaming batch ids are CONTIGUOUS from 0 per checkpoint, so the log
+needs no listing at all:
+
+- **offset** = the highest fully-published batch id ingested (one
+  int);
+- **latestOffset** probes ``batch=<n+1>.json`` forward — O(new
+  batches) existence checks per trigger, ZERO directory listings, and
+  advances over a batch only once every file its manifest records is
+  published (the txn sink's crash window between manifest commit and
+  publish completion is therefore invisible to the view; replay rolls
+  the sink forward and the view picks the batch up next trigger);
+- **partitions** are the manifests' recorded file paths (one reader
+  task per file; partition values ``trade_date``/``batch_id`` are
+  parsed from the recorded path exactly as Spark's partition
+  discovery would);
+- **read** runs on executors via pyarrow and yields Arrow batches
+  cast to the sink schema.
+
+Exactly-once composition: offsets live in the view's checkpoint;
+manifests and data files are write-once (txn_sink invariant), so any
+replayed (start, end] range re-reads identical bytes.
+
+Boot cost: resuming or rebuilding probes manifests upward from -1 —
+O(committed batches) existence checks, once (the steady-state trigger
+cost is O(new batches)).  The ``cutoffDate`` option bounds the
+REBUILD the same way ``view_rebuild_days`` bounds the listing-based
+rebuild: files whose recorded trade_date partition predates the
+cutoff are skipped at the source, before any read.
+
+Scale note: file access here is local-filesystem ``os.path`` +
+pyarrow; on HDFS/S3 the same protocol runs over the object client
+(existence probe = HEAD on a known key — still no LIST anywhere).
+
+Reference anchor: the trends service reads a bounded primary-index
+range, never a growing catalog (trends/listing/service.go:54-56).
+
+Register per session, then::
+
+    spark.readStream.format("txn_trades")
+         .option("path", <sink root>).load()
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: the sink-side schema (streaming/pipeline.py _SINK_STREAM_SCHEMA):
+#: TRADES_SCHEMA plus the partition columns recorded in final paths.
+SINK_STREAM_SCHEMA = (
+    "user_id string, currency_from string, currency_to string, "
+    "amount_sell_micros long, amount_buy_micros long, rate double, "
+    "originating_country string, time_placed timestamp, "
+    "trade_date date, batch_id long")
+
+_TXN_DIR = "_txn"
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file_path: str
+    trade_date: str   # ISO yyyy-mm-dd, '' if the file is undated
+    batch_id: int
+
+
+def _manifest_path(root: str, batch_id: int) -> str:
+    return os.path.join(root, _TXN_DIR, f"batch={batch_id}.json")
+
+
+def _read_manifest(root: str, batch_id: int) -> dict | None:
+    try:
+        with open(_manifest_path(root, batch_id)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _rel_trade_date(final_rel: str) -> str:
+    first = final_rel.replace("\\", "/").split("/", 1)[0]
+    if first.startswith("trade_date="):
+        return first.split("=", 1)[1]
+    return ""
+
+
+class _ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("txn_trades requires .option('path', ...)")
+        cutoff = options.get("cutoffdate") or options.get("cutoffDate")
+        self.cutoff = dt.date.fromisoformat(cutoff) if cutoff else None
+        self._last = -1   # driver-side cursor cache; re-derived on boot
+
+    # -- offsets ------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"batch": -1}
+
+    def _batch_complete(self, manifest: dict) -> bool:
+        """Every file the manifest records is published (the txn
+        sink's roll-forward window between manifest commit and the
+        last publish rename must never surface a half-visible batch
+        to the view)."""
+        return all(os.path.exists(os.path.join(self.root, final_rel))
+                   for _staged, final_rel in manifest["files"])
+
+    def latestOffset(self) -> dict:
+        n = self._last
+        while True:
+            manifest = _read_manifest(self.root, n + 1)
+            if manifest is None or not self._batch_complete(manifest):
+                break
+            n += 1
+        self._last = n
+        return {"batch": n}
+
+    # -- planning / reading ------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        for b in range(int(start["batch"]) + 1, int(end["batch"]) + 1):
+            manifest = _read_manifest(self.root, b)
+            if manifest is None:
+                raise IOError(
+                    f"txn_trades: manifest for committed batch {b} "
+                    f"disappeared from {self.root}/{_TXN_DIR} — the "
+                    "write-once invariant is broken")
+            for _staged, final_rel in manifest["files"]:
+                d = _rel_trade_date(final_rel)
+                if (self.cutoff is not None and d
+                        and dt.date.fromisoformat(d) < self.cutoff):
+                    continue
+                parts.append(_FilePartition(
+                    os.path.join(self.root, final_rel), d, b))
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = pa.schema([
+            pa.field("user_id", pa.string()),
+            pa.field("currency_from", pa.string()),
+            pa.field("currency_to", pa.string()),
+            pa.field("amount_sell_micros", pa.int64()),
+            pa.field("amount_buy_micros", pa.int64()),
+            pa.field("rate", pa.float64()),
+            pa.field("originating_country", pa.string()),
+            pa.field("time_placed", pa.timestamp("us", tz="UTC")),
+            pa.field("trade_date", pa.date32()),
+            pa.field("batch_id", pa.int64()),
+        ])
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        date_val = (dt.date.fromisoformat(partition.trade_date)
+                    if partition.trade_date else None)
+        table = table.append_column(
+            "trade_date", pa.array([date_val] * n, pa.date32()))
+        table = table.append_column(
+            "batch_id", pa.array([partition.batch_id] * n, pa.int64()))
+        for batch in (table.select(target.names)
+                      .cast(target).to_batches()):
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TxnTradesManifestDataSource(DataSource):
+    """``format("txn_trades")`` — see the module docstring."""
+
+    @classmethod
+    def name(cls):
+        return "txn_trades"
+
+    def schema(self):
+        return SINK_STREAM_SCHEMA
+
+    def streamReader(self, schema: StructType):
+        return _ManifestStreamReader(self.options)

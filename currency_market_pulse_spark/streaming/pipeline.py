@@ -8,8 +8,10 @@ compose.yml) —
          payload carried through; rejects get retry_after)
       -> parse + normalize admitted payloads (P1..P6 chain)
       -> ParquetTradesSink (date-partitioned, batch-id idempotent)
-      -> LIVE trends view (file stream OVER THE SINK -> watermarked
-         window aggregation -> in-memory queryable table)
+      -> LIVE trends view (manifest-log stream OVER THE SINK's txn
+         commit log -> watermarked window aggregation -> in-memory
+         queryable table; sources/txn_log_source.py — O(new batches)
+         per trigger, no directory listing anywhere)
     + document stream -> streaming near-dup index probe (bands +
       shingles standing index, batch-id idempotent) + count-min heavy
       hitters + optional decontaminate-at-ingest screen + uniform
@@ -188,6 +190,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           neardup_compact_every: int = 32,
                           neardup_max_segments: int = 8,
                           gateway_buckets: int | None = None,
+                          view_source: str = "manifest",
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -205,6 +208,10 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     ``view_rebuild_days``: bound the live view's rebuild-from-storage
     window to the newest N trade-date partitions' horizon (VERDICT r10
     directive 4) — see the query-2 comment for semantics and cost.
+    ``view_source``: "manifest" (default — the txn commit-log feed,
+    bounded per-trigger cost) or "listing" (the pre-r14
+    readStream.parquet file stream, O(total sink files) per trigger;
+    only valid pairing for ``txn_sink=False``).
     ``doc_trigger`` / ``doc_files_per_trigger``: run the BACKGROUND
     document probes (near-dup, CMS, decontam, reservoir) on a slower,
     batchier trigger than the latency-critical import/trends legs —
@@ -333,20 +340,17 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # proves the rebuilt view equals an uninterrupted run's).
     import shutil
     shutil.rmtree(f"{out_dir}/ckpt_trends", ignore_errors=True)
-    sink_stream = (spark.readStream.schema(_SINK_STREAM_SCHEMA)
-                   .parquet(trades_path))
     # Bounded rebuild (VERDICT r10 directive 4): unbounded, the boot
-    # cost above grows with the sink's whole history.  With
+    # cost grows with the sink's whole history.  With
     # ``view_rebuild_days`` set, the rebuild reads only trade_date
     # partitions within N days of the newest one — the cutoff comes
-    # from the partition DIRECTORY NAMES (no data scan), and the
-    # filter is on the partition column, so pruned files contribute
-    # only listing cost, never content reads.  Boot cost is then
-    # O(horizon partitions), not O(history).  Semantics: the view
-    # serves the horizon — rows older than the cutoff (including ones
-    # arriving AFTER boot, which the watermark would expire anyway)
-    # are batch-path territory, exactly the live-view/batch split the
-    # trends_stream docstring documents for late data.
+    # from the partition DIRECTORY NAMES (no data scan).  Boot cost
+    # is then O(horizon partitions), not O(history).  Semantics: the
+    # view serves the horizon — rows older than the cutoff (including
+    # ones arriving AFTER boot, which the watermark would expire
+    # anyway) are batch-path territory, exactly the live-view/batch
+    # split the trends_stream docstring documents for late data.
+    cutoff = None
     if view_rebuild_days is not None:
         import datetime as _dt
         dates = [d.split("=", 1)[1] for d in os.listdir(trades_path)
@@ -354,6 +358,37 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         if dates:
             cutoff = (max(_dt.date.fromisoformat(x) for x in dates)
                       - _dt.timedelta(days=view_rebuild_days - 1))
+    # view_source="manifest" (default, VERDICT r13 directive 1): feed
+    # the view from the txn sink's per-batch manifest LOG
+    # (sources/txn_log_source.py) — per-trigger cost is O(new
+    # batches) manifest probes, never a directory listing.  The old
+    # "listing" mode (readStream.parquet over the sink tree) re-lists
+    # the WHOLE sink every trigger to diff its seen-set — O(total
+    # files in history) driver-side work, measured growing 1.6 ->
+    # 3.7 s view p95 across the r13 900 s soak (~4,000 files);
+    # retained only for the plain-overwrite sink, which writes no
+    # manifests (and whose replay double-counting the txn sink was
+    # built to fix — module docstring).
+    if view_source == "manifest" and not txn_sink:
+        raise ValueError("view_source='manifest' requires txn_sink=True "
+                         "(the plain sink writes no manifest log); "
+                         "pass view_source='listing'")
+    if view_source == "manifest":
+        from currency_market_pulse_spark.sources.txn_log_source import (
+            TxnTradesManifestDataSource,
+        )
+        spark.dataSource.register(TxnTradesManifestDataSource)
+        reader = (spark.readStream.format("txn_trades")
+                  .option("path", trades_path))
+        if cutoff is not None:
+            reader = reader.option("cutoffDate", cutoff.isoformat())
+        sink_stream = reader.load()
+    else:
+        sink_stream = (spark.readStream.schema(_SINK_STREAM_SCHEMA)
+                       .parquet(trades_path))
+        if cutoff is not None:
+            # filter on the partition column: pruned files contribute
+            # only listing cost, never content reads
             sink_stream = sink_stream.filter(
                 F.col("trade_date") >= F.lit(cutoff))
     trends_writer = (trends_live(sink_stream, watermark=watermark)

@@ -1,0 +1,195 @@
+"""The manifest-log live-view source (sources/txn_log_source.py,
+VERDICT r13 directive 1): offsets keyed on the txn sink's per-batch
+commit log — O(new batches) per trigger, no directory listing — with
+the same exactly-once-across-crash-replay property the listing-based
+view proved in test_txn_sink.py, plus the windows unique to the log
+protocol (half-published batches deferred, cutoff pruning, missing
+manifests loud)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import test_txn_sink as tts
+from pyspark.sql import Row
+
+from currency_market_pulse_spark.sources.txn_log_source import (
+    TxnTradesManifestDataSource, _ManifestStreamReader,
+)
+from currency_market_pulse_spark.streaming.ingest import read_trades_files
+from currency_market_pulse_spark.streaming.importer import run_import
+from currency_market_pulse_spark.streaming.txn_sink import (
+    TxnParquetTradesSink,
+)
+
+SINK_SCHEMA = tts.SINK_SCHEMA
+
+
+def _trades_df(spark, ids, day=1):
+    return spark.createDataFrame([Row(
+        user_id=f"u{i}", currency_from="EUR", currency_to="GBP",
+        amount_sell_micros=1_000_000 * (i + 1),
+        amount_buy_micros=2_000_000,
+        rate=2.0 / (i + 1), originating_country="FR",
+        time_placed=dt.datetime(2024, 1, day, 12, 0, i)) for i in ids])
+
+
+def _start_view(spark, root, ckpt, name):
+    spark.dataSource.register(TxnTradesManifestDataSource)
+    return (spark.readStream.format("txn_trades")
+            .option("path", root).load()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="1 second").start())
+
+
+def test_manifest_view_equals_batch_read(spark, tmp_path):
+    """Batches written through the txn sink surface in the manifest
+    view bit-for-bit equal to a batch read — including partition
+    columns parsed from the recorded paths — and a batch committed
+    while the view is live is picked up without restart."""
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root)
+    for b in range(3):
+        sink.write(_trades_df(spark, range(5 * b, 5 * b + 5),
+                              day=1 + b % 2), b)
+    q = _start_view(spark, root, str(tmp_path / "ckpt"), "mv_eq")
+    try:
+        assert tts._poll(
+            lambda: spark.table("mv_eq").count() >= 15)
+        sink.write(_trades_df(spark, range(15, 18), day=2), 3)
+        assert tts._poll(
+            lambda: spark.table("mv_eq").count() >= 18)
+        live = sorted(map(tuple, spark.table("mv_eq").collect()))
+        batch = sorted(map(tuple, spark.read.schema(SINK_SCHEMA)
+                           .parquet(root).collect()))
+        assert live == batch
+        assert dict(spark.table("mv_eq").dtypes) == dict(
+            spark.read.schema(SINK_SCHEMA).parquet(root).dtypes)
+    finally:
+        q.stop()
+
+
+def test_manifest_view_equals_batch_across_crash_replay(spark, tmp_path):
+    """The r7 exactly-once claim, now through the LOG-backed view: an
+    injected mid-publish crash + replay of the import query never
+    double-counts or half-counts in the manifest view (the
+    half-published batch is deferred until its files are all
+    visible, then ingested exactly once)."""
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    os.makedirs(out, exist_ok=True)
+    sink = tts._CrashOnceMidPublishSink(out, crash_batch=1)
+
+    live = _start_view(spark, out, str(tmp_path / "ckpt_live"),
+                       "mv_crash")
+    try:
+        tts._write_ingest_file(src / "f1.json",
+                               [tts._trade(i) for i in range(5)])
+        q1 = run_import(read_trades_files(spark, str(src)), sink,
+                        str(tmp_path / "ckpt"))
+        assert tts._poll(lambda: 0 in sink.committed_batches())
+
+        # batch 1: two trade dates -> two final files; crashes after
+        # publishing the first.  Its manifest is durable but the
+        # batch is HALF-published — the view must not ingest it yet.
+        tts._write_ingest_file(
+            src / "f2.json",
+            [tts._trade(i + 10, day=19) for i in range(3)]
+            + [tts._trade(i + 20, day=20) for i in range(3)])
+        assert tts._poll(lambda: q1.exception() is not None)
+        assert "injected mid-publish crash" in str(q1.exception())
+        q1.stop()
+        time.sleep(3)   # several view triggers over the crashed state
+        assert spark.table("mv_crash").count() == 5  # batch 0 only
+
+        # restart: replay rolls the sink forward; then one more batch
+        q2 = run_import(read_trades_files(spark, str(src)), sink,
+                        str(tmp_path / "ckpt"))
+        try:
+            assert tts._poll(
+                lambda: sorted(sink.committed_batches()) == [0, 1])
+            tts._write_ingest_file(
+                src / "f3.json",
+                [tts._trade(i + 30, day=21) for i in range(4)])
+            assert tts._poll(lambda: 2 in sink.committed_batches())
+        finally:
+            q2.stop()
+
+        batch_df = spark.read.schema(SINK_SCHEMA).parquet(out)
+        expect = batch_df.count()
+        assert expect == 15
+        assert tts._poll(
+            lambda: spark.table("mv_crash").count() == expect)
+        time.sleep(3)   # ...and STAYS equal (double-count would land)
+        live_rows = sorted(tuple(r) for r in
+                           spark.table("mv_crash").collect())
+        batch_rows = sorted(tuple(r) for r in batch_df.collect())
+        assert live_rows == batch_rows
+    finally:
+        live.stop()
+
+
+def test_latest_offset_defers_half_published_batch(spark, tmp_path):
+    """Unit-level: latestOffset stops BEFORE a batch whose manifest is
+    committed but whose recorded files are not all visible yet (the
+    sink's roll-forward window), and advances once publication
+    completes.  No listing is involved — only keyed probes."""
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root)
+    sink.write(_trades_df(spark, range(3)), 0)
+    reader = _ManifestStreamReader({"path": root})
+    assert reader.latestOffset() == {"batch": 0}
+
+    # batch 1 stuck mid-publish: stage + manifest, then un-publish one
+    # recorded file back to its staged path
+    sink.write(_trades_df(spark, range(3, 6)), 1)
+    import json as _json
+    with open(os.path.join(root, "_txn", "batch=1.json")) as f:
+        rec = _json.load(f)
+    staged_rel, final_rel = rec["files"][0]
+    os.makedirs(os.path.dirname(os.path.join(root, staged_rel)),
+                exist_ok=True)
+    os.replace(os.path.join(root, final_rel),
+               os.path.join(root, staged_rel))
+    stuck = _ManifestStreamReader({"path": root})
+    assert stuck.latestOffset() == {"batch": 0}
+    sink._publish(1)   # roll forward completes
+    assert stuck.latestOffset() == {"batch": 1}
+    parts = stuck.partitions({"batch": -1}, {"batch": 1})
+    assert {p.batch_id for p in parts} == {0, 1}
+    assert all(os.path.exists(p.file_path) for p in parts)
+
+
+def test_cutoff_date_prunes_at_source(spark, tmp_path):
+    """cutoffDate drops files whose recorded trade_date partition
+    predates it — planned AWAY, not read-and-filtered."""
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root)
+    sink.write(_trades_df(spark, range(3), day=1), 0)   # 2024-01-01
+    sink.write(_trades_df(spark, range(3, 6), day=9), 1)  # 2024-01-09
+    reader = _ManifestStreamReader(
+        {"path": root, "cutoffdate": "2024-01-05"})
+    end = reader.latestOffset()
+    parts = reader.partitions({"batch": -1}, end)
+    assert parts and all(p.trade_date == "2024-01-09" for p in parts)
+
+
+def test_missing_manifest_for_committed_range_is_loud(spark, tmp_path):
+    """A manifest vanishing under a checkpointed offset range breaks
+    the write-once invariant — the source raises instead of silently
+    skipping data."""
+    import pytest
+
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root)
+    sink.write(_trades_df(spark, range(3)), 0)
+    reader = _ManifestStreamReader({"path": root})
+    end = reader.latestOffset()
+    os.remove(os.path.join(root, "_txn", "batch=0.json"))
+    with pytest.raises(IOError, match="write-once invariant"):
+        reader.partitions({"batch": -1}, end)
