@@ -241,6 +241,9 @@ def run_scenario(spark, name: str, *, users: int, window_ms: int,
             if state_series(k)},
         "state_memory_bytes_max": max(
             state_series("memoryUsedBytes"), default=None),
+        "state_memory_bytes_steady": {
+            "p50": _pct(state_series("memoryUsedBytes"), 50),
+            "p95": _pct(state_series("memoryUsedBytes"), 95)},
         "wall_breakdown_ms_steady": {
             k: {"p50": _pct([p["durationMs"][k] for p in steady
                              if k in p.get("durationMs", {})], 50)}
@@ -292,17 +295,25 @@ def main() -> None:
     ap.add_argument("--fold",
                     choices=["normal", "trivial", "bucketed"],
                     default="normal")
-    ap.add_argument("--buckets", type=int, default=128,
-                    help="hash-slot count for --fold bucketed; must "
-                         "be well below rows-per-batch to actually "
-                         "cap groups-per-trigger (2,000 draws into "
-                         "1,024 slots still touch ~880 of them)")
+    ap.add_argument("--buckets", default="128",
+                    help="hash-slot count for --fold bucketed (an "
+                         "int, or 'auto' = ratelimiter.auto_buckets "
+                         "from rows-per-batch and 4x width); must be "
+                         "well below rows-per-batch to actually cap "
+                         "groups-per-trigger (2,000 draws into 1,024 "
+                         "slots still touch ~880 of them)")
     ap.add_argument("--out", default=os.path.join(
         _REPO, "STREAM_BENCH_cardinality.json"))
     args = ap.parse_args()
 
     from currency_market_pulse_spark.session import get_spark
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        auto_buckets,
+    )
 
+    args.buckets = (auto_buckets(args.rows_per_batch,
+                                 min_parallelism=4 * args.width)
+                    if args.buckets == "auto" else int(args.buckets))
     spark = get_spark(app_name="gateway-cardinality-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -219,9 +219,13 @@ def main() -> None:
                          "(default: mid-run)")
     ap.add_argument("--burst-triggers", type=int, default=10,
                     help="how many consecutive files carry the burst")
-    ap.add_argument("--gateway-buckets", type=int, default=None,
+    ap.add_argument("--gateway-buckets", default=None,
                     help="hash-slot bucketed gateway state (the "
-                         "cardinality-scale switch); default = the "
+                         "cardinality-scale switch): an int, or "
+                         "'auto' to size from the offered "
+                         "rows-per-trigger via ratelimiter."
+                         "auto_buckets (~16 rows/bucket/trigger, "
+                         "min 4x the state width); default = the "
                          "per-user twin")
     ap.add_argument("--neardup-compact-every", type=int, default=32,
                     help="near-dup index minor-compaction cadence "
@@ -229,6 +233,13 @@ def main() -> None:
                          "run, the HARDER case for probe latency")
     ap.add_argument("--neardup-max-segments", type=int, default=8,
                     help="segment budget before a tier (major) merge")
+    ap.add_argument("--min-neardup-docs-per-sec", type=float,
+                    default=0.0,
+                    help="capacity gate (VERDICT r13 directive 5): "
+                         "exit nonzero if the near-dup leg's "
+                         "sustained docs/s falls below this — the "
+                         "regression gate on the backfill-cutover "
+                         "capacity number")
     ap.add_argument("--min-majors", type=int, default=0,
                     help="soak gate: exit nonzero unless at least "
                          "this many MAJOR (tier) compactions fired "
@@ -246,6 +257,17 @@ def main() -> None:
     args = ap.parse_args()
     if args.doc_trigger:
         _trigger_ms(args.doc_trigger)  # fail fast, not after the run
+    if args.gateway_buckets is not None:
+        from currency_market_pulse_spark.streaming.ratelimiter import (
+            auto_buckets,
+        )
+        args.gateway_buckets = (
+            auto_buckets(args.rows_per_batch,
+                         min_parallelism=4 * args.stream_shuffle_partitions)
+            if args.gateway_buckets == "auto"
+            else int(args.gateway_buckets))
+        print(json.dumps({"gateway_buckets": args.gateway_buckets}),
+              flush=True)
 
     from currency_market_pulse_spark.session import get_spark
     from currency_market_pulse_spark.sources.trades_source import (
@@ -485,6 +507,24 @@ def main() -> None:
                 for e in evs],
         }
 
+    # ---- capacity (r13 directive 5): the near-dup leg's sustained
+    # ingest rate — THE backfill-cutover number (README "Cold-corpus
+    # backfill").  docs_in/wall is the sustained rate whatever the
+    # backlog; at saturation (p95 over budget) it IS the leg's
+    # capacity; below saturation it just echoes the offered rate and
+    # capacity is ">= offered" (recorded as such).
+    nd_q = queries["neardup"]
+    nd_sustained = round(nd_q["input_rows"] / wall, 1) if wall else None
+    capacity = {
+        "neardup_docs_per_sec_sustained": nd_sustained,
+        "neardup_offered_docs_per_sec": args.docs_per_file
+        * args.doc_files_per_trigger
+        / (doc_ms / 1000.0),
+        "neardup_saturated": bool((nd_q["p95_over_budget"] or 0) > 1.0),
+        "note": ("sustained == capacity only when saturated; "
+                 "unsaturated runs prove capacity >= offered"),
+    }
+
     # default=None: a run too short for any query to record trigger
     # progress must still emit its artifact, not die in the summary
     # (ADVICE r10)
@@ -527,6 +567,7 @@ def main() -> None:
         },
         "queries": queries,
         "state": state,
+        "capacity": capacity,
         "saturation": {
             "first": saturating,
             "p95_over_budget": (queries[saturating]["p95_over_budget"]
@@ -556,6 +597,11 @@ def main() -> None:
         raise SystemExit(
             f"soak gate: {0 if compaction is None else compaction['majors']} "
             f"major compactions < required {args.min_majors}")
+    if (args.min_neardup_docs_per_sec
+            and (nd_sustained or 0) < args.min_neardup_docs_per_sec):
+        raise SystemExit(
+            f"capacity gate: near-dup sustained {nd_sustained} docs/s "
+            f"< required {args.min_neardup_docs_per_sec}")
 
 
 if __name__ == "__main__":
