@@ -76,7 +76,14 @@ loss on such filesystems.  Object stores have no
 rename primitive at all: deploying there means re-expressing steps
 2-3 as PUT-manifest-then-PUT-finals with read-side manifest
 consultation (what Delta/Iceberg do); this module does NOT claim
-object-store durability.
+object-store durability.  The executable no-rename pattern now
+exists in this repo — streaming/segment_store.py's
+MarkerSegmentStore (per-object PUTs + a conditional-PUT commit
+marker, fault-injection-tested) — and porting this sink to it is
+mechanical: the manifest IS already the commit record, and the
+read side already consults it when fed through the manifest-log
+view source (sources/txn_log_source.py), which never trusts a
+listing.
 """
 
 from __future__ import annotations
