@@ -224,6 +224,14 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     behavior)."""
     import os
 
+    if view_source not in ("manifest", "listing"):
+        raise ValueError(f"unknown view_source {view_source!r} "
+                         "(expected 'manifest' or 'listing')")
+    if view_source == "manifest" and not txn_sink:
+        raise ValueError("view_source='manifest' requires txn_sink=True "
+                         "(the plain sink writes no manifest log); "
+                         "pass view_source='listing'")
+
     def _in_pool(name, start_fn):
         # one FAIR pool per streaming query (session.py sets
         # spark.scheduler.mode=FAIR): the pool name is a thread-local
@@ -369,10 +377,6 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # retained only for the plain-overwrite sink, which writes no
     # manifests (and whose replay double-counting the txn sink was
     # built to fix — module docstring).
-    if view_source == "manifest" and not txn_sink:
-        raise ValueError("view_source='manifest' requires txn_sink=True "
-                         "(the plain sink writes no manifest log); "
-                         "pass view_source='listing'")
     if view_source == "manifest":
         from currency_market_pulse_spark.sources.txn_log_source import (
             TxnTradesManifestDataSource,

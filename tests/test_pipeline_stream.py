@@ -253,3 +253,38 @@ def test_composed_pipeline_bucketed_gateway(spark, tmp_path):
     assert sorted(round(r.rate, 6) for r in got) == [1.1, 1.2, 2.0, 2.5]
     w = trends[("2024-08-12T10:00:00", "EUR")]
     assert (w.n_trades, w.min, w.max) == (3, 1.1, 2.0)
+
+
+def test_view_source_modes_agree_and_invalid_pairing_refused(
+        spark, tmp_path):
+    """r14: the manifest-log view (default) and the legacy listing
+    view produce the SAME trends rows over the same ingest; the
+    manifest mode without the txn sink (no commit log to read) is
+    refused up front."""
+    import pytest
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="txn_sink"):
+        run_composed_pipeline(
+            spark, "unused", "unused", str(tmp_path / "nope"),
+            txn_sink=False, view_source="manifest")
+
+    views = {}
+    for mode in ("manifest", "listing"):
+        (tmp_path / mode).mkdir()
+        req, docs = _plant(tmp_path / mode)
+        pipe = run_composed_pipeline(
+            spark, str(req), str(docs), str(tmp_path / mode / "out"),
+            window_ms=1000, limit=2, trends_view=f"vsm_{mode}",
+            view_source=mode)
+        try:
+            pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+            views[mode] = sorted(
+                tuple(r) for r in spark.table(f"vsm_{mode}").collect())
+        finally:
+            pipe.stop()
+    assert views["manifest"] == views["listing"]
+    assert views["manifest"]          # the scenario closed a window
