@@ -126,8 +126,43 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return all(os.path.exists(os.path.join(self.root, final_rel))
                    for _staged, final_rel in manifest["files"])
 
+    def _discover_tip(self) -> int:
+        """Highest existing manifest id, found by exponential probe +
+        bisect on the CONTIGUOUS id sequence (batch ids are 0..N with
+        no holes — every executed micro-batch writes a manifest and
+        manifests are never deleted): O(log N) existence checks, so a
+        fresh reader attaching to a year-deep log pays ~25 stats, not
+        N.  Returns -1 for an empty log."""
+        exists = (lambda b:
+                  os.path.exists(_manifest_path(self.root, b)))
+        if not exists(0):
+            return -1
+        lo, hi = 0, 1
+        while exists(hi):
+            lo, hi = hi, hi * 2
+        # invariant: exists(lo), not exists(hi)
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if exists(mid):
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
     def latestOffset(self) -> dict:
         n = self._last
+        if n == -1:
+            # fresh reader over a possibly deep log: jump near the tip
+            # in O(log N), then fall into the completeness walk below
+            # (which may step BACK from the tip only via its start
+            # point — it never advances over an incomplete batch)
+            tip = self._discover_tip()
+            # the tip batch (and only it — earlier manifests' files
+            # are published, else their own publish couldn't have
+            # finished before the next batch ran) may be mid-publish;
+            # admit ids below it unconditionally, then let the walk
+            # decide the tip itself
+            n = max(n, tip - 1)
         while True:
             manifest = _read_manifest(self.root, n + 1)
             if manifest is None or not self._batch_complete(manifest):

@@ -193,3 +193,64 @@ def test_missing_manifest_for_committed_range_is_loud(spark, tmp_path):
     os.remove(os.path.join(root, "_txn", "batch=0.json"))
     with pytest.raises(IOError, match="write-once invariant"):
         reader.partitions({"batch": -1}, end)
+
+
+def test_fresh_reader_discovers_deep_log_in_log_n(tmp_path, monkeypatch):
+    """A fresh reader attaching to a deep commit log finds the tip by
+    exponential probe + bisect on the contiguous id sequence —
+    O(log N) existence checks, not O(N) (the boot-cost half of the
+    bounded-view argument; steady state is O(new) either way)."""
+    import json as _json
+    import os
+
+    root = str(tmp_path / "trades")
+    txn = os.path.join(root, "_txn")
+    os.makedirs(txn)
+    n_batches = 5000
+    for b in range(n_batches):
+        with open(os.path.join(txn, f"batch={b}.json"), "w") as f:
+            _json.dump({"batch_id": b, "files": []}, f)
+
+    calls = {"n": 0}
+    real_exists = os.path.exists
+
+    def counting_exists(p):
+        calls["n"] += 1
+        return real_exists(p)
+
+    monkeypatch.setattr(os.path, "exists", counting_exists)
+    reader = _ManifestStreamReader({"path": root})
+    assert reader.latestOffset() == {"batch": n_batches - 1}
+    # exponential (~13) + bisect (~13) + the tip walk's constant tail
+    assert calls["n"] <= 40, calls["n"]
+    # steady state: no new manifests -> O(1)
+    calls["n"] = 0
+    assert reader.latestOffset() == {"batch": n_batches - 1}
+    assert calls["n"] <= 3, calls["n"]
+
+
+def test_fresh_reader_defers_mid_publish_tip_after_crash(spark, tmp_path):
+    """Restart-before-roll-forward: a fresh reader over a log whose
+    TIP batch is mid-publish (manifest durable, a file missing) must
+    report the tip-1 offset — never serve a half-published batch —
+    then advance once the replayed import rolls the tip forward."""
+    import json as _json
+    import os
+
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root)
+    for b in range(4):
+        sink.write(_trades_df(spark, range(3 * b, 3 * b + 3)), b)
+    # regress the TIP to mid-publish (file back to its staged path)
+    with open(os.path.join(root, "_txn", "batch=3.json")) as f:
+        rec = _json.load(f)
+    staged_rel, final_rel = rec["files"][0]
+    os.makedirs(os.path.dirname(os.path.join(root, staged_rel)),
+                exist_ok=True)
+    os.replace(os.path.join(root, final_rel),
+               os.path.join(root, staged_rel))
+
+    fresh = _ManifestStreamReader({"path": root})
+    assert fresh.latestOffset() == {"batch": 2}
+    sink._publish(3)
+    assert fresh.latestOffset() == {"batch": 3}
