@@ -191,6 +191,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           neardup_max_segments: int = 8,
                           gateway_buckets: int | None = None,
                           view_source: str = "manifest",
+                          neardup_store: str = "rename",
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -212,6 +213,10 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     bounded per-trigger cost) or "listing" (the pre-r14
     readStream.parquet file stream, O(total sink files) per trigger;
     only valid pairing for ``txn_sink=False``).
+    ``neardup_store``: "rename" (default — atomic-rename segment
+    commit, POSIX/HDFS) or "marker" (the object-store publication
+    protocol: per-object PUTs + conditional-PUT commit marker, no
+    rename anywhere — streaming/segment_store.py).
     ``doc_trigger`` / ``doc_files_per_trigger``: run the BACKGROUND
     document probes (near-dup, CMS, decontam, reservoir) on a slower,
     batchier trigger than the latency-critical import/trends legs —
@@ -224,6 +229,9 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     behavior)."""
     import os
 
+    if neardup_store not in ("rename", "marker"):
+        raise ValueError(f"unknown neardup_store {neardup_store!r} "
+                         "(expected 'rename' or 'marker')")
     if view_source not in ("manifest", "listing"):
         raise ValueError(f"unknown view_source {view_source!r} "
                          "(expected 'manifest' or 'listing')")
@@ -411,6 +419,11 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         return (spark.readStream.schema("doc_id long, text string")
                 .option("maxFilesPerTrigger", d_files).json(docs_dir))
 
+    from currency_market_pulse_spark.streaming.segment_store import (
+        MarkerSegmentStore, RenameSegmentStore,
+    )
+    seg_store = (MarkerSegmentStore() if neardup_store == "marker"
+                 else RenameSegmentStore())
     nd = StreamingNearDup(bands_path=f"{out_dir}/idx_bands",
                           shingles_path=f"{out_dir}/idx_shingles",
                           hashes_path=f"{out_dir}/idx_hashes",
@@ -420,7 +433,8 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           # ops timeline: one JSON line per segment
                           # write (minor fold / tier major) — cheap,
                           # and the soak bench reads it back
-                          events_path=f"{out_dir}/compaction_events.jsonl")
+                          events_path=f"{out_dir}/compaction_events.jsonl",
+                          segment_store=seg_store)
     q_dedup = _in_pool("neardup", lambda: nd.attach(
         _doc_stream(), f"{out_dir}/ckpt_neardup", trigger=d_trigger))
     queries = [q_import, q_trends, q_dedup]

@@ -288,3 +288,43 @@ def test_view_source_modes_agree_and_invalid_pairing_refused(
             pipe.stop()
     assert views["manifest"] == views["listing"]
     assert views["manifest"]          # the scenario closed a window
+
+
+def test_composed_pipeline_marker_segment_store(spark, tmp_path):
+    """r14: the composed pipeline runs its near-dup index on the
+    OBJECT-STORE publication protocol (neardup_store='marker' — no
+    rename anywhere in segment commit) with outputs identical to the
+    default rename store, live compactions included."""
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="neardup_store"):
+        run_composed_pipeline(spark, "u", "u", str(tmp_path / "no"),
+                              neardup_store="s3")
+
+    outs = {}
+    for store in ("rename", "marker"):
+        (tmp_path / store).mkdir()
+        req, docs = _plant(tmp_path / store)
+        # compact every batch so the marker protocol's publish path
+        # actually runs inside the composition
+        pipe = run_composed_pipeline(
+            spark, str(req), str(docs), str(tmp_path / store / "out"),
+            window_ms=1000, limit=2, trends_view=f"nds_{store}",
+            neardup_compact_every=1, neardup_store=store)
+        try:
+            pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+            outs[store] = (
+                sorted((r.new_id, r.dup_of, round(r.jaccard, 6))
+                       for r in pipe.neardup.read_dups(spark).collect()),
+                sorted(map(tuple,
+                           pipe.neardup.read_bands(spark).collect())),
+                pipe.counts()[:3],
+            )
+        finally:
+            pipe.stop()
+    assert outs["rename"] == outs["marker"]
+    assert outs["marker"][0]          # a near-dup was actually flagged
