@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pl.add_argument("--window-ms", type=int, default=1000)
     pl.add_argument("--once", action="store_true",
                     help="process available files then exit")
+    pl.add_argument("--neardup-store", choices=["rename", "marker"],
+                    default="rename",
+                    help="near-dup segment publication protocol: "
+                         "atomic-rename (POSIX/HDFS) or the "
+                         "object-store marker protocol "
+                         "(streaming/segment_store.py)")
 
     bf = sub.add_parser(
         "backfill",
@@ -166,7 +172,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 run_composed_pipeline)
             pipe = run_composed_pipeline(
                 spark, args.requests_dir, args.docs_dir, args.out_dir,
-                window_ms=args.window_ms, limit=args.limit)
+                window_ms=args.window_ms, limit=args.limit,
+                neardup_store=args.neardup_store)
             if args.once:
                 try:
                     (n_trades, n_dead, n_dups,

@@ -227,6 +227,12 @@ def main() -> None:
                          "auto_buckets (~16 rows/bucket/trigger, "
                          "min 4x the state width); default = the "
                          "per-user twin")
+    ap.add_argument("--neardup-store", choices=["rename", "marker"],
+                    default="rename",
+                    help="segment publication protocol for the "
+                         "near-dup index (marker = the no-rename "
+                         "object-store twin; measures its per-object "
+                         "copy publish inside the live pipeline)")
     ap.add_argument("--neardup-compact-every", type=int, default=32,
                     help="near-dup index minor-compaction cadence "
                          "(batches); lower = more compactions per "
@@ -396,7 +402,8 @@ def main() -> None:
         doc_files_per_trigger=args.doc_files_per_trigger,
         neardup_compact_every=args.neardup_compact_every,
         neardup_max_segments=args.neardup_max_segments,
-        gateway_buckets=args.gateway_buckets)
+        gateway_buckets=args.gateway_buckets,
+        neardup_store=args.neardup_store)
     # accumulate progress DURING the run (keyed by batchId): Spark
     # retains only the last 100 triggers per query, so a single drain
     # at the end would truncate a soak run's early history
@@ -548,6 +555,7 @@ def main() -> None:
             "burst_factor": args.burst_factor,
             "neardup_compact_every": args.neardup_compact_every,
             "neardup_max_segments": args.neardup_max_segments,
+            "neardup_store": args.neardup_store,
             "fair_weights_env": "retired-r13",
             "note": ("per-query percentiles cover the WHOLE run "
                      "(progress drained every 5 s, keyed by batchId)"),
