@@ -166,61 +166,83 @@ def rate_limit_replay_bucketed(spark: SparkSession,
     differentially proven every round, not only by pytest (VERDICT
     r13 directive 6).  The events table is staged once as a
     normalized parquet drop, streamed through the gateway in one
-    availableNow pass (state carries the whole log), and the memory
-    sink is returned cast to the replay's column types."""
+    availableNow pass (state carries the whole log), and the
+    decisions are returned cast to the replay's column types.
+
+    Everything the run stages is torn down before returning (ADVICE
+    r14 low — repeated selfcheck runs used to leave a full parquet
+    copy of events plus a checkpoint in /tmp and a uuid-named memory
+    table in the session catalog per invocation): the decisions are
+    materialized driver-side FIRST (they must outlive the memory sink
+    and the staged input the lazy plan reads), then the temp view is
+    dropped and the staging dir removed in ``finally``.  The
+    driver-side collect is bounded by construction — this is a replay
+    harness run at selfcheck scale (sf0.01: 10 k decisions), not a
+    registered bench query."""
+    import shutil
     import tempfile
+    import time
     import uuid
 
     from currency_market_pulse_spark.streaming.ratelimiter import (
         rate_limit_gateway_bucketed,
     )
 
-    import time
-
     staged = tempfile.mkdtemp(prefix="rl_bucketed_replay_")
-    (load_table(spark, sf_dir, "events")
-     .select(F.col("event_id"),
-             F.col("user_id").cast("string").alias("user_id"),
-             F.unix_millis("ts").alias("ts_ms"),
-             F.lit("").alias("payload"))
-     .write.mode("overwrite").parquet(staged))
-    n_events = spark.read.parquet(staged).count()
-    stream = (spark.readStream
-              .schema("event_id long, user_id string, ts_ms long, "
-                      "payload string")
-              .parquet(staged))
     name = f"rlb_{uuid.uuid4().hex[:12]}"
-    q = (rate_limit_gateway_bucketed(stream, window_ms=86_400_000,
-                                     limit=3, buckets=32)
-         .writeStream.format("memory").queryName(name)
-         .option("checkpointLocation", f"{staged}/_ckpt")
-         .outputMode("append")
-         .trigger(availableNow=True).start())
-    # poll-then-stop, NOT awaitTermination: the gateway's
-    # processing-time state timeout keeps the engine scheduling
-    # timeout-evaluation micro-batches, so even an availableNow run
-    # never reaches the idle point termination waits for (the same
-    # livelock streaming/pipeline.py documents for
-    # processAllAvailable; the repo's rate-limiter tests poll too).
     try:
-        deadline = time.time() + 300
-        while time.time() < deadline:
-            if q.exception() is not None:
-                raise q.exception()
-            if spark.table(name).count() >= n_events:
-                break
-            time.sleep(0.5)
-        else:
-            raise TimeoutError(
-                f"bucketed replay stuck below {n_events} rows")
+        (load_table(spark, sf_dir, "events")
+         .select(F.col("event_id"),
+                 F.col("user_id").cast("string").alias("user_id"),
+                 F.unix_millis("ts").alias("ts_ms"),
+                 F.lit("").alias("payload"))
+         .write.mode("overwrite").parquet(staged))
+        n_events = spark.read.parquet(staged).count()
+        stream = (spark.readStream
+                  .schema("event_id long, user_id string, ts_ms long, "
+                          "payload string")
+                  .parquet(staged))
+        q = (rate_limit_gateway_bucketed(stream, window_ms=86_400_000,
+                                         limit=3, buckets=32)
+             .writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", f"{staged}/_ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        # poll-then-stop, NOT awaitTermination: the gateway's
+        # processing-time state timeout keeps the engine scheduling
+        # timeout-evaluation micro-batches, so even an availableNow
+        # run never reaches the idle point termination waits for (the
+        # same livelock streaming/pipeline.py documents for
+        # processAllAvailable; the repo's rate-limiter tests poll too).
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if spark.table(name).count() >= n_events:
+                    break
+                time.sleep(0.5)
+            else:
+                raise TimeoutError(
+                    f"bucketed replay stuck below {n_events} rows")
+        finally:
+            q.stop()
+        out_schema = ("event_id long, user_id long, ts_ms long, "
+                      "n_in_window long, admitted boolean, "
+                      "retry_after_ms long")
+        rows = (spark.table(name)
+                .select(F.col("event_id"),
+                        F.col("user_id").cast("bigint").alias("user_id"),
+                        F.col("ts_ms"),
+                        F.col("n_in_window").cast("bigint")
+                        .alias("n_in_window"),
+                        F.col("admitted"),
+                        F.col("retry_after_ms"))
+                .orderBy("event_id").collect())
+        return spark.createDataFrame(rows, out_schema)
     finally:
-        q.stop()
-    return (spark.table(name)
-            .select(F.col("event_id"),
-                    F.col("user_id").cast("bigint").alias("user_id"),
-                    F.col("ts_ms"),
-                    F.col("n_in_window").cast("bigint")
-                    .alias("n_in_window"),
-                    F.col("admitted"),
-                    F.col("retry_after_ms"))
-            .orderBy("event_id"))
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(staged, ignore_errors=True)

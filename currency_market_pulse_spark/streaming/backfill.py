@@ -102,9 +102,17 @@ def _require_fresh_index(nd: StreamingNearDup) -> None:
     ``seed_index`` renames into the fixed ``base/segment=0`` — run
     against a populated index it would either fail with an opaque
     ENOTEMPTY or silently miss standing near-dups.  Refuse up front
-    with an actionable message instead."""
+    with an actionable message instead.
+
+    Recovery runs first: it claims each root for the configured
+    store's protocol (fail-fast on a protocol mismatch — ADVICE r14
+    high) and rolls back a crashed previous seed, so re-running a
+    backfill that died mid-publish finds a clean, genuinely fresh
+    index instead of a marker-less partial."""
     import os
 
+    for root in (nd.bands_path, nd.shingles_path, nd.hashes_path):
+        nd._recover_root(root)
     dirty = [root for root in (nd.bands_path, nd.shingles_path,
                                nd.hashes_path)
              if any(os.path.isdir(os.path.join(root, t))

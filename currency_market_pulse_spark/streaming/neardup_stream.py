@@ -130,6 +130,7 @@ from currency_market_pulse_spark.functions.text import tokens
 from currency_market_pulse_spark.operators import dedup as D
 from currency_market_pulse_spark.streaming.segment_store import (
     RenameSegmentStore,
+    claim_root,
 )
 
 # Explicit index schemas: the standing relations are read with these
@@ -315,23 +316,37 @@ class StreamingNearDup:
     def _segments(self, root: str) -> list[tuple[int, str]]:
         """discover_committed(): only fully committed segments — a
         partially published one (possible on marker stores, where
-        objects appear one PUT at a time) is never read or compacted."""
+        objects appear one PUT at a time) is never read or compacted.
+
+        Claims the root first (protocol stamp): without this a
+        marker-store READER pointed at a rename-owned root would see
+        zero commit markers and silently probe an empty index —
+        fail-fast beats silently missing every standing near-dup."""
+        claim_root(self.segment_store, root)
         return self.segment_store.committed(root)
 
     def _recover_root(self, root: str) -> None:
         """Roll an interrupted compaction forward or back (module
         docstring protocol), store-agnostically: committed (by the
         store's own commit record) => finish the consumed-source
-        deletes; uncommitted => drop staging + any visible
-        uncommitted partials (their rows all still live in the
-        consumed sources).  Cheap driver-side checks — runs every
-        batch."""
+        deletes; uncommitted => drop staging + the ONE partial the
+        intent names (its rows all still live in the consumed
+        sources).  Cheap driver-side checks — runs every batch.
+        The root is first claimed for this store's protocol
+        (``claim_root``: stamp on first open, fail fast on mismatch
+        — the two stores' commit records are mutually destructive,
+        ADVICE r14)."""
         store = self.segment_store
+        claim_root(store, root)
         tmp = os.path.join(root, _TMPSEG)
         intent = store.read_intent(root)
         if intent is None:
+            # nothing in flight (intents are cleared only after
+            # commit), so nothing to sweep: a blanket marker-less
+            # sweep here would eat segments another protocol
+            # committed (ADVICE r14 high) — claim_root above plus the
+            # intent-scoped clean below make that impossible
             shutil.rmtree(tmp, ignore_errors=True)  # pre-intent garbage
-            store.clean_uncommitted(root)
             return
         if store.is_committed(root, intent["segment"]):
             for rel in intent["consumed"]:
@@ -339,7 +354,7 @@ class StreamingNearDup:
                               ignore_errors=True)
         else:
             shutil.rmtree(tmp, ignore_errors=True)
-            store.clean_uncommitted(root)
+            store.clean_uncommitted(root, intent["segment"])
         store.clear_intent(root)
 
     # ---- standing-index reads -------------------------------------
@@ -590,6 +605,12 @@ class StreamingNearDup:
                         json.dump({"n_buckets": n,
                                    "output_bytes": _dir_bytes(dest)}, f)
 
+                # recovery first: claims the root for this store's
+                # protocol (fail-fast on mismatch) and rolls a
+                # crashed prior seed forward/back, so a re-run after
+                # a mid-seed crash is clean instead of stuck on a
+                # marker-less partial
+                self._recover_root(root)
                 tmp = os.path.join(root, _TMPSEG)
                 shutil.rmtree(tmp, ignore_errors=True)
                 # pass 1 at the floor count to learn the real bytes;
@@ -605,7 +626,13 @@ class StreamingNearDup:
                           .parquet(tmp).drop(bucket_col), tmp2, n)
                     shutil.rmtree(tmp)
                     os.rename(tmp2, tmp)
+                # intent -> publish -> clear, same as the compactor:
+                # without the intent a crash inside a marker-store
+                # publish would leave an unprovable partial that
+                # recovery could never safely delete
+                self.segment_store.record_intent(root, segment_id, [])
                 self.segment_store.publish(root, tmp, segment_id)
+                self.segment_store.clear_intent(root)
 
             _write(bands, self.bands_path, _BANDS_DATA, _sig_bucket,
                    "sig_bucket", ["band", "band_sig"])

@@ -72,6 +72,78 @@ from typing import Callable
 
 _INTENT = "_compaction_manifest"
 _MARKER = "_committed"
+_PROTOCOL = "_store_protocol"
+
+
+def claim_root(store, root: str) -> None:
+    """Stamp (or verify) which publication protocol owns ``root``.
+
+    The two stores interpret the SAME on-disk layout through opposite
+    commit records: rename treats any visible ``segment=`` dir as
+    committed, marker treats marker-less dirs as crashed partials to
+    delete.  Opening a root with the wrong store is therefore not
+    merely wrong — it is destructive (a marker-mode recovery would
+    rmtree every rename-committed segment, whose consumed sources are
+    already gone).  So the FIRST store to open a root writes a
+    ``_store_protocol`` stamp, and every later open fails fast on a
+    mismatch instead of reinterpreting the other protocol's state.
+
+    Legacy roots (populated before stamps existed) are adopted as
+    ``rename``: it was the only protocol that ever published without
+    a stamp (including the backfill CLI's ``seed_index``).
+
+    The stamp itself is written with a create-if-absent PUT (the
+    conditional-PUT twin — no rename), so the claim is single-winner
+    even on object stores; a concurrent claimant re-reads and
+    verifies.
+    """
+    stamp = os.path.join(root, _PROTOCOL)
+
+    def _read() -> str | None:
+        try:
+            with open(stamp) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    owner = _read()
+    if owner is None:
+        base = os.path.join(root, "base")
+        try:
+            legacy = any(d.startswith("segment=")
+                         for d in os.listdir(base))
+        except OSError:
+            legacy = False
+        if legacy:
+            owner = "rename"
+    if owner is None:
+        os.makedirs(root, exist_ok=True)
+        try:
+            fd = os.open(stamp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            owner = _read()  # lost the race: verify the winner below
+        else:
+            try:
+                os.write(fd, store.protocol.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return
+    if owner == store.protocol:
+        if _read() is None:  # adopt a legacy rename root: stamp it
+            with open(stamp, "w") as f:
+                f.write(owner)
+                f.flush()
+                os.fsync(f.fileno())
+        return
+    raise ValueError(
+        f"index root {root!r} was published under the {owner!r} "
+        f"protocol but is being opened with the {store.protocol!r} "
+        "store — refusing: the stores' commit records are mutually "
+        "destructive (a marker-mode recovery would delete rename-"
+        "committed segments; a rename-mode read would scan "
+        "uncommitted marker partials).  Re-open with "
+        f"--neardup-store {owner}, or point at a fresh index root.")
 
 
 class InjectedCrash(RuntimeError):
@@ -95,6 +167,8 @@ class RenameSegmentStore:
     existence is the commit record).  Identical to the pre-r14
     protocol in streaming/neardup_stream.py.
     """
+
+    protocol = "rename"
 
     def record_intent(self, root: str, segment_id: int,
                       consumed: list[str]) -> None:
@@ -137,7 +211,8 @@ class RenameSegmentStore:
                             os.path.join(base, d)))
         return sorted(out)
 
-    def clean_uncommitted(self, root: str) -> None:
+    def clean_uncommitted(self, root: str,
+                          segment_id: int | None = None) -> None:
         # visibility == commit: nothing can be visible-yet-uncommitted
         pass
 
@@ -152,6 +227,8 @@ class MarkerSegmentStore:
     ``before_marker``, ``after_marker``); raising from it simulates
     the crash — the fault-injection tests' entry point.
     """
+
+    protocol = "marker"
 
     fault: Callable[[str], None] | None = field(default=None)
 
@@ -239,13 +316,28 @@ class MarkerSegmentStore:
                             os.path.join(base, d)))
         return sorted(out)
 
-    def clean_uncommitted(self, root: str) -> None:
+    def clean_uncommitted(self, root: str,
+                          segment_id: int | None = None) -> None:
         """Delete visible-but-uncommitted partials (crashed publishes).
         Safe because consumed sources are only deleted AFTER the
         marker exists — an uncommitted segment's rows all still live
         in their sources.  Called from single-threaded recovery only
-        (no publish can be concurrently in flight)."""
+        (no publish can be concurrently in flight).
+
+        ``segment_id`` scopes the sweep to the one segment a pending
+        intent names (an uncommitted partial ALWAYS has a live intent
+        — intents are cleared only after commit), so recovery never
+        deletes a marker-less dir it cannot prove is a crashed
+        publish (ADVICE r14 high: a blanket sweep would eat another
+        protocol's committed segments).  ``segment_id=None`` keeps
+        the full sweep for explicit admin use on a root the caller
+        KNOWS is marker-owned throughout."""
         base = os.path.join(root, "base")
+        if segment_id is not None:
+            d = os.path.join(base, f"segment={segment_id}")
+            if not os.path.exists(os.path.join(d, _MARKER)):
+                shutil.rmtree(d, ignore_errors=True)
+            return
         if not os.path.isdir(base):
             return
         for d in os.listdir(base):

@@ -201,3 +201,130 @@ def test_marker_commit_is_single_winner(tmp_path):
                            "data.parquet")) as f:
         assert f.read() == "winner"
     assert [i for i, _p in store.committed(root)] == [5]
+
+
+# ---- protocol stamping (ADVICE r14 high + medium) -------------------
+#
+# The two stores read the SAME layout through opposite commit records,
+# so opening a root with the wrong store used to be destructive: a
+# marker-mode recovery swept every marker-less dir — i.e. every
+# rename-committed segment (whose consumed sources are long gone).
+# The root is now stamped with its publication protocol on first open
+# and a mismatched open fails fast; uncommitted-partial cleanup is
+# additionally scoped to the one segment a pending intent names.
+
+from currency_market_pulse_spark.streaming.segment_store import (  # noqa: E402
+    claim_root,
+)
+
+
+def _df(spark, b):
+    return spark.createDataFrame(_BATCHES[b], "doc_id long, text string")
+
+
+def test_protocol_mismatch_refused_and_nondestructive(spark, tmp_path):
+    """Opening a rename-committed index with the marker store refuses
+    up front — and, critically, deletes NOTHING (the pre-fix behavior
+    rmtree'd every committed segment on the first _recover_root)."""
+    nd = _mk_nd(tmp_path, "pm", RenameSegmentStore())
+    for b in (0, 1, 2):          # batch 2 compacts -> committed segs
+        nd.process_batch(_df(spark, b), b)
+    segs = {root: RenameSegmentStore().committed(root)
+            for root in (nd.bands_path, nd.shingles_path,
+                         nd.hashes_path)}
+    assert segs[nd.bands_path], "scenario must commit a segment"
+    before = _state(nd, spark)
+    nd2 = _mk_nd(tmp_path, "pm", MarkerSegmentStore())  # same paths
+    with pytest.raises(ValueError, match="protocol"):
+        nd2.process_batch(_df(spark, 3), 3)
+    for root, s in segs.items():
+        assert RenameSegmentStore().committed(root) == s
+    assert _state(nd, spark) == before
+    # the rename store still opens it fine
+    nd3 = _mk_nd(tmp_path, "pm", RenameSegmentStore())
+    nd3.process_batch(_df(spark, 3), 3)
+
+
+def test_legacy_unstamped_root_owned_by_rename(tmp_path):
+    """A root populated before stamps existed (segments, no stamp) is
+    adopted as rename-owned — rename was the only protocol that ever
+    published unstamped (including the backfill CLI's seed).  The
+    marker store must refuse it; the rename store adopts + stamps."""
+    root = str(tmp_path / "legacy")
+    seg = os.path.join(root, "base", "segment=0")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "part-0.parquet"), "w") as f:
+        f.write("data")
+    with pytest.raises(ValueError, match="rename"):
+        claim_root(MarkerSegmentStore(), root)
+    assert os.path.exists(os.path.join(seg, "part-0.parquet"))
+    claim_root(RenameSegmentStore(), root)   # adopts
+    with open(os.path.join(root, "_store_protocol")) as f:
+        assert f.read().strip() == "rename"
+    # now stamped: the refusal is symmetric and still non-destructive
+    with pytest.raises(ValueError, match="protocol"):
+        claim_root(MarkerSegmentStore(), root)
+
+
+def test_marker_root_refuses_rename_store(tmp_path):
+    """Reverse switch (ADVICE r14 medium): a marker-owned root opened
+    with the rename store would treat uncommitted partials as
+    committed — refused by the same stamp."""
+    root = str(tmp_path / "midx")
+    claim_root(MarkerSegmentStore(), root)
+    with pytest.raises(ValueError, match="protocol"):
+        claim_root(RenameSegmentStore(), root)
+    claim_root(MarkerSegmentStore(), root)   # idempotent for the owner
+
+
+def test_clean_uncommitted_scoped_to_intent_segment(tmp_path):
+    """Recovery's sweep is scoped to the segment a pending intent
+    names: a marker-less dir with a DIFFERENT id is untouched (it is
+    not provably a crashed publish of this store)."""
+    store = MarkerSegmentStore()
+    root = str(tmp_path / "sc")
+    for sid in (5, 7):
+        d = os.path.join(root, "base", f"segment={sid}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("partial")
+    store.clean_uncommitted(root, 5)
+    assert not os.path.exists(os.path.join(root, "base", "segment=5"))
+    assert os.path.exists(os.path.join(root, "base", "segment=7"))
+
+
+def test_backfill_marker_store_crash_then_rerun(spark, tmp_path):
+    """A backfill seeding through the marker store that crashes
+    mid-publish is re-runnable: the fresh-index gate first rolls the
+    crashed seed back (intent-scoped), then the rerun succeeds and
+    matches a crash-free marker backfill bit-for-bit."""
+    from currency_market_pulse_spark.streaming.backfill import (
+        backfill_bootstrap,
+    )
+    docs = spark.createDataFrame(
+        _novel(100, "s", 4) + [(200, BASE), (201, NEAR)],
+        "doc_id long, text string")
+
+    def run(tag, store):
+        nd = _mk_nd(tmp_path, tag, store)
+        dups = sorted((r.new_id, r.dup_of, round(r.jaccard, 6))
+                      for r in backfill_bootstrap(nd, docs).collect())
+        return nd, dups
+
+    calls = {"n": 0}
+
+    def crash_first_marker(label):
+        if label == "before_marker":
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise InjectedCrash(label)
+
+    nd_crash = _mk_nd(tmp_path, "bfc",
+                      MarkerSegmentStore(fault=crash_first_marker))
+    with pytest.raises(InjectedCrash):
+        backfill_bootstrap(nd_crash, docs)
+    # rerun on the same paths with a healthy store
+    nd2, dups2 = run("bfc", MarkerSegmentStore())
+    _nd_clean, dups_clean = run("bfclean", MarkerSegmentStore())
+    assert dups2 == dups_clean
+    assert _state(nd2, spark)[1:] == _state(_nd_clean, spark)[1:]
