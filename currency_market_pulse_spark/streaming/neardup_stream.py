@@ -121,7 +121,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.utils import AnalysisException
@@ -298,6 +299,13 @@ class StreamingNearDup:
     #: conditional-PUT commit marker, no rename anywhere).  Recovery
     #: equality across both is test-pinned (test_segment_store.py).
     segment_store: "object | None" = None
+    #: ops introspection: after every process_batch, a dict of
+    #: {stage: seconds} wall timings for the batch's driver-side
+    #: sections (recover, exact collects, probe, write wave) —
+    #: written, never read, by the handler; tools/probe timing and
+    #: capacity work read it.  Populated in place (single foreachBatch
+    #: thread).
+    last_stage_s: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.segment_store is None:
@@ -646,14 +654,23 @@ class StreamingNearDup:
 
     # ---- the per-batch probe ----------------------------------------
 
+    def _mark(self, key: str, t0: float) -> float:
+        now = time.time()
+        self.last_stage_s[key] = round(now - t0, 4)
+        return now
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        self.last_stage_s.clear()
+        t = time.time()
         for root in (self.bands_path, self.shingles_path,
                      self.hashes_path):
             self._recover_root(root)
+        t = self._mark("recover", t)
         if (self.compact_every and batch_id > 0
                 and batch_id % self.compact_every == 0):
             self.compact(spark, upto_batch_id=batch_id)
+            self._mark("compact", t)
 
         # ---- stage 1: the exact fast path (md5 of the full text).
         # Production ingest dedups exact copies BEFORE near-dup
@@ -690,8 +707,10 @@ class StreamingNearDup:
         # cap takes the fully distributed twin instead (same output,
         # window-owner + anti-join, a few more jobs).  One job either
         # way — no extra count() on the trigger hot path.
+        t = time.time()
         pairs = (batch.select("doc_id", F.md5("text").alias("h"))
                  .limit(self.hash_collect_cap + 1).collect())
+        t = self._mark("exact_pairs_collect", t)
         if not pairs:
             return
         if len(pairs) > self.hash_collect_cap:
@@ -713,6 +732,7 @@ class StreamingNearDup:
             std = idx_h.filter(F.col("h").isin(list(owner)))
             for r in sorted(std.collect(), key=lambda r: r.doc_id):
                 matched.setdefault(r.h, r.doc_id)
+            t = self._mark("exact_standing_collect", t)
 
         hashed = batch.select("doc_id", F.md5("text").alias("_h"))
         hits = []
@@ -858,11 +878,13 @@ class StreamingNearDup:
             # count present among segments (mixed generations after a
             # bucket-count rescale) — bounded collect, at most the sum
             # of the distinct counts' values.
+            t = time.time()
             ns_b = (self._base_bucket_counts(self.bands_path)
                     or [self.n_buckets])
             touched = [r[0] for r in bands.select(F.explode(F.array(
                 *[_sig_bucket(n) for n in ns_b])).alias("b"))
                 .distinct().collect()]
+            t = self._mark("bands_touched_collect", t)
             idx_bands = self._read_index(
                 spark, self.bands_path, _BANDS_DATA, "sig_bucket",
                 batch_id, buckets=touched) if touched else None
@@ -874,12 +896,15 @@ class StreamingNearDup:
                 cand_ids = [r[0] for r in cand.select("corpus_id")
                             .distinct().limit(_CAND_COLLECT_CAP + 1)
                             .collect()]
+                t = self._mark("cand_collect", t)
                 if cand_ids:
                     hits.append(self._verify_cross(
                         spark, sh, cand, cand_ids, batch_id))
+            t = time.time()
             self._rank_and_write(
                 dups_only=False, hits=hits, batch_id=batch_id,
                 bands=bands, sh=sh, hashes=hashes)
+            self._mark("write_wave", t)
         finally:
             sh.unpersist()
             bands.unpersist()

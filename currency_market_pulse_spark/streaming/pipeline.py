@@ -192,6 +192,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           gateway_buckets: int | None = None,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
+                          txn_checkpoint_every: int | None = 128,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -290,8 +291,16 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         else rate_limit_gateway(requests, window_ms, limit))
     # write-once txn sink by default: the live view's file stream is
     # exactly-once under crash-replay (module docstring; txn_sink.py)
-    sink = (TxnParquetTradesSink(trades_path) if txn_sink
-            else ParquetTradesSink(trades_path))
+    # txn_checkpoint_every: Delta-style checkpoint compaction of the
+    # sink's txn log — bounds the manifest view's rebuild-from-scratch
+    # to one columnar read + <=interval manifest JSONs instead of
+    # O(committed batches) (txn_sink.py / txn_log_source.py; VERDICT
+    # r14 directive 2).  128 batches ~= one checkpoint every ~2 min at
+    # the 1 s trigger; the write is driver-side, O(history) bytes but
+    # OFF the per-trigger path for the other 127 batches.
+    sink = (TxnParquetTradesSink(trades_path,
+                                 checkpoint_every=txn_checkpoint_every)
+            if txn_sink else ParquetTradesSink(trades_path))
 
     def import_batch(batch: DataFrame, batch_id: int) -> None:
         # TWO actions consume this micro-batch (sink + dead letter);

@@ -254,3 +254,149 @@ def test_fresh_reader_defers_mid_publish_tip_after_crash(spark, tmp_path):
     assert fresh.latestOffset() == {"batch": 2}
     sink._publish(3)
     assert fresh.latestOffset() == {"batch": 3}
+
+
+# ---- txn-log checkpoint compaction (VERDICT r14 directive 2) --------
+
+def _fabricate_log(root, n, files_per_batch=1, undated_at=()):
+    """Hand-build a txn log: n contiguous manifests, each recording
+    files_per_batch published (empty) data files; batches in
+    ``undated_at`` record a path with NO trade_date= partition."""
+    import json as _json
+
+    txn = os.path.join(root, "_txn")
+    os.makedirs(txn, exist_ok=True)
+    for b in range(n):
+        files = []
+        for k in range(files_per_batch):
+            if b in undated_at:
+                rel = f"batch_id={b}/txn-{k}.parquet"
+            else:
+                rel = (f"trade_date=2024-01-{1 + b % 9:02d}/"
+                       f"batch_id={b}/txn-{k}.parquet")
+            final = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            open(final, "w").close()
+            files.append([f"_staged/batch={b}/part-{k}", rel])
+        with open(os.path.join(txn, f"batch={b}.json"), "w") as f:
+            _json.dump({"batch_id": b, "files": files}, f)
+
+
+def _part_key(p):
+    return (p.batch_id, p.file_path, p.trade_date)
+
+
+def test_checkpoint_bounds_rebuild_manifest_reads(tmp_path, monkeypatch):
+    """With checkpoints every 8 batches, a from-scratch rebuild over a
+    50-batch log reads ONE columnar checkpoint + only the <=interval
+    manifest suffix (2 JSONs here), not O(committed batches) — and
+    the planned partitions are bit-equal to the uncompacted walk."""
+    from currency_market_pulse_spark.sources import txn_log_source as tls
+
+    root = str(tmp_path / "trades")
+    _fabricate_log(root, 50)
+    sink = TxnParquetTradesSink(root, checkpoint_every=8)
+    for b in range(50):
+        sink._maybe_checkpoint(b)
+    ptr = sink.read_checkpoint_pointer()
+    assert ptr == {"batch": 47, "file": "checkpoint=47.parquet"}
+
+    calls = {"n": 0}
+    real = tls._read_manifest
+
+    def counting(r, b):
+        calls["n"] += 1
+        return real(r, b)
+
+    monkeypatch.setattr(tls, "_read_manifest", counting)
+    reader = _ManifestStreamReader({"path": root})
+    end = reader.latestOffset()
+    assert end == {"batch": 49}
+    calls["n"] = 0        # isolate the REBUILD's planning reads
+    parts = reader.partitions({"batch": -1}, end)
+    assert calls["n"] == 2, calls["n"]       # only the 48, 49 suffix
+    assert len(parts) == 50
+
+    # bit-equality with the uncompacted rebuild: same partitions, the
+    # only difference is how many tiny JSONs were opened
+    os.remove(os.path.join(root, "_txn", "_last_checkpoint"))
+    calls["n"] = 0
+    plain = _ManifestStreamReader({"path": root}).partitions(
+        {"batch": -1}, end)
+    assert calls["n"] == 50
+    assert sorted(map(_part_key, parts)) == sorted(map(_part_key, plain))
+
+
+def test_checkpoint_incremental_and_replay_safe(tmp_path):
+    """Each checkpoint builds from the previous one + the manifest
+    suffix; a replayed older batch neither rewrites an existing
+    checkpoint nor moves the pointer backwards."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "trades")
+    _fabricate_log(root, 32, files_per_batch=2)
+    sink = TxnParquetTradesSink(root, checkpoint_every=8)
+    for b in range(32):
+        sink._maybe_checkpoint(b)
+    assert sink.read_checkpoint_pointer()["batch"] == 31
+    t = pq.read_table(os.path.join(root, "_txn",
+                                   "checkpoint=31.parquet"))
+    assert t.num_rows == 64          # full history, 2 files x 32
+    assert sorted(set(t.column("batch_id").to_pylist())) == list(range(32))
+    before = open(os.path.join(root, "_txn",
+                               "checkpoint=15.parquet"), "rb").read()
+    sink._maybe_checkpoint(15)       # crash-replay of an old batch
+    after = open(os.path.join(root, "_txn",
+                              "checkpoint=15.parquet"), "rb").read()
+    assert before == after           # write-once
+    assert sink.read_checkpoint_pointer()["batch"] == 31  # not moved
+
+
+def test_cutoff_drops_undated_files_pinned(tmp_path):
+    """cutoffDate semantics pinned (ADVICE r14 low): with a cutoff
+    set, files recording NO trade_date partition are dropped —
+    matching the listing view mode, whose trade_date >= cutoff filter
+    drops null-trade_date rows — in BOTH the manifest walk and the
+    checkpoint-served prefix.  Without a cutoff they are kept."""
+    root = str(tmp_path / "trades")
+    _fabricate_log(root, 6, undated_at={2, 3})
+
+    def dates(reader):
+        parts = reader.partitions({"batch": -1},
+                                  reader.latestOffset())
+        return sorted({p.trade_date for p in parts}), len(parts)
+
+    ds, n = dates(_ManifestStreamReader({"path": root}))
+    assert "" in ds and n == 6                      # no cutoff: kept
+    ds, n = dates(_ManifestStreamReader(
+        {"path": root, "cutoffdate": "2024-01-01"}))
+    assert "" not in ds and n == 4                  # cutoff: dropped
+    # same semantics when the prefix comes from a checkpoint
+    sink = TxnParquetTradesSink(root, checkpoint_every=6)
+    for b in range(6):
+        sink._maybe_checkpoint(b)
+    assert sink.read_checkpoint_pointer()["batch"] == 5
+    ds, n = dates(_ManifestStreamReader(
+        {"path": root, "cutoffdate": "2024-01-01"}))
+    assert "" not in ds and n == 4
+
+
+def test_view_rebuild_through_checkpoint_equals_batch(spark, tmp_path):
+    """End-to-end: a fresh manifest view attaching to a checkpointed
+    sink (rebuild served checkpoint-first) produces exactly the batch
+    read — same rows, same dtypes."""
+    root = str(tmp_path / "trades")
+    sink = TxnParquetTradesSink(root, checkpoint_every=2)
+    for b in range(5):
+        sink.write(_trades_df(spark, range(4 * b, 4 * b + 4),
+                              day=1 + b % 3), b)
+    assert sink.read_checkpoint_pointer()["batch"] == 3
+    q = _start_view(spark, root, str(tmp_path / "ckpt"), "mv_cp")
+    try:
+        assert tts._poll(lambda: spark.table("mv_cp").count() >= 20)
+        live = sorted(map(tuple, spark.table("mv_cp").collect()))
+        batch = sorted(map(tuple, spark.read.schema(SINK_SCHEMA)
+                           .parquet(root).collect()))
+        assert live == batch
+    finally:
+        q.stop()
