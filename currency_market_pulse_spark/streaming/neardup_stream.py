@@ -726,67 +726,70 @@ class StreamingNearDup:
             batch_id,
             buckets=sorted({_h_bucket_py(h, n)
                             for h in owner for n in ns_h}))
-        std = None
         matched: dict[str, int] = {}
         if idx_h is not None:
-            std = idx_h.filter(F.col("h").isin(list(owner)))
-            for r in sorted(std.collect(), key=lambda r: r.doc_id):
+            # standing matches via a broadcast join against the
+            # batch's (JVM-cached) hashes — NOT an isin(owner)
+            # literal list, whose thousands of codegen'd literals
+            # were measured at 5+ s of per-batch plan-compile at the
+            # 4,800-doc tier (r15).  No distinct on the batch side:
+            # the shuffle costs more than broadcasting a few
+            # duplicate hash strings, and matched's setdefault dedups
+            # the joined rows anyway.
+            batch_h = batch.select(F.md5("text").alias("h"))
+            std_rows = (idx_h.join(F.broadcast(batch_h), "h")
+                        .collect())
+            for r in sorted(std_rows, key=lambda r: r.doc_id):
                 matched.setdefault(r.h, r.doc_id)
             t = self._mark("exact_standing_collect", t)
 
-        hashed = batch.select("doc_id", F.md5("text").alias("_h"))
-        hits = []
-        # within-batch exact copies (usually none): first owner keeps
-        # the id; the owner lookup is a SMALL literal map over only
-        # the hashes that actually repeat in this batch
-        from collections import Counter
-        h_counts = Counter(r.h for r in pairs)
-        dup_hashes = {h: i for h, i in owner.items() if h_counts[h] > 1}
-        if dup_hashes:
-            m = F.map_from_arrays(
-                F.array(*[F.lit(h) for h in dup_hashes]),
-                F.array(*[F.lit(i).cast("bigint")
-                          for i in dup_hashes.values()]))
-            hits.append(
-                hashed.withColumn("_own", m[F.col("_h")])
-                .filter(F.col("_own").isNotNull()
-                        & (F.col("doc_id") != F.col("_own")))
-                .select(F.col("doc_id").alias("new_id"),
-                        F.col("_own").alias("dup_of"),
-                        F.lit(1.0).alias("jaccard")))
-        if matched:
-            # standing exact matches: a broadcast join against the
-            # (JVM, parquet-backed) pruned standing rows — NOT a
-            # literal map, whose hundreds of codegen'd literals were
-            # measured as per-batch plan-compile overhead
-            hits.append(
-                hashed.join(
-                    F.broadcast(std.withColumnRenamed(
-                        "doc_id", "corpus_id")),
-                    F.col("_h") == F.col("h"))
-                .select(F.col("doc_id").alias("new_id"),
-                        F.col("corpus_id").alias("dup_of"),
-                        F.lit(1.0).alias("jaccard")))
-        if not hits:
-            hits = [spark.range(0).select(
-                F.col("id").alias("new_id"),
-                F.col("id").alias("dup_of"),
-                F.lit(1.0).alias("jaccard"))]
+        # ---- exact hits, DRIVER-side (r15 fixed-floor cut): every
+        # input they need is already collected (pairs, owner,
+        # matched), so the within-batch-copy map join and the
+        # standing-match broadcast join — two more Spark plans per
+        # trigger — become two python loops feeding the same rank
+        # comparator the window used (max jaccard, tie -> lower
+        # dup_of; all exact hits are 1.0, so only min dup_of per doc
+        # can survive, which the loops preserve exactly).
+        hits_py: list[tuple[int, int, float]] = []
+        for r in pairs:
+            own = owner[r.h]
+            if r.doc_id != own:
+                # within-batch exact copy: first (lowest-id) owner
+                hits_py.append((r.doc_id, own, 1.0))
+            if r.h in matched:
+                # standing exact match (matched keeps the lowest
+                # corpus id per hash — the only one rank could pick)
+                hits_py.append((r.doc_id, matched[r.h], 1.0))
 
         # ---- stage 2: the minhash near-dup branch, over the
         # exact-novel remainder only (first-owners with no standing
         # exact match); only the remainder joins the standing index
         # and only the remainder is appended to it.
         rem_ids = [i for h, i in owner.items() if h not in matched]
-        if rem_ids:
+        if not rem_ids:
+            # fully-duplicate batch: rank + dup-log write happen
+            # entirely driver-side — ZERO further Spark jobs
+            self._write_dups_local(hits_py, batch_id)
+            return
+        # remainder selection by whichever complement is smaller:
+        # novel-heavy batches exclude the few dup ids, dup-heavy
+        # batches include the few novel ids — the literal IN list
+        # stays small in BOTH regimes (a 4,800-literal isin was
+        # measured as seconds of plan-compile at the big doc tiers)
+        excl = [r.doc_id for r in pairs
+                if r.doc_id != owner[r.h] or r.h in matched]
+        if len(rem_ids) <= len(excl):
             rem_docs = batch.filter(F.col("doc_id").isin(rem_ids))
-            self._near_dup_stage(
-                spark, rem_docs, batch_id, hits,
-                hashes=rem_docs.select(
-                    "doc_id", F.md5("text").alias("h")))
+        elif excl:
+            rem_docs = batch.filter(~F.col("doc_id").isin(excl))
         else:
-            self._rank_and_write(dups_only=True, hits=hits,
-                                 batch_id=batch_id)
+            rem_docs = batch
+        rem_id_set = set(rem_ids)
+        self._near_dup_local(
+            spark, rem_docs, batch_id, hits_py,
+            hash_rows=[(r.doc_id, r.h) for r in pairs
+                       if r.doc_id in rem_id_set])
 
     def _probe_batch_distributed(self, spark, batch: DataFrame,
                                  batch_id: int) -> None:
@@ -843,6 +846,171 @@ class StreamingNearDup:
                         "doc_id", F.md5("text").alias("h")))
         finally:
             rem_docs.unpersist()
+
+    # ---- the driver-write probe path (r15 fixed-floor cut) ----------
+    #
+    # The dict path's per-trigger floor was ~8 driver-scheduled Spark
+    # jobs: 4 serial collects (pairs, standing matches, touched
+    # buckets, candidates) + a 4-write wave (3 index tails + the dup
+    # log), measured at ~3 s fixed per micro-batch regardless of batch
+    # size (SCALE.md Round 14).  A micro-batch's tail contribution is
+    # KILOBYTES — the job scheduling, python round trips, and
+    # per-write committer overhead were the cost, not the data.  So
+    # the dict path now:
+    #   - collects bands ONCE with their bucket columns computed
+    #     JVM-side in the same job (touched buckets fall out locally,
+    #     no separate collect);
+    #   - collects shingles once (Arrow);
+    #   - fuses the batch-internal and cross-corpus verifies into ONE
+    #     union + collect;
+    #   - ranks hits and writes all four outputs (dup log + 3 tails)
+    #     driver-side via pyarrow — ZERO Spark write jobs.
+    # Replay safety is unchanged: each write replaces its own
+    # batch_id=N partition dir (rmtree + write == the old dynamic
+    # partition overwrite), and _read_tail still excludes the current
+    # batch id.  Semantics are pinned by the dict-vs-distributed
+    # equality test (the distributed path below keeps the original
+    # all-Spark plan) and the full recovery/crash suite.
+
+    def _rank_py(self, hits: list) -> list[tuple[int, int, float]]:
+        """The _rank_and_write window's comparator, driver-side: best
+        match per new_id = max jaccard, tie -> lower dup_of.
+        Jaccard values compared here are bit-identical to what the
+        window saw (exact hits are the literal 1.0; verify hits are
+        collected JVM doubles), so the argmax agrees exactly."""
+        best: dict[int, tuple[int, float]] = {}
+        for new_id, dup_of, j in hits:
+            cur = best.get(new_id)
+            if (cur is None or j > cur[1]
+                    or (j == cur[1] and dup_of < cur[0])):
+                best[new_id] = (dup_of, j)
+        return [(n, d, j) for n, (d, j) in sorted(best.items())]
+
+    def _write_partition_local(self, parent: str, batch_id: int,
+                               table) -> None:
+        """Replace ``parent/batch_id=<id>/`` with one pyarrow-written
+        part file — the driver-side twin of the old coalesce(1) +
+        dynamic-partition-overwrite Spark write (empty table => no
+        partition dir, exactly like dynamic overwrite)."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(parent, f"batch_id={batch_id}")
+        shutil.rmtree(d, ignore_errors=True)
+        if table.num_rows == 0:
+            return
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".part-0.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(d, "part-0.parquet"))
+
+    def _write_dups_local(self, hits_py: list, batch_id: int) -> None:
+        import pyarrow as pa
+
+        # even an all-empty run must leave a readable (empty) dup log
+        # — the old Spark write created the base dir regardless
+        os.makedirs(self.dups_path, exist_ok=True)
+        ranked = self._rank_py(hits_py)
+        self._write_partition_local(self.dups_path, batch_id, pa.table({
+            "new_id": pa.array([r[0] for r in ranked], pa.int64()),
+            "dup_of": pa.array([r[1] for r in ranked], pa.int64()),
+            "jaccard": pa.array([r[2] for r in ranked], pa.float64()),
+        }))
+
+    def _near_dup_local(self, spark, rem_docs: DataFrame,
+                        batch_id: int, hits_py: list,
+                        hash_rows: list[tuple[int, str]]) -> None:
+        """The near-dup stage with driver-side writes: same probe
+        plans as ``_near_dup_stage`` (shingle -> minhash bands ->
+        bucket-pruned standing probe -> candidate-bounded verify),
+        but the verifies collect in one fused job and every output
+        lands via pyarrow."""
+        import pyarrow as pa
+
+        toks = rem_docs.select("doc_id", tokens(F.col("text"))
+                               .alias("_t"))
+        # the 8-way repartition rationale is _near_dup_stage's
+        sh = (D.shingles_from_tokens(toks)
+              .repartition(8, "doc_id").persist())
+        bands = D.minhash_bands(D.minhash_signatures(
+            None, shingles_df=sh)).persist()
+        cand = None
+        try:
+            t = time.time()
+            ns_b = (self._base_bucket_counts(self.bands_path)
+                    or [self.n_buckets])
+            # ONE collect: band rows + their bucket ids (xxhash64 is
+            # JVM-only, so the bucket columns ride along in the job
+            # instead of a second explode+distinct+collect)
+            b_tbl = bands.select(
+                "doc_id", "band", "band_sig",
+                *[_sig_bucket(n).alias(f"_b{n}") for n in ns_b]
+            ).toArrow()
+            touched = sorted({v for n in ns_b
+                              for v in b_tbl.column(f"_b{n}").to_pylist()})
+            t = self._mark("bands_collect", t)
+            sh_tbl = sh.select("doc_id", "n_sh", "sh").toArrow()
+            t = self._mark("shingles_collect", t)
+
+            if b_tbl.num_rows:
+                verify = [D.jaccard_verify_candidates(
+                    sh, D.pairs_from_bands(bands),
+                    threshold=self.threshold)
+                    .select(F.col("id_b").alias("new_id"),
+                            F.col("id_a").alias("dup_of"), "jaccard")]
+                idx_bands = self._read_index(
+                    spark, self.bands_path, _BANDS_DATA, "sig_bucket",
+                    batch_id, buckets=touched) if touched else None
+                if idx_bands is not None:
+                    cand = D.cross_corpus_candidates(
+                        F.broadcast(bands), idx_bands).persist()
+                    # dedup candidate ids in PYTHON instead of a
+                    # distinct (one shuffle stage per trigger saved);
+                    # the raw cap guards the pathological fan-out
+                    # case — if it truncates, fall back to the exact
+                    # distinct+limit job rather than risk a missed
+                    # candidate
+                    raw_cap = 2_000_000
+                    raw = (cand.select("corpus_id").limit(raw_cap)
+                           .toArrow().column("corpus_id").to_pylist())
+                    if len(raw) >= raw_cap:
+                        cand_ids = [r[0] for r in
+                                    cand.select("corpus_id").distinct()
+                                    .limit(_CAND_COLLECT_CAP + 1)
+                                    .collect()]
+                    else:
+                        cand_ids = list(set(raw))[:_CAND_COLLECT_CAP + 1]
+                    t = self._mark("cand_collect", t)
+                    if cand_ids:
+                        verify.append(self._verify_cross(
+                            spark, sh, cand, cand_ids, batch_id))
+                vu = verify[0]
+                for v in verify[1:]:
+                    vu = vu.unionAll(v)
+                hits_py.extend((r.new_id, r.dup_of, r.jaccard)
+                               for r in vu.collect())
+                t = self._mark("verify_collect", t)
+
+            self._write_dups_local(hits_py, batch_id)
+            self._write_partition_local(
+                os.path.join(self.bands_path, "tail"), batch_id,
+                b_tbl.select(["doc_id", "band", "band_sig"]))
+            self._write_partition_local(
+                os.path.join(self.shingles_path, "tail"), batch_id,
+                sh_tbl)
+            self._write_partition_local(
+                os.path.join(self.hashes_path, "tail"), batch_id,
+                pa.table({
+                    "doc_id": pa.array([d for d, _ in hash_rows],
+                                       pa.int64()),
+                    "h": pa.array([h for _, h in hash_rows],
+                                  pa.string()),
+                }))
+            self._mark("write_wave", t)
+        finally:
+            sh.unpersist()
+            bands.unpersist()
+            if cand is not None:
+                cand.unpersist()
 
     def _near_dup_stage(self, spark, rem_docs: DataFrame,
                         batch_id: int, hits: list,
