@@ -92,6 +92,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "atomic-rename (POSIX/HDFS) or the "
                          "object-store marker protocol "
                          "(streaming/segment_store.py)")
+    pl.add_argument("--neardup-shards", type=int, default=1,
+                    help="shard the near-dup index across S band-hash "
+                         "shard roots probed concurrently (dup-for-dup "
+                         "equal to 1; streaming/neardup_stream.py)")
+    pl.add_argument("--gateway-buckets", default=None,
+                    help="rate-limit gateway state layout: an int "
+                         "(hash-slot bucket count), or 'auto' to let "
+                         "the promotion criterion decide from "
+                         "--expected-rows-per-trigger (per-user below "
+                         "1,000 rows/trigger, auto-sized bucketed "
+                         "above; streaming/ratelimiter.py)")
+    pl.add_argument("--expected-rows-per-trigger", type=int,
+                    default=None,
+                    help="expected offered trade-request rows per "
+                         "trigger — the input to the 'auto' gateway "
+                         "promotion rule")
 
     bf = sub.add_parser(
         "backfill",
@@ -177,10 +193,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         elif args.cmd == "pipeline":
             from currency_market_pulse_spark.streaming.pipeline import (
                 run_composed_pipeline)
+            gb = args.gateway_buckets
+            if gb is not None and gb != "auto":
+                gb = int(gb)
             pipe = run_composed_pipeline(
                 spark, args.requests_dir, args.docs_dir, args.out_dir,
                 window_ms=args.window_ms, limit=args.limit,
-                neardup_store=args.neardup_store)
+                neardup_store=args.neardup_store,
+                neardup_shards=args.neardup_shards,
+                gateway_buckets=gb,
+                expected_rows_per_trigger=args.expected_rows_per_trigger)
             if args.once:
                 try:
                     (n_trades, n_dead, n_dups,

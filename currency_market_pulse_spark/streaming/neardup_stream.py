@@ -306,18 +306,55 @@ class StreamingNearDup:
     #: capacity work read it.  Populated in place (single foreachBatch
     #: thread).
     last_stage_s: dict = field(default_factory=dict)
+    #: shard the band/shingle index across S independent roots
+    #: (``<path>/shard=<k>``), probed CONCURRENTLY per batch — the
+    #: beyond-single-JVM capacity lever (VERDICT r14 directive 3).
+    #: Sharding is by BAND HASH (xxhash64 with a dedicated seed so it
+    #: decorrelates from the bucket hash), NOT by doc id: an LSH
+    #: collision pair always lands in its band's shard, so candidate
+    #: RECALL — and the dup log — is bit-equal to shards=1
+    #: (test-pinned).  Each document's shingles replicate to every
+    #: shard one of its bands touches (<= min(n_bands, shards) x
+    #: write amplification); band rows land in exactly one shard.
+    #: The exact-hash relation stays global (md5-equal copies must
+    #: co-locate for the first-owner convention).  In production each
+    #: shard root is independently placeable (own volume / own
+    #: compactor); single-JVM the win is concurrent per-shard probe
+    #: jobs.  shards>1 requires the dict (<= hash_collect_cap) path
+    #: and a streamed (not seed_index) load.
+    shards: int = 1
 
     def __post_init__(self):
         if self.segment_store is None:
             self.segment_store = RenameSegmentStore()
         if self.hashes_path is None:
             self.hashes_path = self.bands_path + "_hashes"
+        if self.shards < 1:
+            raise ValueError(f"shards must be >= 1, got {self.shards}")
         if self.max_segments < 1:
             # a 0/negative budget would make _tier_compact_root loop
             # forever (a 1-segment carry pick rewrites that segment
             # under a fresh tier id without reducing the count)
             raise ValueError(
                 f"max_segments must be >= 1, got {self.max_segments}")
+
+    # ---- shard layout -----------------------------------------------
+
+    def _band_roots(self) -> list[str]:
+        if self.shards <= 1:
+            return [self.bands_path]
+        return [os.path.join(self.bands_path, f"shard={k}")
+                for k in range(self.shards)]
+
+    def _shingle_roots(self) -> list[str]:
+        if self.shards <= 1:
+            return [self.shingles_path]
+        return [os.path.join(self.shingles_path, f"shard={k}")
+                for k in range(self.shards)]
+
+    def _all_roots(self) -> list[str]:
+        return ([self.hashes_path] + self._band_roots()
+                + self._shingle_roots())
 
     # ---- recovery / discovery through the publication seam ---------
 
@@ -424,18 +461,34 @@ class StreamingNearDup:
         return parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
 
     def read_bands(self, spark) -> DataFrame:
-        """The full standing band index (base + tail), data cols only."""
-        df = self._read_index(spark, self.bands_path, _BANDS_DATA,
-                              "sig_bucket", batch_id=-1)
-        return df if df is not None else \
-            spark.createDataFrame([], _BANDS_DATA)
+        """The full standing band index (base + tail), data cols only.
+        Sharded: the union over shard roots — each band row lives in
+        exactly one shard, so this equals the shards=1 relation."""
+        parts = [d for d in (self._read_index(
+            spark, r, _BANDS_DATA, "sig_bucket", batch_id=-1)
+            for r in self._band_roots()) if d is not None]
+        if not parts:
+            return spark.createDataFrame([], _BANDS_DATA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        return df
 
     def read_shingles(self, spark) -> DataFrame:
-        """The full standing shingle relation (base + tail)."""
-        df = self._read_index(spark, self.shingles_path, _SHINGLES_DATA,
-                              "id_bucket", batch_id=-1)
-        return df if df is not None else \
-            spark.createDataFrame([], _SHINGLES_DATA)
+        """The full standing shingle relation (base + tail).
+        Sharded: a document's shingles replicate to every shard one
+        of its bands touches, so the union carries replicas —
+        ``.dropDuplicates(["doc_id", "sh"])`` recovers the shards=1
+        relation (callers comparing across shard counts do)."""
+        parts = [d for d in (self._read_index(
+            spark, r, _SHINGLES_DATA, "id_bucket", batch_id=-1)
+            for r in self._shingle_roots()) if d is not None]
+        if not parts:
+            return spark.createDataFrame([], _SHINGLES_DATA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        return df
 
     def read_hashes(self, spark) -> DataFrame:
         """The full standing exact-hash relation (base + tail)."""
@@ -571,12 +624,14 @@ class StreamingNearDup:
         corpus through ``process_batch``/``seed_index``, call this to
         fold everything into pruned, sorted base segments."""
         seg = upto_batch_id if segment_id is None else segment_id
-        self._compact_root(spark, self.bands_path, _BANDS_DATA,
-                           _sig_bucket, "sig_bucket",
-                           ["band", "band_sig"], upto_batch_id, seg)
-        self._compact_root(spark, self.shingles_path, _SHINGLES_DATA,
-                           _id_bucket, "id_bucket",
-                           ["doc_id"], upto_batch_id, seg)
+        for root in self._band_roots():
+            self._compact_root(spark, root, _BANDS_DATA,
+                               _sig_bucket, "sig_bucket",
+                               ["band", "band_sig"], upto_batch_id, seg)
+        for root in self._shingle_roots():
+            self._compact_root(spark, root, _SHINGLES_DATA,
+                               _id_bucket, "id_bucket",
+                               ["doc_id"], upto_batch_id, seg)
         self._compact_root(spark, self.hashes_path, _HASHES_DATA,
                            _h_bucket, "h_bucket",
                            ["h"], upto_batch_id, seg)
@@ -588,6 +643,12 @@ class StreamingNearDup:
         index-size axis).  Uses the exact same layout the compactor
         writes, so the streaming probe is oblivious to how the base
         was built."""
+        if self.shards > 1:
+            raise ValueError(
+                "seed_index writes the unsharded segment=0 layout; "
+                "bulk-seed a sharded index by streaming the corpus "
+                "through process_batch, or backfill at shards=1 and "
+                "re-shard by re-ingesting")
         spark = docs.sparkSession
         toks = docs.select("doc_id", tokens(F.col("text")).alias("_t"))
         sh = D.shingles_from_tokens(toks).persist()
@@ -663,8 +724,7 @@ class StreamingNearDup:
         spark = batch.sparkSession
         self.last_stage_s.clear()
         t = time.time()
-        for root in (self.bands_path, self.shingles_path,
-                     self.hashes_path):
+        for root in self._all_roots():
             self._recover_root(root)
         t = self._mark("recover", t)
         if (self.compact_every and batch_id > 0
@@ -714,6 +774,13 @@ class StreamingNearDup:
         if not pairs:
             return
         if len(pairs) > self.hash_collect_cap:
+            if self.shards > 1:
+                raise ValueError(
+                    f"a {len(pairs)}-row micro-batch exceeds "
+                    f"hash_collect_cap={self.hash_collect_cap} and the "
+                    "distributed fallback does not shard — raise "
+                    "hash_collect_cap, lower the files-per-trigger, "
+                    "or bulk-load through backfill (shards=1)")
             self._probe_batch_distributed(spark, batch, batch_id)
             return
         owner: dict[str, int] = {}
@@ -916,16 +983,34 @@ class StreamingNearDup:
             "jaccard": pa.array([r[2] for r in ranked], pa.float64()),
         }))
 
+    def _collect_cand_ids(self, cand: DataFrame) -> list[int]:
+        """Candidate corpus ids, deduped in PYTHON instead of a
+        distinct (one shuffle stage per trigger saved); the raw cap
+        guards the pathological fan-out case — if it truncates, fall
+        back to the exact distinct+limit job rather than risk a
+        missed candidate."""
+        raw_cap = 2_000_000
+        raw = (cand.select("corpus_id").limit(raw_cap)
+               .toArrow().column("corpus_id").to_pylist())
+        if len(raw) >= raw_cap:
+            return [r[0] for r in cand.select("corpus_id").distinct()
+                    .limit(_CAND_COLLECT_CAP + 1).collect()]
+        return list(set(raw))[:_CAND_COLLECT_CAP + 1]
+
     def _near_dup_local(self, spark, rem_docs: DataFrame,
                         batch_id: int, hits_py: list,
                         hash_rows: list[tuple[int, str]]) -> None:
         """The near-dup stage with driver-side writes: same probe
         plans as ``_near_dup_stage`` (shingle -> minhash bands ->
         bucket-pruned standing probe -> candidate-bounded verify),
-        but the verifies collect in one fused job and every output
-        lands via pyarrow."""
+        but the verifies collect in one fused job (shards=1) or one
+        concurrent probe per shard (shards>1), and every output lands
+        via pyarrow."""
         import pyarrow as pa
 
+        S = self.shards
+        b_roots = self._band_roots()
+        s_roots = self._shingle_roots()
         toks = rem_docs.select("doc_id", tokens(F.col("text"))
                                .alias("_t"))
         # the 8-way repartition rationale is _near_dup_stage's
@@ -933,70 +1018,137 @@ class StreamingNearDup:
               .repartition(8, "doc_id").persist())
         bands = D.minhash_bands(D.minhash_signatures(
             None, shingles_df=sh)).persist()
-        cand = None
+        # band-hash shard routing, seeded apart from the bucket hash:
+        # both are xxhash64 over (band, band_sig) — without the seed
+        # column, shard k's rows would only ever hit buckets == k
+        # (mod S), leaving (S-1)/S of every segment's buckets empty
+        shard_expr = (F.pmod(F.xxhash64(F.lit("ndshard"), F.col("band"),
+                                        F.col("band_sig")),
+                             F.lit(S)).cast("int"))
+        cands: list[DataFrame] = []
         try:
             t = time.time()
-            ns_b = (self._base_bucket_counts(self.bands_path)
-                    or [self.n_buckets])
-            # ONE collect: band rows + their bucket ids (xxhash64 is
-            # JVM-only, so the bucket columns ride along in the job
+            ns_by_root = [self._base_bucket_counts(r) or [self.n_buckets]
+                          for r in b_roots]
+            ns_union = sorted({n for ns in ns_by_root for n in ns})
+            # ONE collect: band rows + shard id + bucket ids (xxhash64
+            # is JVM-only, so these columns ride along in the job
             # instead of a second explode+distinct+collect)
             b_tbl = bands.select(
                 "doc_id", "band", "band_sig",
-                *[_sig_bucket(n).alias(f"_b{n}") for n in ns_b]
+                *([shard_expr.alias("_shard")] if S > 1 else []),
+                *[_sig_bucket(n).alias(f"_b{n}") for n in ns_union]
             ).toArrow()
-            touched = sorted({v for n in ns_b
-                              for v in b_tbl.column(f"_b{n}").to_pylist()})
+            n_rows = b_tbl.num_rows
+            doc_vals = b_tbl.column("doc_id").to_pylist()
+            shard_vals = (b_tbl.column("_shard").to_pylist()
+                          if S > 1 else [0] * n_rows)
+            bcols = {n: b_tbl.column(f"_b{n}").to_pylist()
+                     for n in ns_union}
+            touched: list[set] = [set() for _ in range(S)]
+            docs_in: list[set] = [set() for _ in range(S)]
+            for i in range(n_rows):
+                k = shard_vals[i]
+                docs_in[k].add(doc_vals[i])
+                for n in ns_by_root[k]:
+                    touched[k].add(bcols[n][i])
             t = self._mark("bands_collect", t)
             sh_tbl = sh.select("doc_id", "n_sh", "sh").toArrow()
             t = self._mark("shingles_collect", t)
 
-            if b_tbl.num_rows:
-                verify = [D.jaccard_verify_candidates(
+            if n_rows:
+                internal = (D.jaccard_verify_candidates(
                     sh, D.pairs_from_bands(bands),
                     threshold=self.threshold)
                     .select(F.col("id_b").alias("new_id"),
-                            F.col("id_a").alias("dup_of"), "jaccard")]
-                idx_bands = self._read_index(
-                    spark, self.bands_path, _BANDS_DATA, "sig_bucket",
-                    batch_id, buckets=touched) if touched else None
-                if idx_bands is not None:
+                            F.col("id_a").alias("dup_of"), "jaccard"))
+
+                def probe_shard(k: int):
+                    """Candidates + verify against shard k's standing
+                    index; returns collected hit tuples."""
+                    if not touched[k]:
+                        return []
+                    idx_bands = self._read_index(
+                        spark, b_roots[k], _BANDS_DATA, "sig_bucket",
+                        batch_id, buckets=sorted(touched[k]))
+                    if idx_bands is None:
+                        return []
+                    bands_k = (bands.filter(shard_expr == F.lit(k))
+                               if S > 1 else bands)
                     cand = D.cross_corpus_candidates(
-                        F.broadcast(bands), idx_bands).persist()
-                    # dedup candidate ids in PYTHON instead of a
-                    # distinct (one shuffle stage per trigger saved);
-                    # the raw cap guards the pathological fan-out
-                    # case — if it truncates, fall back to the exact
-                    # distinct+limit job rather than risk a missed
-                    # candidate
-                    raw_cap = 2_000_000
-                    raw = (cand.select("corpus_id").limit(raw_cap)
-                           .toArrow().column("corpus_id").to_pylist())
-                    if len(raw) >= raw_cap:
-                        cand_ids = [r[0] for r in
-                                    cand.select("corpus_id").distinct()
-                                    .limit(_CAND_COLLECT_CAP + 1)
-                                    .collect()]
-                    else:
-                        cand_ids = list(set(raw))[:_CAND_COLLECT_CAP + 1]
-                    t = self._mark("cand_collect", t)
-                    if cand_ids:
-                        verify.append(self._verify_cross(
-                            spark, sh, cand, cand_ids, batch_id))
-                vu = verify[0]
-                for v in verify[1:]:
-                    vu = vu.unionAll(v)
-                hits_py.extend((r.new_id, r.dup_of, r.jaccard)
-                               for r in vu.collect())
-                t = self._mark("verify_collect", t)
+                        F.broadcast(bands_k), idx_bands).persist()
+                    cands.append(cand)
+                    cand_ids = self._collect_cand_ids(cand)
+                    if not cand_ids:
+                        return []
+                    vdf = self._verify_cross(
+                        spark, sh, cand, cand_ids, batch_id,
+                        shingles_root=s_roots[k])
+                    return [(r.new_id, r.dup_of, r.jaccard)
+                            for r in vdf.collect()]
+
+                if S == 1:
+                    # fused single-shard flow: internal + cross verify
+                    # union into ONE collect (the measured r15 path)
+                    verify = [internal]
+                    if touched[0]:
+                        idx_bands = self._read_index(
+                            spark, b_roots[0], _BANDS_DATA,
+                            "sig_bucket", batch_id,
+                            buckets=sorted(touched[0]))
+                        if idx_bands is not None:
+                            cand = D.cross_corpus_candidates(
+                                F.broadcast(bands), idx_bands).persist()
+                            cands.append(cand)
+                            cand_ids = self._collect_cand_ids(cand)
+                            t = self._mark("cand_collect", t)
+                            if cand_ids:
+                                verify.append(self._verify_cross(
+                                    spark, sh, cand, cand_ids,
+                                    batch_id,
+                                    shingles_root=s_roots[0]))
+                    vu = verify[0]
+                    for v in verify[1:]:
+                        vu = vu.unionAll(v)
+                    hits_py.extend((r.new_id, r.dup_of, r.jaccard)
+                                   for r in vu.collect())
+                    t = self._mark("verify_collect", t)
+                else:
+                    # concurrent per-shard probes (each thread runs
+                    # its own small jobs; they interleave on the
+                    # cluster) + the batch-internal verify alongside
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(max_workers=S + 1) as ex:
+                        fut_int = ex.submit(
+                            lambda: [(r.new_id, r.dup_of, r.jaccard)
+                                     for r in internal.collect()])
+                        futs = [ex.submit(probe_shard, k)
+                                for k in range(S)]
+                        hits_py.extend(fut_int.result())
+                        for f in futs:
+                            hits_py.extend(f.result())
+                    t = self._mark("shard_probes", t)
 
             self._write_dups_local(hits_py, batch_id)
-            self._write_partition_local(
-                os.path.join(self.bands_path, "tail"), batch_id,
-                b_tbl.select(["doc_id", "band", "band_sig"]))
-            self._write_partition_local(
-                os.path.join(self.shingles_path, "tail"), batch_id,
-                sh_tbl)
+            data_tbl = b_tbl.select(["doc_id", "band", "band_sig"])
+            if S == 1:
+                self._write_partition_local(
+                    os.path.join(b_roots[0], "tail"), batch_id,
+                    data_tbl)
+                self._write_partition_local(
+                    os.path.join(s_roots[0], "tail"), batch_id, sh_tbl)
+            else:
+                sh_docs = sh_tbl.column("doc_id").to_pylist()
+                for k in range(S):
+                    b_mask = pa.array([v == k for v in shard_vals])
+                    self._write_partition_local(
+                        os.path.join(b_roots[k], "tail"), batch_id,
+                        data_tbl.filter(b_mask))
+                    s_mask = pa.array([d in docs_in[k]
+                                       for d in sh_docs])
+                    self._write_partition_local(
+                        os.path.join(s_roots[k], "tail"), batch_id,
+                        sh_tbl.filter(s_mask))
             self._write_partition_local(
                 os.path.join(self.hashes_path, "tail"), batch_id,
                 pa.table({
@@ -1009,8 +1161,8 @@ class StreamingNearDup:
         finally:
             sh.unpersist()
             bands.unpersist()
-            if cand is not None:
-                cand.unpersist()
+            for c in cands:
+                c.unpersist()
 
     def _near_dup_stage(self, spark, rem_docs: DataFrame,
                         batch_id: int, hits: list,
@@ -1126,18 +1278,21 @@ class StreamingNearDup:
                 f.result()
 
     def _verify_cross(self, spark, sh: DataFrame, cand: DataFrame,
-                      cand_ids: list[int], batch_id: int) -> DataFrame:
+                      cand_ids: list[int], batch_id: int,
+                      shingles_root: str | None = None) -> DataFrame:
         """Exact-jaccard verify of batch-vs-corpus candidates, reading
         only the shingle buckets the candidates live in (plus a pushed
         doc_id IN filter when the candidate set was small enough to
-        collect in full)."""
+        collect in full).  ``shingles_root`` selects the shard's
+        standing shingle relation (default: the unsharded root)."""
+        root = shingles_root or self.shingles_path
         capped = len(cand_ids) <= _CAND_COLLECT_CAP
-        ns_s = (self._base_bucket_counts(self.shingles_path)
+        ns_s = (self._base_bucket_counts(root)
                 or [self.n_buckets])
         buckets = (sorted({i % n for i in cand_ids for n in ns_s})
                    if capped else None)
         idx_sh = self._read_index(
-            spark, self.shingles_path, _SHINGLES_DATA, "id_bucket",
+            spark, root, _SHINGLES_DATA, "id_bucket",
             batch_id, buckets=buckets)
         if capped:
             idx_sh = idx_sh.filter(F.col("doc_id").isin(cand_ids))

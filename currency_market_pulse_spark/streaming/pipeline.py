@@ -115,6 +115,9 @@ class ComposedPipeline:
     heavy_hitters: "StreamingHeavyHitters | None" = None
     reservoir: "StreamingReservoir | None" = None
     queries: list = field(default_factory=list)
+    #: the RESOLVED gateway state layout: None = per-user fold,
+    #: int = hash-slot bucket count (after "auto" promotion applied)
+    gateway_buckets: "int | None" = None
 
     def counts(self) -> tuple[int, int, int, int]:
         """(trades, dead_letters, near_dups, closed_trend_windows)."""
@@ -189,7 +192,9 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           doc_files_per_trigger: int = 1,
                           neardup_compact_every: int = 32,
                           neardup_max_segments: int = 8,
-                          gateway_buckets: int | None = None,
+                          neardup_shards: int = 1,
+                          gateway_buckets: "int | str | None" = None,
+                          expected_rows_per_trigger: int | None = None,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
                           txn_checkpoint_every: int | None = 128,
@@ -233,6 +238,17 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     if neardup_store not in ("rename", "marker"):
         raise ValueError(f"unknown neardup_store {neardup_store!r} "
                          "(expected 'rename' or 'marker')")
+    # "auto" gateway promotion resolves up front (fail fast on a bad
+    # string; see the query-1 comment for the criterion)
+    if gateway_buckets == "auto":
+        from currency_market_pulse_spark.streaming.ratelimiter import (
+            select_gateway_buckets,
+        )
+        gateway_buckets = select_gateway_buckets(
+            expected_rows_per_trigger)
+    elif isinstance(gateway_buckets, str):
+        raise ValueError(f"gateway_buckets={gateway_buckets!r} "
+                         "(expected an int, None, or 'auto')")
     if view_source not in ("manifest", "listing"):
         raise ValueError(f"unknown view_source {view_source!r} "
                          "(expected 'manifest' or 'listing')")
@@ -284,7 +300,11 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # (identical admission decisions, test-pinned; measured at 100k
     # users: trigger p50 1.9 s per-user vs 1.25 s bucketed, SCALE.md
     # Round 13).  None keeps the per-user twin of the reference's
-    # Redis keys with engine-managed idle expiry.
+    # Redis keys with engine-managed idle expiry.  "auto" (already
+    # resolved above) applies the promotion criterion
+    # (ratelimiter.select_gateway_buckets, r14 directive 4): per-user
+    # below PROMOTION_ROWS_PER_TRIGGER of expected_rows_per_trigger,
+    # auto_buckets-sized bucketed above.
     decisions = (rate_limit_gateway_bucketed(
         requests, window_ms, limit, buckets=gateway_buckets)
         if gateway_buckets
@@ -443,7 +463,11 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           # write (minor fold / tier major) — cheap,
                           # and the soak bench reads it back
                           events_path=f"{out_dir}/compaction_events.jsonl",
-                          segment_store=seg_store)
+                          segment_store=seg_store,
+                          # band-hash sharding: S independent index
+                          # roots probed concurrently, dup-for-dup
+                          # equal to shards=1 (neardup_stream.py)
+                          shards=neardup_shards)
     q_dedup = _in_pool("neardup", lambda: nd.attach(
         _doc_stream(), f"{out_dir}/ckpt_neardup", trigger=d_trigger))
     queries = [q_import, q_trends, q_dedup]
@@ -480,4 +504,4 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         trades_path=trades_path, dead_letter_path=dead_path,
         trends_view=trends_view, neardup=nd,
         decontam=sd, heavy_hitters=hh, reservoir=rs,
-        queries=queries)
+        queries=queries, gateway_buckets=gateway_buckets)

@@ -239,6 +239,11 @@ def main() -> None:
                          "run, the HARDER case for probe latency")
     ap.add_argument("--neardup-max-segments", type=int, default=8,
                     help="segment budget before a tier (major) merge")
+    ap.add_argument("--neardup-shards", type=int, default=1,
+                    help="shard the near-dup index across S band-hash "
+                         "shard roots probed concurrently (dup-for-dup "
+                         "equal to 1; the beyond-single-JVM capacity "
+                         "lever, neardup_stream.py)")
     ap.add_argument("--min-neardup-docs-per-sec", type=float,
                     default=0.0,
                     help="capacity gate (VERDICT r13 directive 5): "
@@ -263,17 +268,12 @@ def main() -> None:
     args = ap.parse_args()
     if args.doc_trigger:
         _trigger_ms(args.doc_trigger)  # fail fast, not after the run
-    if args.gateway_buckets is not None:
-        from currency_market_pulse_spark.streaming.ratelimiter import (
-            auto_buckets,
-        )
-        args.gateway_buckets = (
-            auto_buckets(args.rows_per_batch,
-                         min_parallelism=4 * args.stream_shuffle_partitions)
-            if args.gateway_buckets == "auto"
-            else int(args.gateway_buckets))
-        print(json.dumps({"gateway_buckets": args.gateway_buckets}),
-              flush=True)
+    if args.gateway_buckets is not None and args.gateway_buckets != "auto":
+        # "auto" is passed through verbatim: the PIPELINE applies the
+        # promotion criterion (ratelimiter.select_gateway_buckets)
+        # from expected_rows_per_trigger — the resolved layout is
+        # read back off the handle below and recorded in the artifact
+        args.gateway_buckets = int(args.gateway_buckets)
 
     from currency_market_pulse_spark.session import get_spark
     from currency_market_pulse_spark.sources.trades_source import (
@@ -402,8 +402,15 @@ def main() -> None:
         doc_files_per_trigger=args.doc_files_per_trigger,
         neardup_compact_every=args.neardup_compact_every,
         neardup_max_segments=args.neardup_max_segments,
+        neardup_shards=args.neardup_shards,
         gateway_buckets=args.gateway_buckets,
+        expected_rows_per_trigger=args.rows_per_batch,
         neardup_store=args.neardup_store)
+    if args.gateway_buckets == "auto":
+        # record the layout the promotion rule actually picked
+        args.gateway_buckets = pipe.gateway_buckets
+        print(json.dumps({"gateway_buckets_resolved":
+                          pipe.gateway_buckets}), flush=True)
     # accumulate progress DURING the run (keyed by batchId): Spark
     # retains only the last 100 triggers per query, so a single drain
     # at the end would truncate a soak run's early history
@@ -554,6 +561,7 @@ def main() -> None:
             "stream_shuffle_partitions": args.stream_shuffle_partitions,
             "burst_factor": args.burst_factor,
             "neardup_compact_every": args.neardup_compact_every,
+            "neardup_shards": args.neardup_shards,
             "neardup_max_segments": args.neardup_max_segments,
             "neardup_store": args.neardup_store,
             "fair_weights_env": "retired-r13",
