@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "atomic-rename (POSIX/HDFS) or the "
                          "object-store marker protocol "
                          "(streaming/segment_store.py)")
+    pl.add_argument("--txn-publication", choices=["rename", "put"],
+                    default="rename",
+                    help="trade-sink file publication: atomic rename "
+                         "(POSIX/HDFS) or the object-store PUT twin "
+                         "(copy+fsync, no cross-directory rename — "
+                         "streaming/txn_sink.py)")
     pl.add_argument("--neardup-shards", type=int, default=1,
                     help="shard the near-dup index across S band-hash "
                          "shard roots probed concurrently (dup-for-dup "
@@ -200,6 +206,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.requests_dir, args.docs_dir, args.out_dir,
                 window_ms=args.window_ms, limit=args.limit,
                 neardup_store=args.neardup_store,
+                txn_publication=args.txn_publication,
                 neardup_shards=args.neardup_shards,
                 gateway_buckets=gb,
                 expected_rows_per_trigger=args.expected_rows_per_trigger)

@@ -198,6 +198,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
                           txn_checkpoint_every: int | None = 128,
+                          txn_publication: str = "rename",
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -318,8 +319,13 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # r14 directive 2).  128 batches ~= one checkpoint every ~2 min at
     # the 1 s trigger; the write is driver-side, O(history) bytes but
     # OFF the per-trigger path for the other 127 batches.
+    # txn_publication="put" runs the object-store file-publication
+    # twin (copy+fsync, no cross-directory rename — txn_sink.py
+    # OBJECT-STORE PUBLICATION); requires the manifest-fed view,
+    # which is the default pairing anyway.
     sink = (TxnParquetTradesSink(trades_path,
-                                 checkpoint_every=txn_checkpoint_every)
+                                 checkpoint_every=txn_checkpoint_every,
+                                 publication=txn_publication)
             if txn_sink else ParquetTradesSink(trades_path))
 
     def import_batch(batch: DataFrame, batch_id: int) -> None:

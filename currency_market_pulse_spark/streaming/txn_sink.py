@@ -72,18 +72,28 @@ staged payload file and its directory is fsynced BEFORE the manifest
 is written, and the manifest tmp file and the ``_txn`` directory are
 fsynced around the rename, so a durable manifest only ever
 references durable staged bytes and the whole commit survives power
-loss on such filesystems.  Object stores have no
-rename primitive at all: deploying there means re-expressing steps
-2-3 as PUT-manifest-then-PUT-finals with read-side manifest
-consultation (what Delta/Iceberg do); this module does NOT claim
-object-store durability.  The executable no-rename pattern now
-exists in this repo — streaming/segment_store.py's
-MarkerSegmentStore (per-object PUTs + a conditional-PUT commit
-marker, fault-injection-tested) — and porting this sink to it is
-mechanical: the manifest IS already the commit record, and the
-read side already consults it when fed through the manifest-log
-view source (sources/txn_log_source.py), which never trusts a
-listing.
+loss on such filesystems.
+
+OBJECT-STORE PUBLICATION (``publication="put"``, r15): stores like
+S3 have no rename.  Inventory of renames in this protocol: (a) the
+manifest/checkpoint commits are SAME-DIRECTORY tmp+replace — the
+local emulation of one atomic object PUT, which a real store
+provides natively; (b) the only true CROSS-DIRECTORY rename is the
+staged -> final move in step 3.  ``publication="put"`` replaces (b)
+with a copy+fsync materialized atomically (hidden tmp + same-dir
+replace = the atomic-PUT emulation, exactly segment_store.py's fault
+model: a failed real PUT creates no object, so "torn final object"
+is out of scope; "some finals present, others not" is the window,
+and the fault hook drives every such point).  The recovery analysis
+is UNCHANGED because roll-forward was already copy-tolerant: a
+final's existence is the per-file done marker, staged files persist
+until the batch-level cleanup, and the staged+final-coexist window
+put-mode introduces is exactly the idempotent-skip branch.  Readers
+that must never see a half-published BATCH consult the manifests —
+the manifest-log view source (sources/txn_log_source.py) already
+does (existence probe = HEAD); plain listing-based batch reads see
+per-file-atomic but batch-partial state in EITHER mode (files
+publish one at a time), which is why the view is log-fed.
 """
 
 from __future__ import annotations
@@ -120,6 +130,21 @@ class TxnParquetTradesSink(Sink):
     #: ``_discover_tip``'s contiguous-id probe and crash replay
     #: idempotency are untouched.  None = off.
     checkpoint_every: int | None = None
+    #: file publication mode: "rename" (one cross-directory
+    #: os.replace per file — POSIX/HDFS) or "put" (object-store twin:
+    #: copy+fsync materialized as one atomic PUT, no cross-directory
+    #: rename anywhere — module docstring OBJECT-STORE PUBLICATION).
+    publication: str = "rename"
+    #: optional fault hook for put-mode crash-window tests: called
+    #: with ``put:<final_rel>`` before each final object lands;
+    #: raising simulates the crash (tests/test_txn_sink.py).
+    fault: "object | None" = None
+
+    def __post_init__(self):
+        if self.publication not in ("rename", "put"):
+            raise ValueError(f"unknown publication "
+                             f"{self.publication!r} "
+                             "(expected 'rename' or 'put')")
 
     # -- path helpers -------------------------------------------------
     def _manifest(self, batch_id: int) -> str:
@@ -308,7 +333,27 @@ class TxnParquetTradesSink(Sink):
                     f"{final_rel} is unpublished but its staged source "
                     f"{staged_rel} is gone — manual intervention needed")
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)       # atomic per file
+            if self.publication == "rename":
+                os.replace(src, dst)   # atomic per file
+            else:
+                # object-store PUT twin: copy + fsync, materialized
+                # atomically (hidden tmp + same-dir replace emulates
+                # the store's per-object atomicity); staged persists
+                # until the batch-level cleanup below — the
+                # staged+final-coexist window is the idempotent-skip
+                # branch above
+                if self.fault is not None:
+                    self.fault(f"put:{final_rel}")
+                tmp = os.path.join(
+                    os.path.dirname(dst),
+                    "." + os.path.basename(dst) + ".put")
+                shutil.copyfile(src, tmp)
+                fd = os.open(tmp, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                os.replace(tmp, dst)
         shutil.rmtree(self._staged(batch_id), ignore_errors=True)
 
     # -- introspection (tests / ops) -----------------------------------
