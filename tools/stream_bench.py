@@ -239,6 +239,11 @@ def main() -> None:
                          "run, the HARDER case for probe latency")
     ap.add_argument("--neardup-max-segments", type=int, default=8,
                     help="segment budget before a tier (major) merge")
+    ap.add_argument("--txn-publication", choices=["rename", "put"],
+                    default="rename",
+                    help="trade-sink file publication: atomic rename "
+                         "or the object-store PUT twin (copy+fsync, "
+                         "no cross-directory rename — txn_sink.py)")
     ap.add_argument("--neardup-shards", type=int, default=1,
                     help="shard the near-dup index across S band-hash "
                          "shard roots probed concurrently (dup-for-dup "
@@ -403,6 +408,7 @@ def main() -> None:
         neardup_compact_every=args.neardup_compact_every,
         neardup_max_segments=args.neardup_max_segments,
         neardup_shards=args.neardup_shards,
+        txn_publication=args.txn_publication,
         gateway_buckets=args.gateway_buckets,
         expected_rows_per_trigger=args.rows_per_batch,
         neardup_store=args.neardup_store)
@@ -562,6 +568,7 @@ def main() -> None:
             "burst_factor": args.burst_factor,
             "neardup_compact_every": args.neardup_compact_every,
             "neardup_shards": args.neardup_shards,
+            "txn_publication": args.txn_publication,
             "neardup_max_segments": args.neardup_max_segments,
             "neardup_store": args.neardup_store,
             "fair_weights_env": "retired-r13",
