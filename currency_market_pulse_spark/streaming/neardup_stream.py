@@ -287,6 +287,15 @@ class StreamingNearDup:
     #: faster per batch (measured: the bookkeeping is ~ms at 1-10 k
     #: rows but would be per-row Python work at a 100 k-row trigger).
     hash_collect_cap: int = 50_000
+    #: companion volume guard (VERDICT r15 "what's wrong 2"): the
+    #: dict path collects the batch's SHINGLE relation driver-side,
+    #: which scales with characters, not rows — a few maximal-length
+    #: docs under the row cap could still put gigabytes on the
+    #: driver.  Batches whose summed text length exceeds this take
+    #: the distributed path regardless of row count; the proxy is
+    #: collected in the same first job (a length column riding along
+    #: on the hash collect), so the guard costs zero extra jobs.
+    collect_volume_chars: int = 256 << 20
     #: optional JSONL file recording every segment write as it
     #: happens ({wall, relation, segment, kind minor|major, consumed,
     #: rows}) — the ops/bench timeline (tools/stream_bench.py soak
@@ -383,6 +392,14 @@ class StreamingNearDup:
         ADVICE r14)."""
         store = self.segment_store
         claim_root(store, root)
+        # crashed tail-staging dirs (dot-hidden, never listed by
+        # Spark): pure garbage — their batch replays wholesale
+        tail = os.path.join(root, "tail")
+        if os.path.isdir(tail):
+            for d in os.listdir(tail):
+                if d.startswith(".tail_staging_"):
+                    shutil.rmtree(os.path.join(tail, d),
+                                  ignore_errors=True)
         tmp = os.path.join(root, _TMPSEG)
         intent = store.read_intent(root)
         if intent is None:
@@ -768,19 +785,21 @@ class StreamingNearDup:
         # window-owner + anti-join, a few more jobs).  One job either
         # way — no extra count() on the trigger hot path.
         t = time.time()
-        pairs = (batch.select("doc_id", F.md5("text").alias("h"))
+        pairs = (batch.select("doc_id", F.md5("text").alias("h"),
+                              F.length("text").alias("ln"))
                  .limit(self.hash_collect_cap + 1).collect())
         t = self._mark("exact_pairs_collect", t)
         if not pairs:
             return
-        if len(pairs) > self.hash_collect_cap:
-            if self.shards > 1:
-                raise ValueError(
-                    f"a {len(pairs)}-row micro-batch exceeds "
-                    f"hash_collect_cap={self.hash_collect_cap} and the "
-                    "distributed fallback does not shard — raise "
-                    "hash_collect_cap, lower the files-per-trigger, "
-                    "or bulk-load through backfill (shards=1)")
+        if (len(pairs) > self.hash_collect_cap
+                or sum(r.ln or 0 for r in pairs)
+                > self.collect_volume_chars):
+            # over the row cap OR the char-volume cap (the shingle
+            # collect scales with characters): take the fully
+            # distributed twin — with shards>1 it probes and routes
+            # tails per shard root (serially), so a transient burst
+            # DEGRADES to a slower batch instead of wedging the
+            # stream on replay (ADVICE r15 low).
             self._probe_batch_distributed(spark, batch, batch_id)
             return
         owner: dict[str, int] = {}
@@ -903,7 +922,14 @@ class StreamingNearDup:
                            F.col("_h") == F.col("h"), "left_anti")
         rem_docs = batch.join(rem.select("doc_id"), "doc_id").persist()
         try:
-            if rem_docs.isEmpty():
+            # count(), not isEmpty(): isEmpty materializes only the
+            # partitions its 1-row probe touches, leaving later write
+            # jobs to recompute the rest from the standing hashes
+            # parquet — racing the hashes tail write in the same wave
+            # (a committed write refreshes the path's file index under
+            # an in-flight scan).  A full count completes the cache,
+            # so every downstream write reads memory, never the roots.
+            if rem_docs.count() == 0:
                 self._rank_and_write(dups_only=True, hits=hits,
                                      batch_id=batch_id)
             else:
@@ -1170,7 +1196,17 @@ class StreamingNearDup:
         """The pre-fast-path probe, over the exact-novel remainder:
         shingle -> minhash bands -> bucket-pruned standing probe ->
         candidate-bounded exact-jaccard verify; then the remainder's
-        index contribution is appended (tail tier)."""
+        index contribution is appended (tail tier).
+
+        With ``shards>1`` the standing probe runs serially per shard
+        root and the tail writes route by band hash (shingles
+        replicated to each shard a doc's bands touch) — identical
+        layout to the dict path, so an over-cap burst degrades to a
+        slower batch instead of an unrecoverable foreachBatch error
+        (ADVICE r15 low)."""
+        S = self.shards
+        b_roots = self._band_roots()
+        s_roots = self._shingle_roots()
         toks = rem_docs.select("doc_id", tokens(F.col("text"))
                                .alias("_t"))
         # explicit 8-way hash repartition on the aggregation key: a
@@ -1183,7 +1219,13 @@ class StreamingNearDup:
               .repartition(8, "doc_id").persist())
         bands = D.minhash_bands(D.minhash_signatures(
             None, shingles_df=sh)).persist()
-        cand = None
+        # same band-hash routing (and seed) as _near_dup_local, so the
+        # two paths build bit-identical shard layouts
+        shard_expr = (F.pmod(F.xxhash64(F.lit("ndshard"),
+                                        F.col("band"),
+                                        F.col("band_sig")),
+                             F.lit(S)).cast("int"))
+        cands: list[DataFrame] = []
         try:
             # batch-internal near-dups: lower doc_id wins, the higher
             # id is flagged as its dup (same first-owner convention as
@@ -1199,42 +1241,52 @@ class StreamingNearDup:
             # bucket-count rescale) — bounded collect, at most the sum
             # of the distinct counts' values.
             t = time.time()
-            ns_b = (self._base_bucket_counts(self.bands_path)
-                    or [self.n_buckets])
-            touched = [r[0] for r in bands.select(F.explode(F.array(
-                *[_sig_bucket(n) for n in ns_b])).alias("b"))
-                .distinct().collect()]
-            t = self._mark("bands_touched_collect", t)
-            idx_bands = self._read_index(
-                spark, self.bands_path, _BANDS_DATA, "sig_bucket",
-                batch_id, buckets=touched) if touched else None
-            if idx_bands is not None:
+            for k in range(S):
+                bands_k = (bands.filter(shard_expr == F.lit(k))
+                           if S > 1 else bands)
+                ns_b = (self._base_bucket_counts(b_roots[k])
+                        or [self.n_buckets])
+                touched = [r[0] for r in bands_k
+                           .select(F.explode(F.array(
+                               *[_sig_bucket(n) for n in ns_b]))
+                               .alias("b"))
+                           .distinct().collect()]
+                t = self._mark("bands_touched_collect", t)
+                idx_bands = self._read_index(
+                    spark, b_roots[k], _BANDS_DATA, "sig_bucket",
+                    batch_id, buckets=touched) if touched else None
+                if idx_bands is None:
+                    continue
                 # broadcast the batch side: the standing relation
                 # streams through the join without shuffling
                 cand = D.cross_corpus_candidates(
-                    F.broadcast(bands), idx_bands).persist()
+                    F.broadcast(bands_k), idx_bands).persist()
+                cands.append(cand)
                 cand_ids = [r[0] for r in cand.select("corpus_id")
                             .distinct().limit(_CAND_COLLECT_CAP + 1)
                             .collect()]
                 t = self._mark("cand_collect", t)
                 if cand_ids:
                     hits.append(self._verify_cross(
-                        spark, sh, cand, cand_ids, batch_id))
+                        spark, sh, cand, cand_ids, batch_id,
+                        shingles_root=s_roots[k]))
             t = time.time()
             self._rank_and_write(
                 dups_only=False, hits=hits, batch_id=batch_id,
-                bands=bands, sh=sh, hashes=hashes)
+                bands=bands, sh=sh, hashes=hashes,
+                shard_expr=shard_expr if S > 1 else None)
             self._mark("write_wave", t)
         finally:
             sh.unpersist()
             bands.unpersist()
-            if cand is not None:
-                cand.unpersist()
+            for c in cands:
+                c.unpersist()
 
     def _rank_and_write(self, dups_only: bool, hits: list,
                         batch_id: int, bands: DataFrame | None = None,
                         sh: DataFrame | None = None,
-                        hashes: DataFrame | None = None) -> None:
+                        hashes: DataFrame | None = None,
+                        shard_expr=None) -> None:
         union = hits[0]
         for h in hits[1:]:
             union = union.unionAll(h)
@@ -1256,26 +1308,81 @@ class StreamingNearDup:
              .partitionBy("batch_id")
              .parquet(path))
 
+        def _write_tail(df: DataFrame, parent: str) -> None:
+            # Tail partitions are NEVER committed through Spark on
+            # the tail path itself: Spark's post-insert refreshByPath
+            # would invalidate every cached relation whose lineage
+            # reads the standing index (rem_docs/sh/bands all read
+            # idx_h/idx_bands), forcing in-flight sibling writes to
+            # recompute against a tail whose partition layout this
+            # very write just changed — observed as a partition-
+            # values assert when compaction had emptied the tail at
+            # plan time and this write re-populated it.  So: write
+            # to a hidden staging dir (the refresh fires there,
+            # harmlessly) and move it into tail/batch_id=N with one
+            # rename — the dict path's replace-own-partition replay
+            # semantics exactly.
+            staging = os.path.join(parent, f".tail_staging_{batch_id}")
+            shutil.rmtree(staging, ignore_errors=True)
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            dst = os.path.join(parent, f"batch_id={batch_id}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(staging, dst)
+
         if dups_only:
             _write(dups, self.dups_path)
             return
-        # the index-tail writes only dump the already-materialized
-        # caches — overlap them with the dup computation+write on
-        # worker threads (each inherits this query's FAIR pool via
-        # Spark's inheritable local props)
+        # dups FIRST, alone: its plan is the one that reads the
+        # STANDING index roots (the verify hits' idx_bands/idx_sh/
+        # idx_h lineage) — running it to completion before any tail
+        # mutation also completes the sh cache (the verify reads
+        # every shingle partition), so the tail wave below reads
+        # memory only.
+        _write(dups, self.dups_path)
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [
-                pool.submit(_write, bands,
-                            os.path.join(self.bands_path, "tail")),
-                pool.submit(_write, sh,
-                            os.path.join(self.shingles_path, "tail")),
-                pool.submit(_write, hashes,
-                            os.path.join(self.hashes_path, "tail")),
+        if shard_expr is None:
+            tail_writes = [
+                (bands, os.path.join(self.bands_path, "tail")),
+                (sh, os.path.join(self.shingles_path, "tail")),
+                (hashes, os.path.join(self.hashes_path, "tail")),
             ]
-            _write(dups, self.dups_path)
-            for f in futs:
-                f.result()
+        else:
+            # shard routing, mirroring the dict path's layout: band
+            # rows land in exactly one shard (by band hash); a doc's
+            # shingles replicate to every shard one of its bands
+            # touches (the verify's bucket-pruned read needs them
+            # co-resident).  S small writes per relation — the
+            # degraded over-cap path, not the hot path.
+            b_roots = self._band_roots()
+            s_roots = self._shingle_roots()
+            sharded = bands.withColumn("_shard", shard_expr).persist()
+            doc_shards = (sharded.select("doc_id", "_shard")
+                          .distinct().persist())
+            doc_shards.count()   # complete both caches up front
+            tail_writes = [(hashes,
+                            os.path.join(self.hashes_path, "tail"))]
+            for k in range(self.shards):
+                tail_writes.append((
+                    sharded.filter(F.col("_shard") == k)
+                    .drop("_shard"),
+                    os.path.join(b_roots[k], "tail")))
+                tail_writes.append((
+                    sh.join(doc_shards
+                            .filter(F.col("_shard") == k)
+                            .select("doc_id"), "doc_id"),
+                    os.path.join(s_roots[k], "tail")))
+        try:
+            # the tail writes dump completed caches (bands/sh/
+            # rem_docs), each staged then renamed into its own root —
+            # safe to overlap
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(_write_tail, df, path)
+                          for df, path in tail_writes]:
+                    f.result()
+        finally:
+            if shard_expr is not None:
+                sharded.unpersist()
+                doc_shards.unpersist()
 
     def _verify_cross(self, spark, sh: DataFrame, cand: DataFrame,
                       cand_ids: list[int], batch_id: int,

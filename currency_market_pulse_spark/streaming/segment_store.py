@@ -88,14 +88,22 @@ def claim_root(store, root: str) -> None:
     ``_store_protocol`` stamp, and every later open fails fast on a
     mismatch instead of reinterpreting the other protocol's state.
 
-    Legacy roots (populated before stamps existed) are adopted as
-    ``rename``: it was the only protocol that ever published without
-    a stamp (including the backfill CLI's ``seed_index``).
+    Legacy roots (populated before stamps existed) are adopted by
+    inspecting the segments' own commit records — both protocols
+    published without a stamp historically, so the stamp's absence
+    does not imply rename (ADVICE r15 medium).  Every dir carrying a
+    ``_committed`` marker is marker-published; a rename store never
+    writes one.  All-marked => marker; none-marked => rename;
+    mixed => marker only if the marker-less dirs are exactly the
+    pending intent's segment (the one crash window marker publication
+    allows), else refuse and ask for manual intervention.
 
-    The stamp itself is written with a create-if-absent PUT (the
-    conditional-PUT twin — no rename), so the claim is single-winner
-    even on object stores; a concurrent claimant re-reads and
-    verifies.
+    The stamp itself is published content-first: bytes land in a
+    private tmp object, then one atomic ``os.link`` makes them
+    visible (the create-if-absent conditional-PUT twin — a real
+    object PUT is likewise never visible half-written).  Exactly one
+    claimant wins the link; a loser re-reads the winner's stamp,
+    which by construction is never visible empty (ADVICE r15 low).
     """
     stamp = os.path.join(root, _PROTOCOL)
 
@@ -106,36 +114,82 @@ def claim_root(store, root: str) -> None:
         except OSError:
             return None
 
+    def _stamp_create(value: str) -> bool:
+        """Atomically create ``stamp`` with ``value`` as its content;
+        True if this claimant won, False if the stamp already exists
+        (loser must re-read).  Content-first link => a visible stamp
+        always has its full bytes."""
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{stamp}.claim.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(value)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, stamp)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
     owner = _read()
     if owner is None:
+        # Legacy (pre-stamp) root: let the segments' commit records
+        # say which protocol published them.
         base = os.path.join(root, "base")
         try:
-            legacy = any(d.startswith("segment=")
-                         for d in os.listdir(base))
+            segs = sorted(d for d in os.listdir(base)
+                          if d.startswith("segment="))
         except OSError:
-            legacy = False
-        if legacy:
-            owner = "rename"
+            segs = []
+        if segs:
+            unmarked = [d for d in segs if not os.path.exists(
+                os.path.join(base, d, _MARKER))]
+            if not unmarked:
+                owner = "marker"
+            elif len(unmarked) == len(segs):
+                owner = "rename"
+            else:
+                # Mixed: tolerable only as marker's one crash window —
+                # an uncommitted partial always has a live intent
+                # naming it (intents clear only after commit).
+                try:
+                    with open(os.path.join(root, _INTENT)) as f:
+                        pending = json.load(f).get("segment")
+                except (OSError, ValueError):
+                    pending = None
+                if unmarked == [f"segment={pending}"]:
+                    owner = "marker"
+                else:
+                    raise ValueError(
+                        f"index root {root!r} has no protocol stamp "
+                        f"and mixed commit records: segments "
+                        f"{unmarked} lack a _committed marker while "
+                        "others carry one, and no pending intent "
+                        "explains the gap.  Refusing to guess — "
+                        "inspect the root manually (marker-less dirs "
+                        "are either rename-committed data or crashed "
+                        "marker partials; the two demand opposite "
+                        "recoveries).")
     if owner is None:
-        os.makedirs(root, exist_ok=True)
-        try:
-            fd = os.open(stamp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            owner = _read()  # lost the race: verify the winner below
-        else:
-            try:
-                os.write(fd, store.protocol.encode())
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+        if _stamp_create(store.protocol):
             return
+        owner = _read()  # lost the race: the winner's stamp is whole
     if owner == store.protocol:
-        if _read() is None:  # adopt a legacy rename root: stamp it
-            with open(stamp, "w") as f:
-                f.write(owner)
-                f.flush()
-                os.fsync(f.fileno())
-        return
+        if _read() is None:  # adopt a legacy root: stamp it
+            if not _stamp_create(owner):
+                owner = _read()  # concurrent adopter: verify below
+                if owner == store.protocol:
+                    return
+                # fall through to the mismatch error
+            else:
+                return
+        else:
+            return
     raise ValueError(
         f"index root {root!r} was published under the {owner!r} "
         f"protocol but is being opened with the {store.protocol!r} "

@@ -17,6 +17,7 @@ the same: bit-identical dup logs and standing index contents."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -328,3 +329,73 @@ def test_backfill_marker_store_crash_then_rerun(spark, tmp_path):
     _nd_clean, dups_clean = run("bfclean", MarkerSegmentStore())
     assert dups2 == dups_clean
     assert _state(nd2, spark)[1:] == _state(_nd_clean, spark)[1:]
+
+
+def test_legacy_marker_root_adopted_by_marker_store(tmp_path):
+    """ADVICE r15 medium: a pre-stamp root whose segments all carry
+    _committed markers was marker-published — the old all-legacy-is-
+    rename rule misadopted it, refusing its real owner and telling
+    the operator to reopen with the rename store (which would scan
+    crashed uncommitted partials as committed data).  claim_root now
+    reads the segments' own commit records: all-marked => marker."""
+    root = str(tmp_path / "legmk")
+    for sid in (0, 1):
+        seg = os.path.join(root, "base", f"segment={sid}")
+        os.makedirs(seg)
+        with open(os.path.join(seg, "part-0.parquet"), "w") as f:
+            f.write("data")
+        open(os.path.join(seg, "_committed"), "w").close()
+    with pytest.raises(ValueError, match="marker"):
+        claim_root(RenameSegmentStore(), root)
+    claim_root(MarkerSegmentStore(), root)   # adopts + stamps
+    with open(os.path.join(root, "_store_protocol")) as f:
+        assert f.read().strip() == "marker"
+    with pytest.raises(ValueError, match="protocol"):
+        claim_root(RenameSegmentStore(), root)
+    claim_root(MarkerSegmentStore(), root)   # idempotent for the owner
+
+
+def test_legacy_mixed_root_refused_without_intent(tmp_path):
+    """Mixed commit records (some segments marked, some not) with no
+    pending intent explaining the gap: neither protocol can prove
+    ownership — the marker-less dirs are either rename-committed data
+    or crashed marker partials, and the two demand opposite
+    recoveries.  claim_root refuses BOTH stores, non-destructively."""
+    root = str(tmp_path / "legmix")
+    for sid, marked in ((0, True), (1, False)):
+        seg = os.path.join(root, "base", f"segment={sid}")
+        os.makedirs(seg)
+        with open(os.path.join(seg, "part-0.parquet"), "w") as f:
+            f.write("data")
+        if marked:
+            open(os.path.join(seg, "_committed"), "w").close()
+    for store in (RenameSegmentStore(), MarkerSegmentStore()):
+        with pytest.raises(ValueError, match="mixed"):
+            claim_root(store, root)
+    # nothing deleted, nothing stamped — manual intervention required
+    assert not os.path.exists(os.path.join(root, "_store_protocol"))
+    for sid in (0, 1):
+        assert os.path.exists(os.path.join(
+            root, "base", f"segment={sid}", "part-0.parquet"))
+
+
+def test_legacy_mixed_root_with_intent_is_marker_crash(tmp_path):
+    """Mixed commit records WHERE the marker-less segment is exactly
+    the one a pending intent names: that is marker publication's one
+    legal crash window (intents clear only after commit), so the root
+    is provably marker-owned — adopted as marker, refused to rename."""
+    root = str(tmp_path / "legcrash")
+    for sid, marked in ((0, True), (1, False)):
+        seg = os.path.join(root, "base", f"segment={sid}")
+        os.makedirs(seg)
+        with open(os.path.join(seg, "part-0.parquet"), "w") as f:
+            f.write("partial" if not marked else "data")
+        if marked:
+            open(os.path.join(seg, "_committed"), "w").close()
+    with open(os.path.join(root, "_compaction_manifest"), "w") as f:
+        json.dump({"segment": 1, "consumed": []}, f)
+    with pytest.raises(ValueError, match="marker"):
+        claim_root(RenameSegmentStore(), root)
+    claim_root(MarkerSegmentStore(), root)   # adopts + stamps
+    with open(os.path.join(root, "_store_protocol")) as f:
+        assert f.read().strip() == "marker"
