@@ -225,15 +225,21 @@ def main() -> None:
         pass
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    # the one-line driver contract object — keep it short, keep it last
+    # the one-line driver contract object — keep it short, keep it last.
+    # `value` is the BEST run (VERDICT r15 directive 7): identical code
+    # was measured spreading 41.9 -> 35.7 s best-run across one round
+    # purely from host heat, so min-vs-min is the only like-for-like
+    # round comparison; the run-sequence median stays as
+    # `median_run_sec` for dispersion reading.
     line = {
         "metric": "total_query_wall_sec",
-        "value": total,
+        "value": best_run,
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
         "n_runs": n_runs,
         "best_run_sec": best_run,
+        "median_run_sec": total,
         "index_build_sec": index_build["total"],
         "sf": sf,
     }
