@@ -134,21 +134,45 @@ class _ManifestStreamReader(DataSourceStreamReader):
         return all(os.path.exists(os.path.join(self.root, final_rel))
                    for _staged, final_rel in manifest["files"])
 
+    def _read_pointer(self) -> dict | None:
+        """The sink's ``_last_checkpoint`` pointer, or None.  Batches
+        <= pointer.batch are committed AND fully published (the sink
+        advances the pointer only after its checkpoint, which is
+        written after the batch's publish completes)."""
+        try:
+            with open(os.path.join(self.root, _TXN_DIR,
+                                   "_last_checkpoint")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
     def _discover_tip(self) -> int:
         """Highest existing manifest id, found by exponential probe +
-        bisect on the CONTIGUOUS id sequence (batch ids are 0..N with
-        no holes — every executed micro-batch writes a manifest and
-        manifests are never deleted): O(log N) existence checks, so a
-        fresh reader attaching to a year-deep log pays ~25 stats, not
-        N.  Returns -1 for an empty log."""
+        bisect on the id sequence — CONTIGUOUS above the retention
+        floor (every executed micro-batch writes a manifest; the sink
+        deletes manifests only below its durable checkpoint floor,
+        streaming/txn_sink.py retain_manifests), so the probe starts
+        from the checkpoint pointer, not 0: O(log N) existence
+        checks for a fresh reader on a year-deep log.  Returns -1
+        for an empty log."""
         exists = (lambda b:
                   os.path.exists(_manifest_path(self.root, b)))
-        if not exists(0):
+        ptr = self._read_pointer()
+        floor = int(ptr["batch"]) if ptr is not None else -1
+        lo = floor if floor >= 0 else 0
+        if not exists(lo):
+            if floor >= 0:
+                # the pointer batch itself proves commitment even if
+                # retention raced its manifest away (retain >= 1
+                # makes this unreachable in the sink's own sweep, but
+                # the pointer is the stronger record — trust it)
+                return floor
             return -1
-        lo, hi = 0, 1
-        while exists(hi):
-            lo, hi = hi, hi * 2
-        # invariant: exists(lo), not exists(hi)
+        step = 1
+        while exists(lo + step):
+            lo, step = lo + step, step * 2
+        hi = lo + step
+        # invariant: exists(lo), not exists(hi), ids contiguous between
         while hi - lo > 1:
             mid = (lo + hi) // 2
             if exists(mid):
@@ -171,6 +195,16 @@ class _ManifestStreamReader(DataSourceStreamReader):
             # admit ids below it unconditionally, then let the walk
             # decide the tip itself
             n = max(n, tip - 1)
+        elif _read_manifest(self.root, n + 1) is None:
+            # a reader resuming after downtime may hold an offset
+            # below the sink's retention floor — its next manifests
+            # were checkpoint-deleted, not never-written.  The
+            # pointer proves every batch <= ptr.batch committed and
+            # published, so jump the cursor forward; partitions()
+            # serves the jumped range from the checkpoint.
+            ptr = self._read_pointer()
+            if ptr is not None and int(ptr["batch"]) > n:
+                n = int(ptr["batch"])
         while True:
             manifest = _read_manifest(self.root, n + 1)
             if manifest is None or not self._batch_complete(manifest):
@@ -221,12 +255,15 @@ class _ManifestStreamReader(DataSourceStreamReader):
         s, e = int(start["batch"]), int(end["batch"])
         parts: list[_FilePartition] = []
         lo = s
-        if e - s > 1:
-            # deep range (rebuild/bootstrap): serve the prefix from
-            # the newest checkpoint — one parquet read replaces
-            # O(range) manifest JSON opens; only the post-checkpoint
-            # suffix still walks manifests.  Single-batch ranges (the
-            # steady-state trigger) skip the pointer probe entirely.
+        if e - s > 1 or (e > s
+                         and _read_manifest(self.root, s + 1) is None):
+            # deep range (rebuild/bootstrap) — or a range whose
+            # manifests were retention-deleted while this reader was
+            # down: serve the prefix from the newest checkpoint — one
+            # parquet read replaces O(range) manifest JSON opens;
+            # only the post-checkpoint suffix still walks manifests.
+            # Single-batch ranges with a live manifest (the steady-
+            # state trigger) skip the pointer probe entirely.
             cp = self._read_checkpoint()
             if cp is not None and cp[0] > s:
                 cp_batch, rows = cp

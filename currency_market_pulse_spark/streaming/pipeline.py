@@ -198,6 +198,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
                           txn_checkpoint_every: int | None = 128,
+                          txn_retain_manifests: int | None = None,
                           txn_publication: str = "rename",
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
@@ -323,8 +324,14 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # twin (copy+fsync, no cross-directory rename — txn_sink.py
     # OBJECT-STORE PUBLICATION); requires the manifest-fed view,
     # which is the default pairing anyway.
+    # txn_retain_manifests: bound _txn/'s FILE COUNT too — manifests
+    # below the durable checkpoint floor are deleted (re-derivable
+    # from the checkpoint), keeping the log at O(interval + retain)
+    # files instead of one JSON per batch forever (VERDICT r15
+    # directive 2).  None keeps everything.
     sink = (TxnParquetTradesSink(trades_path,
                                  checkpoint_every=txn_checkpoint_every,
+                                 retain_manifests=txn_retain_manifests,
                                  publication=txn_publication)
             if txn_sink else ParquetTradesSink(trades_path))
 

@@ -125,11 +125,29 @@ class TxnParquetTradesSink(Sink):
     #: reader rebuilding from scratch then reads newest-checkpoint +
     #: manifest suffix instead of O(committed batches) tiny JSONs —
     #: the r14 verdict's ~1 min at a million batches becomes one
-    #: columnar read + <=N JSON reads.  Manifests are NEVER deleted
-    #: (the checkpoint is derived, redundant data), so
-    #: ``_discover_tip``'s contiguous-id probe and crash replay
-    #: idempotency are untouched.  None = off.
+    #: columnar read + <=N JSON reads.  None = off.
     checkpoint_every: int | None = None
+    #: manifest retention bounded by checkpoints (VERDICT r15
+    #: directive 2): once a checkpoint at batch B is durable (the
+    #: ``_last_checkpoint`` pointer commits strictly after it),
+    #: every manifest with id <= B - retain_manifests is re-derivable
+    #: from that checkpoint — so keep ``_txn/`` at O(interval +
+    #: retain + retain_checkpoints) FILES instead of one tiny JSON
+    #: per committed batch forever (a million-batch log is a
+    #: million-object listing/inode burden even if never read).
+    #: Deletion happens strictly after the pointer fsync, so a crash
+    #: mid-retention leaves only harmless stragglers below the floor;
+    #: contiguity ABOVE the floor is preserved (readers probe from
+    #: the pointer, sources/txn_log_source.py).  Replay idempotency
+    #: is untouched for retained ids; a replay of a retention-deleted
+    #: batch id cannot occur (Structured Streaming replays only the
+    #: LAST uncommitted batch, and the floor trails the tip by
+    #: >= max(retain_manifests, interval)).  Requires
+    #: checkpoint_every.  None = keep every manifest (default).
+    retain_manifests: int | None = None
+    #: how many newest checkpoint files to keep once a newer one is
+    #: durable (the pointed-to checkpoint is never deleted).
+    retain_checkpoints: int = 2
     #: file publication mode: "rename" (one cross-directory
     #: os.replace per file — POSIX/HDFS) or "put" (object-store twin:
     #: copy+fsync materialized as one atomic PUT, no cross-directory
@@ -145,6 +163,18 @@ class TxnParquetTradesSink(Sink):
             raise ValueError(f"unknown publication "
                              f"{self.publication!r} "
                              "(expected 'rename' or 'put')")
+        if self.retain_manifests is not None:
+            if not self.checkpoint_every:
+                raise ValueError(
+                    "retain_manifests requires checkpoint_every: "
+                    "manifests may only be deleted once a durable "
+                    "checkpoint makes them re-derivable")
+            if self.retain_manifests < 1:
+                raise ValueError("retain_manifests must be >= 1 "
+                                 f"(got {self.retain_manifests})")
+        if self.retain_checkpoints < 1:
+            raise ValueError("retain_checkpoints must be >= 1 "
+                             f"(got {self.retain_checkpoints})")
 
     # -- path helpers -------------------------------------------------
     def _manifest(self, batch_id: int) -> str:
@@ -264,6 +294,7 @@ class TxnParquetTradesSink(Sink):
             # a replayed batch re-enters here; the checkpoint (like
             # every control file) is write-once
             self._update_pointer(batch_id, cp_name)
+            self._apply_retention()
             return
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -272,6 +303,11 @@ class TxnParquetTradesSink(Sink):
         # the same incremental scheme Delta uses, so each checkpoint
         # write costs O(history) IO but only O(interval) JSON opens
         prev = self.read_checkpoint_pointer()
+        if prev is not None and prev["batch"] > batch_id:
+            # a newer checkpoint supersedes this (replayed) batch's:
+            # nothing to add, and with retention on, the manifests a
+            # from-scratch rebuild would walk may be deleted
+            return
         batches: list[int] = []
         rels: list[str] = []
         lo = -1
@@ -300,6 +336,44 @@ class TxnParquetTradesSink(Sink):
             os.close(fd)
         os.replace(tmp, cp_path)
         self._update_pointer(batch_id, cp_name)
+        self._apply_retention()
+
+    def _apply_retention(self) -> None:
+        """Delete manifests the durable checkpoint floor makes
+        re-derivable, and checkpoints older than the newest
+        ``retain_checkpoints``.  Runs strictly AFTER the pointer
+        fsync (the pointer is the durability record deletion keys
+        on); every step is idempotent and crash-tolerant — a partial
+        sweep only leaves extra files, never a gap above the floor."""
+        if self.retain_manifests is None:
+            return
+        ptr = self.read_checkpoint_pointer()
+        if ptr is None:
+            return
+        floor = int(ptr["batch"]) - self.retain_manifests
+        txn = os.path.join(self.path, _TXN_DIR)
+        try:
+            names = os.listdir(txn)
+        except OSError:
+            return
+        cps: list[int] = []
+        for name in names:
+            if name.startswith("batch=") and name.endswith(".json"):
+                if int(name[len("batch="):-len(".json")]) <= floor:
+                    try:
+                        os.remove(os.path.join(txn, name))
+                    except OSError:
+                        pass
+            elif (name.startswith("checkpoint=")
+                    and name.endswith(".parquet")):
+                cps.append(int(name[len("checkpoint="):-len(".parquet")]))
+        for b in sorted(cps, reverse=True)[self.retain_checkpoints:]:
+            if b >= int(ptr["batch"]):
+                continue   # never delete the pointed-to checkpoint
+            try:
+                os.remove(os.path.join(txn, f"checkpoint={b}.parquet"))
+            except OSError:
+                pass
 
     def _update_pointer(self, batch_id: int, cp_name: str) -> None:
         cur = self.read_checkpoint_pointer()
