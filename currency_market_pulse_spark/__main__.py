@@ -102,12 +102,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="shard the near-dup index across S band-hash "
                          "shard roots probed concurrently (dup-for-dup "
                          "equal to 1; streaming/neardup_stream.py)")
-    pl.add_argument("--gateway-buckets", default=None,
+    pl.add_argument("--gateway-buckets", default="auto",
                     help="rate-limit gateway state layout: an int "
-                         "(hash-slot bucket count), or 'auto' to let "
-                         "the promotion criterion decide from "
-                         "--expected-rows-per-trigger (per-user below "
-                         "1,000 rows/trigger, auto-sized bucketed "
+                         "(hash-slot bucket count) or 'auto' (the "
+                         "default): the promotion criterion decides "
+                         "from --expected-rows-per-trigger (per-user "
+                         "below 1,000 rows/trigger — also when no "
+                         "rate is declared — auto-sized bucketed "
                          "above; streaming/ratelimiter.py)")
     pl.add_argument("--expected-rows-per-trigger", type=int,
                     default=None,

@@ -193,7 +193,7 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           neardup_compact_every: int = 32,
                           neardup_max_segments: int = 8,
                           neardup_shards: int = 1,
-                          gateway_buckets: "int | str | None" = None,
+                          gateway_buckets: "int | str | None" = "auto",
                           expected_rows_per_trigger: int | None = None,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
@@ -240,8 +240,14 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     if neardup_store not in ("rename", "marker"):
         raise ValueError(f"unknown neardup_store {neardup_store!r} "
                          "(expected 'rename' or 'marker')")
-    # "auto" gateway promotion resolves up front (fail fast on a bad
-    # string; see the query-1 comment for the criterion)
+    # "auto" gateway promotion is the DEFAULT (r15 directive 6,
+    # decided r16): it resolves up front against the declared offered
+    # rate — None (per-user state) below the unit-pinned
+    # PROMOTION_ROWS_PER_TRIGGER, the measured-better bucketed layout
+    # above it.  Callers that declare no expected_rows_per_trigger
+    # get the per-user gateway, byte-identical to the old default;
+    # decisions are oracle-EXACT in either layout
+    # (rate_limit_replay_bucketed).  Fail fast on a bad string.
     if gateway_buckets == "auto":
         from currency_market_pulse_spark.streaming.ratelimiter import (
             select_gateway_buckets,

@@ -45,6 +45,19 @@ somehow scanned ``base/`` wholesale would still skip them — but the
 index reads through ``committed()`` precisely so uncommitted partial
 segments are never scanned at all.
 
+Consistency contract (r16, test-pinned in test_segment_store.py's
+stale-listing suite): DISCOVERY tolerates eventually-consistent
+LIST/HEAD — a stale listing can only SHRINK the committed set (a
+marker-less or unlisted segment is indistinguishable from
+uncommitted and is skipped), never surface uncommitted bytes, and a
+missed committed segment appears as soon as the listing settles —
+probes converge, nothing is permanently skipped.  RECOVERY's
+delete decision (``clean_uncommitted`` inside a pending-intent
+window) additionally requires read-after-write-consistent HEAD on
+the one marker key the intent names — the guarantee S3/GCS/Azure
+all provide today — because a stale-negative HEAD there would
+misclassify a committed segment as a crashed partial.
+
 Locally the marker store simulates per-object atomic PUT with plain
 full-file copies and injectable crash points BETWEEN objects (a
 failed real PUT does not create the object, so "torn object" is not

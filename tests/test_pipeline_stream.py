@@ -328,3 +328,46 @@ def test_composed_pipeline_marker_segment_store(spark, tmp_path):
             pipe.stop()
     assert outs["rename"] == outs["marker"]
     assert outs["marker"][0]          # a near-dup was actually flagged
+
+
+def test_gateway_auto_is_the_default(spark, tmp_path):
+    """r15 directive 6, decided r16: the composed pipeline defaults
+    to gateway_buckets='auto'.  With no declared offered rate the
+    promotion rule resolves to the per-user gateway — byte-identical
+    to the old default — and a declared rate above the unit-pinned
+    threshold resolves to an auto-sized bucketed layout.  Resolution
+    is checked on the live handle, not just the signature."""
+    import inspect
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+    from currency_market_pulse_spark.streaming.ratelimiter import (
+        PROMOTION_ROWS_PER_TRIGGER, select_gateway_buckets,
+    )
+
+    sig = inspect.signature(run_composed_pipeline)
+    assert sig.parameters["gateway_buckets"].default == "auto"
+    # the rule itself, at its boundary
+    assert select_gateway_buckets(None) is None
+    assert select_gateway_buckets(PROMOTION_ROWS_PER_TRIGGER - 1) is None
+    assert select_gateway_buckets(PROMOTION_ROWS_PER_TRIGGER) >= 32
+
+    # end-to-end: the default pipeline with a declared high rate
+    # resolves to a bucketed gateway and still produces the pinned
+    # outputs; with no declared rate it resolves per-user
+    req, docs = _plant(tmp_path)
+    pipe = run_composed_pipeline(
+        spark, str(req), str(docs), str(tmp_path / "out"),
+        window_ms=1000, limit=2, trends_view="auto_trends_live",
+        expected_rows_per_trigger=100_000)
+    try:
+        assert isinstance(pipe.gateway_buckets, int)
+        assert pipe.gateway_buckets >= 32
+        pipe.wait_for(trades=4, dead=1, dups=1, windows=1)
+        got = spark.read.parquet(pipe.trades_path).collect()
+        dead = pipe.read_dead_letters(spark).collect()
+    finally:
+        pipe.stop()
+    assert len(got) == 4 and len(dead) == 1
+    assert dead[0].user_id == "hot" and dead[0].retry_after_ms == 1000

@@ -399,3 +399,129 @@ def test_legacy_mixed_root_with_intent_is_marker_crash(tmp_path):
     claim_root(MarkerSegmentStore(), root)   # adopts + stamps
     with open(os.path.join(root, "_store_protocol")) as f:
         assert f.read().strip() == "marker"
+
+
+# ---- stale-listing fault injection (VERDICT r15 directive 5) --------
+#
+# The marker store's object-store claim rests on conditional-PUT plus
+# discovery that does NOT require listing freshness.  These tests
+# inject the two staleness directions an eventually-consistent store
+# exhibits — a LIST missing a freshly-PUT prefix, and a marker HEAD
+# lagging its PUT — and assert the probe-side contract: discovery
+# never serves uncommitted bytes, and a committed segment is missed
+# for at most the staleness window (it appears the moment the
+# listing settles; nothing is permanently skipped).
+
+from dataclasses import dataclass, field  # noqa: E402
+
+
+@dataclass
+class _StaleListingStore(MarkerSegmentStore):
+    """MarkerSegmentStore whose DISCOVERY simulates an eventually-
+    consistent object store: paths in ``hide`` stay invisible to
+    ``committed()`` for the given number of ``settle()`` rounds (a
+    LIST missing a new prefix, or a negative-cached marker HEAD),
+    while the underlying bytes are fully durable.  Publication and
+    recovery are untouched — only the reader seam is stale."""
+
+    hide: dict = field(default_factory=dict)   # path -> rounds left
+
+    def _visible(self, path: str) -> bool:
+        return self.hide.get(path, 0) <= 0
+
+    def settle(self) -> None:
+        """One consistency round passes."""
+        for k in list(self.hide):
+            if self.hide[k] > 0:
+                self.hide[k] -= 1
+
+    def committed(self, root):
+        base = os.path.join(root, "base")
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if not d.startswith("segment="):
+                continue
+            seg = os.path.join(base, d)
+            if not self._visible(seg):          # stale LIST
+                continue
+            marker = os.path.join(seg, "_committed")
+            if os.path.exists(marker) and self._visible(marker):
+                out.append((int(d.split("=", 1)[1]), seg))
+        return sorted(out)
+
+
+def test_stale_discovery_never_serves_uncommitted_and_converges(
+        tmp_path):
+    """Store level, both staleness directions.  Direction 1: segment
+    files listed but the commit marker HEAD lags -> the segment is
+    absent from committed() (indistinguishable from uncommitted, so
+    never read half-published) and appears the round the HEAD
+    settles.  Direction 2: the marker is durable but the LIST misses
+    the segment prefix -> same.  A genuinely uncommitted partial is
+    excluded in EVERY round."""
+    store = _StaleListingStore()
+    root = str(tmp_path / "idx")
+    claim_root(store, root)
+    for sid in (0, 1):
+        staged = str(tmp_path / f"stage{sid}")
+        os.makedirs(staged)
+        with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+            f.write(f"data{sid}")
+        store.publish(root, staged, sid)
+    partial = os.path.join(root, "base", "segment=9")
+    os.makedirs(partial)
+    open(os.path.join(partial, "part-0.parquet"), "w").close()
+
+    assert [i for i, _ in store.committed(root)] == [0, 1]
+    # direction 1: marker HEAD lags one round
+    store.hide = {os.path.join(root, "base", "segment=1",
+                               "_committed"): 1}
+    assert [i for i, _ in store.committed(root)] == [0]
+    store.settle()
+    assert [i for i, _ in store.committed(root)] == [0, 1]
+    # direction 2: LIST misses the new segment prefix
+    store.hide = {os.path.join(root, "base", "segment=0"): 1}
+    assert [i for i, _ in store.committed(root)] == [1]
+    store.settle()
+    assert [i for i, _ in store.committed(root)] == [0, 1]
+    # the marker-less partial never surfaced in any round above
+    assert all(9 not in [i for i, _ in store.committed(root)]
+               for _ in range(2))
+
+
+def test_probe_under_stale_listing_misses_at_most_one_trigger(
+        spark, tmp_path):
+    """Probe level: a trigger inside the staleness window reads a
+    SMALLER committed set — an exact copy of compacted standing
+    content goes unflagged, the eventual-consistency tax — but never
+    reads uncommitted bytes and never crashes; the NEXT trigger sees
+    the settled index and flags an identical copy.  Nothing is
+    permanently skipped."""
+    store = _StaleListingStore()
+    nd = _mk_nd(tmp_path, "stale", store)
+    for b in (0, 1, 2):       # batch 2 compacts 0,1 into base segments
+        nd.process_batch(
+            spark.createDataFrame(_BATCHES[b],
+                                  "doc_id long, text string"), b)
+    hidden = {}
+    for root in (nd.hashes_path, nd.bands_path, nd.shingles_path):
+        base = os.path.join(root, "base")
+        for d in os.listdir(base):
+            if d.startswith("segment="):
+                hidden[os.path.join(base, d, "_committed")] = 1
+    assert hidden, "scenario must have committed segments to hide"
+    store.hide = hidden
+
+    # trigger during staleness: an exact copy of compacted doc 1
+    nd.process_batch(spark.createDataFrame(
+        [(99, BASE)], "doc_id long, text string"), 3)
+    dups = {r.new_id: r.dup_of for r in nd.read_dups(spark).collect()}
+    assert 99 not in dups       # the window's miss — bounded to it
+
+    store.settle()              # listings converge
+    nd.process_batch(spark.createDataFrame(
+        [(98, BASE)], "doc_id long, text string"), 4)
+    dups = {r.new_id: r.dup_of for r in nd.read_dups(spark).collect()}
+    assert dups.get(98) == 1    # settled index serves the match again
