@@ -54,13 +54,39 @@ class StreamingHeavyHitters:
     rows: int = X.CMS_ROWS
     width: int = X.CMS_WIDTH
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        delta = (X.cms_sketch(batch, self.rows, self.width)
+    def process_batch(self, batch: DataFrame, batch_id: int,
+                      toks: DataFrame | None = None) -> None:
+        """``toks``: optional pre-tokenized (doc_id, _t) relation for
+        ``batch`` (the fused doc pipeline's shared tokenization,
+        streaming/pipeline.py) — the sketch cells and candidates then
+        derive from ONE cached token relation instead of tokenizing
+        the batch twice (cms_sketch + local counts).  Bit-equal
+        either way: tokens() is deterministic, explode drops null
+        arrays exactly as cms_sketch's isNotNull filter drops null
+        texts, and the repartition inside cms_sketch is a
+        parallelism detail with no row effect."""
+        if toks is not None:
+            occ = toks.select(F.explode("_t").alias("tok"))
+            # cms_sketch's cell derivation over the shared occurrence
+            # relation (operators/textops.py:580 for the semantics)
+            rowed = occ.select(
+                F.col("tok"),
+                F.explode(F.sequence(F.lit(0), F.lit(self.rows - 1)))
+                .alias("row"))
+            bucket = X.cms_bucket(F.col("tok"), F.col("row"),
+                                  self.width)
+            delta = (rowed.select("row", bucket.alias("bucket"))
+                     .groupBy("row", "bucket")
+                     .agg(F.count(F.lit(1)).alias("cnt")))
+        else:
+            occ = (batch.filter(F.col("text").isNotNull())
+                   .select(F.explode(tokens(F.col("text")))
+                           .alias("tok")))
+            delta = X.cms_sketch(batch, self.rows, self.width)
+        delta = (delta
                  .withColumn("n_rows", F.lit(self.rows).cast("int"))
                  .withColumn("width", F.lit(self.width).cast("int")))
-        local = (batch.filter(F.col("text").isNotNull())
-                 .select(F.explode(tokens(F.col("text"))).alias("tok"))
-                 .groupBy("tok")
+        local = (occ.groupBy("tok")
                  .agg(F.count(F.lit(1)).alias("batch_cnt")))
         # orderBy().limit() compiles to a distributed TakeOrdered —
         # an unpartitioned Window here would drag every distinct

@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.utils import AnalysisException
 
 from currency_market_pulse_spark.operators import decontam as C
-from currency_market_pulse_spark.operators.dedup import _doc_shingles
+from currency_market_pulse_spark.operators.dedup import (
+    _doc_shingles, shingles_from_tokens,
+)
 
 _FLAG_SCHEMA = ("doc_id bigint, eval_doc_id bigint, n_overlap bigint, "
                 "batch_id bigint")
@@ -54,9 +56,17 @@ class StreamingDecontam:
             C.eval_shingle_bloom(eval_df, n, self.m,
                                  shingles_df=ev_sh), self.m)
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def process_batch(self, batch: DataFrame, batch_id: int,
+                      toks: DataFrame | None = None) -> None:
+        """``toks``: optional pre-tokenized (doc_id, _t) relation for
+        ``batch`` — the fused doc pipeline's shared tokenization
+        (streaming/pipeline.py); _doc_shingles IS
+        tokens+shingles_from_tokens, so the shingle relation is
+        bit-equal either way."""
         spark = batch.sparkSession
-        sh = (_doc_shingles(batch, self.n, "doc_id", "text")
+        sh = ((shingles_from_tokens(toks, self.n, "doc_id", "_t")
+               if toks is not None
+               else _doc_shingles(batch, self.n, "doc_id", "text"))
               .select("doc_id", "sh"))
         cand = C.bloom_prefilter(sh, self.words, self.m)
         ev = spark.read.schema(_EVAL_SCHEMA).parquet(self.eval_index_path)

@@ -737,7 +737,14 @@ class StreamingNearDup:
         self.last_stage_s[key] = round(now - t0, 4)
         return now
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+    def process_batch(self, batch: DataFrame, batch_id: int,
+                      toks: DataFrame | None = None) -> None:
+        """``toks``: optional pre-tokenized (doc_id, _t array<string>)
+        relation for ``batch`` (same ``tokens()`` function), persisted
+        by the caller — the fused doc pipeline computes it ONCE per
+        trigger and shares it across all doc consumers
+        (streaming/pipeline.py, VERDICT r15 directive 1); output is
+        bit-equal with or without it (tokens() is deterministic)."""
         spark = batch.sparkSession
         self.last_stage_s.clear()
         t = time.time()
@@ -767,15 +774,24 @@ class StreamingNearDup:
         # seconds per write.
         # one materialization of the micro-batch: every downstream
         # relation (exact hits, remainder shingles, index tails) reads
-        # the cache instead of re-scanning the source per write
-        batch = batch.persist()
+        # the cache instead of re-scanning the source per write.
+        # Fused mode (toks given): the CALLER owns the batch cache —
+        # persisting is harmless but unpersisting here would evict it
+        # under the sibling consumers still running this trigger
+        # (measured: the reservoir leg re-scanned the source file
+        # every batch after the probe finished first).
+        owns_cache = toks is None
+        if owns_cache:
+            batch = batch.persist()
         try:
-            self._probe_batch(spark, batch, batch_id)
+            self._probe_batch(spark, batch, batch_id, toks)
         finally:
-            batch.unpersist()
+            if owns_cache:
+                batch.unpersist()
 
     def _probe_batch(self, spark, batch: DataFrame,
-                     batch_id: int) -> None:
+                     batch_id: int,
+                     toks: DataFrame | None = None) -> None:
         # Driver-side bookkeeping envelope: the (doc_id, md5) collect
         # below is O(batch rows) dicts on the driver — measured ~ms at
         # the 1 s-trigger batch sizes this pipeline runs (hundreds to
@@ -866,16 +882,24 @@ class StreamingNearDup:
         excl = [r.doc_id for r in pairs
                 if r.doc_id != owner[r.h] or r.h in matched]
         if len(rem_ids) <= len(excl):
-            rem_docs = batch.filter(F.col("doc_id").isin(rem_ids))
+            flt = F.col("doc_id").isin(rem_ids)
         elif excl:
-            rem_docs = batch.filter(~F.col("doc_id").isin(excl))
+            flt = ~F.col("doc_id").isin(excl)
         else:
-            rem_docs = batch
+            flt = None
+        rem_docs = batch.filter(flt) if flt is not None else batch
+        # shared-tokens path (fused doc pipeline): the remainder's
+        # token relation is the SAME filter over the caller's cached
+        # toks — no re-tokenize, no join
+        rem_toks = None
+        if toks is not None:
+            rem_toks = toks.filter(flt) if flt is not None else toks
         rem_id_set = set(rem_ids)
         self._near_dup_local(
             spark, rem_docs, batch_id, hits_py,
             hash_rows=[(r.doc_id, r.h) for r in pairs
-                       if r.doc_id in rem_id_set])
+                       if r.doc_id in rem_id_set],
+            toks=rem_toks)
 
     def _probe_batch_distributed(self, spark, batch: DataFrame,
                                  batch_id: int) -> None:
@@ -1025,7 +1049,8 @@ class StreamingNearDup:
 
     def _near_dup_local(self, spark, rem_docs: DataFrame,
                         batch_id: int, hits_py: list,
-                        hash_rows: list[tuple[int, str]]) -> None:
+                        hash_rows: list[tuple[int, str]],
+                        toks: DataFrame | None = None) -> None:
         """The near-dup stage with driver-side writes: same probe
         plans as ``_near_dup_stage`` (shingle -> minhash bands ->
         bucket-pruned standing probe -> candidate-bounded verify),
@@ -1037,8 +1062,9 @@ class StreamingNearDup:
         S = self.shards
         b_roots = self._band_roots()
         s_roots = self._shingle_roots()
-        toks = rem_docs.select("doc_id", tokens(F.col("text"))
-                               .alias("_t"))
+        if toks is None:
+            toks = rem_docs.select("doc_id", tokens(F.col("text"))
+                                   .alias("_t"))
         # the 8-way repartition rationale is _near_dup_stage's
         sh = (D.shingles_from_tokens(toks)
               .repartition(8, "doc_id").persist())

@@ -23,6 +23,8 @@ def _req(user, ts, sell=100.0, buy=150.0):
 BASE = ("the quick brown fox jumps over the lazy dog while the calm "
         "river flows past the old stone bridge at dawn")
 NEAR = BASE.replace("dawn", "dusk")
+DISTINCT = ("completely unrelated text about parquet row groups and "
+            "shuffle partitions in a distributed query engine runtime")
 
 
 def _plant(tmp_path):
@@ -371,3 +373,83 @@ def test_gateway_auto_is_the_default(spark, tmp_path):
         pipe.stop()
     assert len(got) == 4 and len(dead) == 1
     assert dead[0].user_id == "hot" and dead[0].retry_after_ms == 1000
+
+
+def test_fused_doc_legs_equal_independent(spark, tmp_path):
+    """r15 directive 1's equality gate: the FUSED doc side (one
+    read+tokenize per trigger, shared by near-dup, CMS, decontam,
+    reservoir — the default) produces outputs bit-equal to the four
+    independent legs (doc_fused=False), over a multi-batch corpus
+    with exact copies, near-dups, a distinct doc, and a compaction
+    inside the run.  Also pins the fused handle's per-leg timing
+    record."""
+    import os as _os
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    def run(tag, fused):
+        base = tmp_path / tag
+        base.mkdir()
+        req, docs = _plant(base)
+        _write(docs / "d3.json", [{"doc_id": 3, "text": BASE},
+                                  {"doc_id": 4, "text": DISTINCT}])
+        _write(docs / "d4.json", [{"doc_id": 5,
+                                   "text": NEAR.replace("dusk",
+                                                        "noon")}])
+        for i, name in enumerate(["d1.json", "d2.json",
+                                  "d3.json", "d4.json"]):
+            _os.utime(docs / name,
+                      (2_000_000 + i * 100, 2_000_000 + i * 100))
+        ev = spark.createDataFrame([(900, BASE)],
+                                   "doc_id long, text string")
+        pipe = run_composed_pipeline(
+            spark, str(req), str(docs), str(base / "out"),
+            window_ms=1000, limit=2, eval_df=ev,
+            trends_view=f"fde_{tag}", neardup_compact_every=2,
+            doc_fused=fused)
+        try:
+            pipe.wait_for(trades=4, dead=1, dups=3, windows=1)
+            out = pipe.wait_quiescent(stable_secs=4.0)
+            assert out[2] >= 3
+            nd, hh, sd, rs = (pipe.neardup, pipe.heavy_hitters,
+                              pipe.decontam, pipe.reservoir)
+            result = {
+                "dups": sorted((r.new_id, r.dup_of,
+                                round(r.jaccard, 9))
+                               for r in nd.read_dups(spark).collect()),
+                "bands": sorted(map(tuple,
+                                    nd.read_bands(spark).collect())),
+                "hashes": sorted(map(tuple,
+                                     nd.read_hashes(spark).collect())),
+                "shingles": sorted(map(tuple, nd.read_shingles(spark)
+                                       .collect())),
+                "sketch": sorted(map(tuple, hh.merged_sketch(spark)
+                                     .collect())),
+                "hh": sorted(map(tuple, hh.heavy_hitters(spark)
+                                 .collect())),
+                "flags": sorted(
+                    (r.doc_id, r.eval_doc_id, r.n_overlap)
+                    for r in sd.read_flags(spark).collect()),
+                "reservoir": sorted(map(tuple, rs.read_reservoir(spark)
+                                        .collect())),
+            }
+            if fused:
+                legs = pipe.doc_leg_s
+                assert legs and all(
+                    k in legs[-1] for k in
+                    ("read_tokenize", "neardup", "cms", "decontam",
+                     "reservoir", "total", "n_docs"))
+        finally:
+            pipe.stop()
+        return result
+
+    fused = run("fused", True)
+    indep = run("indep", False)
+    assert fused == indep
+    # the scenario actually exercised every output
+    assert fused["dups"] and fused["flags"] and fused["sketch"]
+    assert {n for n, _, _ in fused["dups"]} == {2, 3, 5}
+    assert (3, 1, 1.0) in fused["dups"]          # exact copy
+    assert {r[0] for r in fused["reservoir"]} == {1, 2, 3, 4, 5}

@@ -49,8 +49,12 @@ _TOOLS = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_TOOLS)
 sys.path.insert(0, _REPO)
 
+#: independent-leg mode query order; fused mode (the default) runs
+#: ["import", "trends_view", "docs"] with one doc-side query driving
+#: all four consumers (streaming/pipeline.py doc_fused, r15 dir. 1)
 QUERY_NAMES = ["import", "trends_view", "neardup", "cms", "decontam",
                "reservoir"]
+QUERY_NAMES_FUSED = ["import", "trends_view", "docs"]
 
 
 def _trigger_ms(s: str) -> int:
@@ -260,6 +264,12 @@ def main() -> None:
                     help="soak gate: exit nonzero unless at least "
                          "this many MAJOR (tier) compactions fired "
                          "inside the run")
+    ap.add_argument("--doc-independent", action="store_true",
+                    help="run the four doc consumers as separate "
+                         "streaming queries (the pre-r16 layout, each "
+                         "re-reading + re-tokenizing the doc file) "
+                         "instead of the fused single-query default — "
+                         "the A/B arm for VERDICT r15 directive 1")
     ap.add_argument("--stream-shuffle-partitions", type=int, default=8,
                     help="shuffle/state width for the STREAMING session "
                          "(cloned off the main one): 1 s micro-batches "
@@ -399,6 +409,9 @@ def main() -> None:
         preseed_rows = nd_seed.read_bands(spark).count()
         print(f"preseeded standing index: {args.preseed_docs} docs, "
               f"{preseed_rows} band rows", flush=True)
+    query_names = (QUERY_NAMES if args.doc_independent
+                   else QUERY_NAMES_FUSED)
+    doc_q = "neardup" if args.doc_independent else "docs"
     t0 = time.time()
     pipe = run_composed_pipeline(
         stream_spark, None, docs_dir, out_dir, eval_df=eval_df,
@@ -411,7 +424,8 @@ def main() -> None:
         txn_publication=args.txn_publication,
         gateway_buckets=args.gateway_buckets,
         expected_rows_per_trigger=args.rows_per_batch,
-        neardup_store=args.neardup_store)
+        neardup_store=args.neardup_store,
+        doc_fused=not args.doc_independent)
     if args.gateway_buckets == "auto":
         # record the layout the promotion rule actually picked
         args.gateway_buckets = pipe.gateway_buckets
@@ -420,10 +434,10 @@ def main() -> None:
     # accumulate progress DURING the run (keyed by batchId): Spark
     # retains only the last 100 triggers per query, so a single drain
     # at the end would truncate a soak run's early history
-    acc: dict[str, dict] = {name: {} for name in QUERY_NAMES}
+    acc: dict[str, dict] = {name: {} for name in query_names}
 
     def _drain():
-        for name, q in zip(QUERY_NAMES, pipe.queries):
+        for name, q in zip(query_names, pipe.queries):
             for p in _progress(q):
                 acc[name][p["batchId"]] = p
     try:
@@ -434,7 +448,7 @@ def main() -> None:
             _drain()
         _drain()
         progress = {name: [acc[name][b] for b in sorted(acc[name])]
-                    for name in QUERY_NAMES}
+                    for name in query_names}
     finally:
         pipe.stop()
     wall = time.time() - t0
@@ -445,8 +459,8 @@ def main() -> None:
     doc_ms = (_trigger_ms(args.doc_trigger) if args.doc_trigger
               else 1000)
     budget = {n: (doc_ms if n in ("neardup", "cms", "decontam",
-                                  "reservoir") else 1000)
-              for n in QUERY_NAMES}
+                                  "reservoir", "docs") else 1000)
+              for n in query_names}
     queries = {n: _summarize(p, budget[n]) for n, p in progress.items()}
     state = {
         "reservoir_rows": pipe.reservoir.read_reservoir(spark).count(),
@@ -477,7 +491,7 @@ def main() -> None:
                 p["timestamp"].replace("Z", "+00:00")).timestamp()
 
         quota = args.docs_per_file * args.doc_files_per_trigger
-        bursty = [p for p in progress["neardup"]
+        bursty = [p for p in progress[doc_q]
                   if int(p.get("numInputRows", 0)) > quota]
         if bursty:
             w0 = min(_ts(p) for p in bursty)
@@ -533,7 +547,7 @@ def main() -> None:
     # backlog; at saturation (p95 over budget) it IS the leg's
     # capacity; below saturation it just echoes the offered rate and
     # capacity is ">= offered" (recorded as such).
-    nd_q = queries["neardup"]
+    nd_q = queries[doc_q]
     nd_sustained = round(nd_q["input_rows"] / wall, 1) if wall else None
     capacity = {
         "neardup_docs_per_sec_sustained": nd_sustained,
@@ -544,6 +558,28 @@ def main() -> None:
         "note": ("sustained == capacity only when saturated; "
                  "unsaturated runs prove capacity >= offered"),
     }
+
+    # fused mode: per-consumer wall times inside the single doc
+    # query's foreachBatch (read_tokenize is the shared scan both the
+    # old legs each paid) — the per-leg view the separate queries used
+    # to give via their own addBatch
+    doc_legs = None
+    if pipe.doc_leg_s:
+        rows_with_data = [r for r in pipe.doc_leg_s if r.get("n_docs")]
+        doc_legs = {"triggers": len(pipe.doc_leg_s),
+                    "data_triggers": len(rows_with_data)}
+        if rows_with_data and "rdd_cache_entries" in rows_with_data[-1]:
+            doc_legs["rdd_cache_entries_last"] = \
+                rows_with_data[-1]["rdd_cache_entries"]
+            doc_legs["rdd_cache_entries_seq"] = [
+                r.get("rdd_cache_entries") for r in rows_with_data]
+        for k in ("read_tokenize", "neardup", "cms", "decontam",
+                  "reservoir", "total"):
+            xs = [int(r[k] * 1000) for r in rows_with_data if k in r]
+            if xs:
+                doc_legs[k + "_ms"] = {"p50": _pct(xs, 50),
+                                       "p95": _pct(xs, 95),
+                                       "max": max(xs)}
 
     # default=None: a run too short for any query to record trigger
     # progress must still emit its artifact, not die in the summary
@@ -571,6 +607,7 @@ def main() -> None:
             "txn_publication": args.txn_publication,
             "neardup_max_segments": args.neardup_max_segments,
             "neardup_store": args.neardup_store,
+            "doc_fused": not args.doc_independent,
             "fair_weights_env": "retired-r13",
             "note": ("per-query percentiles cover the WHOLE run "
                      "(progress drained every 5 s, keyed by batchId)"),
@@ -597,6 +634,8 @@ def main() -> None:
                                 if saturating is not None else None),
         },
     }
+    if doc_legs is not None:
+        artifact["doc_legs"] = doc_legs
     if burst is not None:
         artifact["burst"] = burst
     if compaction is not None:
@@ -605,6 +644,9 @@ def main() -> None:
         json.dump(artifact, f, indent=2)
     print(json.dumps(artifact["throughput"]))
     print(json.dumps(artifact["saturation"]))
+    if doc_legs is not None:
+        print(json.dumps({"doc_legs": {
+            k: v for k, v in doc_legs.items() if k.endswith("_ms")}}))
     if compaction is not None:
         print(json.dumps({"compaction": {
             "minors": compaction["minors"],
