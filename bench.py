@@ -191,8 +191,13 @@ def main() -> None:
                   for r in per_run]
 
     best_run = min(run_totals) if run_totals else total
+    # ADVICE r16: `median_run_sec` must be the median of the actual
+    # run totals, not the sum of per-query medians (which can be lower
+    # than every real run and misreads as dispersion).
+    median_run = _median(run_totals) if run_totals else total
     meta = {"sf": sf, "total_sec": total,
             "best_run_sec": best_run,
+            "median_run_sec": median_run,
             "loadavg_start": load_start,
             "floor_scan_sec": floor_scan,
             "floor_shuffle_sec": floor_shuffle,
@@ -238,8 +243,13 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "n_runs": n_runs,
+        # ADVICE r16: headline `value` carries best-of-N (min) — say so
+        # explicitly so consumers don't mix min vs median semantics
+        # across the r15/r16 boundary where the statistic switched.
+        "value_kind": "best_run",
         "best_run_sec": best_run,
-        "median_run_sec": total,
+        "median_run_sec": median_run,
+        "sum_of_query_medians_sec": total,
         "index_build_sec": index_build["total"],
         "sf": sf,
     }

@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "below 1,000 rows/trigger — also when no "
                          "rate is declared — auto-sized bucketed "
                          "above; streaming/ratelimiter.py)")
+    pl.add_argument("--txn-retain-manifests", type=int, default=256,
+                    help="bound the _txn/ commit log: manifests more "
+                         "than N below the durable checkpoint floor "
+                         "are deleted after each checkpoint "
+                         "(0 disables retention and keeps every "
+                         "manifest forever — the pre-r16 behavior)")
     pl.add_argument("--expected-rows-per-trigger", type=int,
                     default=None,
                     help="expected offered trade-request rows per "
@@ -210,6 +216,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 txn_publication=args.txn_publication,
                 neardup_shards=args.neardup_shards,
                 gateway_buckets=gb,
+                txn_retain_manifests=(args.txn_retain_manifests or None),
                 expected_rows_per_trigger=args.expected_rows_per_trigger)
             if args.once:
                 try:

@@ -55,6 +55,31 @@ Scale note: file access here is local-filesystem ``os.path`` +
 pyarrow; on HDFS/S3 the same protocol runs over the object client
 (existence probe = HEAD on a known key — still no LIST anywhere).
 
+Object-store consistency contract (VERDICT r16 directive 6, the
+marker-store twin): discovery tolerates eventually-consistent HEAD on
+manifest keys because every staleness direction is SAFE here:
+
+- **Stale-negative HEAD on a committed manifest**: the forward walk
+  stops at the first invisible id, so the view under-reads by at most
+  the staleness window and picks the batch up on a later trigger.  No
+  batch can be SKIPPED — offsets advance only through contiguous
+  manifest ids, so a missed ``batch=n+1`` halts the walk rather than
+  jumping over it (a later-visible ``batch=n+2`` is NOT admitted
+  until n+1 HEADs).  The one jump path — a resumed reader below the
+  retention floor — keys on the ``_last_checkpoint`` pointer, whose
+  batches the sink proved committed+published before the pointer
+  fsync; it never relies on manifest HEAD at all.
+- **Manifest visible before its data files' HEAD settles** (stale-
+  positive relative to data): ``_batch_complete`` defers the batch
+  until every recorded file HEADs, exactly as it defers the sink's
+  mid-publish crash window.
+
+The only operation that would NEED read-after-write HEAD is the
+sink's own pointer/manifest write-then-read during commit — and the
+sink reads its own writes on the driver, not through discovery.
+Both directions are pinned by the stale-HEAD tests in
+tests/test_txn_log_source.py.
+
 Reference anchor: the trends service reads a bounded primary-index
 range, never a growing catalog (trends/listing/service.go:54-56).
 

@@ -51,6 +51,7 @@ batch x index cost (queries/dedup.py dedup_incremental).
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -79,6 +80,10 @@ from currency_market_pulse_spark.streaming.ratelimiter import (
     rate_limit_gateway_bucketed,
 )
 from currency_market_pulse_spark.streaming.trends_stream import trends_live
+
+#: how many per-trigger fused-doc timing dicts ComposedPipeline.doc_leg_s
+#: retains (newest wins) — bounds driver memory on long-lived pipelines
+DOC_LEG_RETAIN = 1000
 
 #: sink-side schema for the live-view file stream (TRADES_SCHEMA plus
 #: the sink's partition columns, explicit so an empty first batch
@@ -122,8 +127,13 @@ class ComposedPipeline:
     #: and per-consumer wall seconds ({batch_id, n_docs, read_tokenize,
     #: neardup, cms, decontam, reservoir, total}) — appended from the
     #: single doc foreachBatch thread; tools/stream_bench.py reads it
-    #: for the per-leg p50/p95 the separate queries used to report
-    doc_leg_s: list = field(default_factory=list)
+    #: for the per-leg p50/p95 the separate queries used to report.
+    #: RING BUFFER (VERDICT r16 directive 4): a long-lived pipeline
+    #: appends one dict per trigger forever (~31M/year at a 1 s tier),
+    #: so only the newest DOC_LEG_RETAIN entries are retained — the
+    #: same posture as Spark's own last-100 progress retention.
+    doc_leg_s: "deque" = field(
+        default_factory=lambda: deque(maxlen=DOC_LEG_RETAIN))
 
     def counts(self) -> tuple[int, int, int, int]:
         """(trades, dead_letters, near_dups, closed_trend_windows)."""
@@ -232,9 +242,10 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
                           view_source: str = "manifest",
                           neardup_store: str = "rename",
                           txn_checkpoint_every: int | None = 128,
-                          txn_retain_manifests: int | None = None,
+                          txn_retain_manifests: int | None = 256,
                           txn_publication: str = "rename",
                           doc_fused: bool = True,
+                          allow_doc_ckpt_reset: bool = False,
                           ) -> ComposedPipeline:
     """Start the full composition and return its handles.
 
@@ -299,6 +310,41 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
         raise ValueError("view_source='manifest' requires txn_sink=True "
                          "(the plain sink writes no manifest log); "
                          "pass view_source='listing'")
+
+    # ---- doc-checkpoint MIGRATION guard (ADVICE r16, medium): the
+    # fused doc side checkpoints under ckpt_docs; the independent legs
+    # checkpoint under ckpt_{neardup,cms,decontam,reservoir}.  Batch-id
+    # idempotency does NOT protect across a mode switch — a fresh
+    # checkpoint restarts at batch 0 with NEW batch-id boundaries, so
+    # CMS per-batch delta partitions double-count every previously
+    # processed doc and near-dup re-probes docs already in the standing
+    # index.  Fail fast when a resume would silently re-ingest; the
+    # migration path is: drain the old deployment, move/clear out_dir's
+    # doc outputs (cms/, decontam_flags/, reservoir/, dups/ + index),
+    # then restart with allow_doc_ckpt_reset=True (or a fresh out_dir).
+    _legacy_legs = [n for n in ("ckpt_neardup", "ckpt_cms",
+                                "ckpt_decontam", "ckpt_reservoir")
+                    if os.path.isdir(os.path.join(out_dir, n))
+                    and os.listdir(os.path.join(out_dir, n))]
+    _fused_ckpt = (os.path.isdir(os.path.join(out_dir, "ckpt_docs"))
+                   and os.listdir(os.path.join(out_dir, "ckpt_docs")))
+    if not allow_doc_ckpt_reset:
+        if doc_fused and _legacy_legs and not _fused_ckpt:
+            raise RuntimeError(
+                "doc_fused=True would start a fresh ckpt_docs checkpoint "
+                f"while legacy per-leg checkpoints exist ({_legacy_legs}): "
+                "the doc dir would be re-ingested from batch 0 with new "
+                "batch-id boundaries (CMS deltas double-count, near-dup "
+                "re-probes indexed docs). Either resume with "
+                "doc_fused=False, or clear the doc outputs and pass "
+                "allow_doc_ckpt_reset=True.")
+        if not doc_fused and _fused_ckpt and not _legacy_legs:
+            raise RuntimeError(
+                "doc_fused=False would start fresh per-leg checkpoints "
+                "while a fused ckpt_docs checkpoint exists: the doc dir "
+                "would be re-ingested from batch 0 (same double-count "
+                "hazard). Either resume with doc_fused=True, or clear "
+                "the doc outputs and pass allow_doc_ckpt_reset=True.")
 
     def _in_pool(name, start_fn):
         # one FAIR pool per streaming query (session.py sets
@@ -369,7 +415,13 @@ def run_composed_pipeline(spark: SparkSession, requests_dir: str,
     # below the durable checkpoint floor are deleted (re-derivable
     # from the checkpoint), keeping the log at O(interval + retain)
     # files instead of one JSON per batch forever (VERDICT r15
-    # directive 2).  None keeps everything.
+    # directive 2).  None keeps everything.  Retention is ON by
+    # default since r17 (retain=256 with the 128-batch checkpoint
+    # interval bounds _txn/ at ~O(400) files at any uptime; the
+    # r17 soak measured the live file count flat while the view
+    # served) — the composed pipeline is the long-lived deployment
+    # surface, and an unbounded control log is an operational leak
+    # even when never read.
     sink = (TxnParquetTradesSink(trades_path,
                                  checkpoint_every=txn_checkpoint_every,
                                  retain_manifests=txn_retain_manifests,

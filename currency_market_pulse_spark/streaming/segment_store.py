@@ -106,10 +106,13 @@ def claim_root(store, root: str) -> None:
     published without a stamp historically, so the stamp's absence
     does not imply rename (ADVICE r15 medium).  Every dir carrying a
     ``_committed`` marker is marker-published; a rename store never
-    writes one.  All-marked => marker; none-marked => rename;
-    mixed => marker only if the marker-less dirs are exactly the
-    pending intent's segment (the one crash window marker publication
-    allows), else refuse and ask for manual intervention.
+    writes one.  All-marked => marker; none-marked => rename UNLESS a
+    pending intent names one of the unmarked segments (then the root
+    may be a marker root whose only publications crashed mid-PUT —
+    refuse, ADVICE r16); mixed => marker only if the marker-less dirs
+    are exactly the pending intent's segment (the one crash window
+    marker publication allows), else refuse and ask for manual
+    intervention.
 
     The stamp itself is published content-first: bytes land in a
     private tmp object, then one atomic ``os.link`` makes them
@@ -162,20 +165,40 @@ def claim_root(store, root: str) -> None:
         if segs:
             unmarked = [d for d in segs if not os.path.exists(
                 os.path.join(base, d, _MARKER))]
+            try:
+                with open(os.path.join(root, _INTENT)) as f:
+                    _pending = json.load(f).get("segment")
+            except (OSError, ValueError):
+                _pending = None
             if not unmarked:
                 owner = "marker"
             elif len(unmarked) == len(segs):
+                # ADVICE r16 (low): a pre-stamp MARKER root whose ONLY
+                # segment(s) crashed mid-publish is observationally
+                # all-unmarked — identical to a rename root — except
+                # that the pending intent still names the crashed
+                # segment (intents clear only after commit).  Adopting
+                # it as 'rename' would treat the partial as committed
+                # and finish consumed-source deletes, losing rows.
+                # Mirror the mixed branch's guard: refuse when an
+                # intent explains an unmarked segment.
+                if _pending is not None and (
+                        f"segment={_pending}" in unmarked):
+                    raise ValueError(
+                        f"index root {root!r} has no protocol stamp, "
+                        f"every segment lacks a _committed marker, AND "
+                        f"a pending intent names segment={_pending!r}: "
+                        "this is either a rename root with a stray "
+                        "intent or a marker root whose only "
+                        "publication(s) crashed mid-PUT — the two "
+                        "demand opposite recoveries.  Refusing to "
+                        "guess; inspect the root manually.")
                 owner = "rename"
             else:
                 # Mixed: tolerable only as marker's one crash window —
                 # an uncommitted partial always has a live intent
                 # naming it (intents clear only after commit).
-                try:
-                    with open(os.path.join(root, _INTENT)) as f:
-                        pending = json.load(f).get("segment")
-                except (OSError, ValueError):
-                    pending = None
-                if unmarked == [f"segment={pending}"]:
+                if unmarked == [f"segment={_pending}"]:
                     owner = "marker"
                 else:
                     raise ValueError(

@@ -358,15 +358,26 @@ class TxnParquetTradesSink(Sink):
             return
         cps: list[int] = []
         for name in names:
+            # A stray non-numeric entry matching the prefix/suffix
+            # (editor backup, manual "batch=5 (1).json" copy) must not
+            # raise out of the sink's commit path — skip it (ADVICE r16).
             if name.startswith("batch=") and name.endswith(".json"):
-                if int(name[len("batch="):-len(".json")]) <= floor:
+                try:
+                    b = int(name[len("batch="):-len(".json")])
+                except ValueError:
+                    continue
+                if b <= floor:
                     try:
                         os.remove(os.path.join(txn, name))
                     except OSError:
                         pass
             elif (name.startswith("checkpoint=")
                     and name.endswith(".parquet")):
-                cps.append(int(name[len("checkpoint="):-len(".parquet")]))
+                try:
+                    cps.append(
+                        int(name[len("checkpoint="):-len(".parquet")]))
+                except ValueError:
+                    continue
         for b in sorted(cps, reverse=True)[self.retain_checkpoints:]:
             if b >= int(ptr["batch"]):
                 continue   # never delete the pointed-to checkpoint

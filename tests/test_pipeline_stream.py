@@ -453,3 +453,60 @@ def test_fused_doc_legs_equal_independent(spark, tmp_path):
     assert {n for n, _, _ in fused["dups"]} == {2, 3, 5}
     assert (3, 1, 1.0) in fused["dups"]          # exact copy
     assert {r[0] for r in fused["reservoir"]} == {1, 2, 3, 4, 5}
+
+
+def test_doc_leg_timings_ring_buffer():
+    """VERDICT r16 directive 4: doc_leg_s must not grow without bound
+    on a long-lived pipeline (one dict per trigger forever) — it is a
+    ring buffer keeping the newest DOC_LEG_RETAIN entries."""
+    from currency_market_pulse_spark.streaming.pipeline import (
+        DOC_LEG_RETAIN, ComposedPipeline,
+    )
+
+    pipe = ComposedPipeline(
+        spark=None, trades_path="", dead_letter_path="",
+        trends_view="", neardup=None)
+    for i in range(DOC_LEG_RETAIN + 250):
+        pipe.doc_leg_s.append({"batch_id": i})
+    assert len(pipe.doc_leg_s) == DOC_LEG_RETAIN
+    # newest retained, oldest evicted
+    assert pipe.doc_leg_s[-1]["batch_id"] == DOC_LEG_RETAIN + 249
+    assert pipe.doc_leg_s[0]["batch_id"] == 250
+
+
+def test_doc_ckpt_mode_switch_fails_fast(tmp_path):
+    """ADVICE r16 (medium): switching doc_fused across a resume
+    silently abandons the other mode's checkpoints — the doc dir
+    would re-ingest from batch 0 with new batch-id boundaries (CMS
+    deltas double-count, near-dup re-probes indexed docs).  The
+    pipeline must fail fast BEFORE starting any query, in both
+    directions, unless the caller opts into the reset."""
+    import os
+
+    import pytest
+
+    from currency_market_pulse_spark.streaming.pipeline import (
+        run_composed_pipeline,
+    )
+
+    out = tmp_path / "out"
+    legacy = out / "ckpt_neardup" / "offsets"
+    legacy.mkdir(parents=True)
+    (legacy / "0").write_text("{}")
+    # spark=None proves the guard fires before ANY Spark work
+    with pytest.raises(RuntimeError, match="ckpt_docs"):
+        run_composed_pipeline(None, str(tmp_path / "req"),
+                              str(tmp_path / "docs"), str(out),
+                              doc_fused=True)
+    # reverse direction: fused checkpoint present, independent resume
+    out2 = tmp_path / "out2"
+    fused = out2 / "ckpt_docs" / "offsets"
+    fused.mkdir(parents=True)
+    (fused / "0").write_text("{}")
+    with pytest.raises(RuntimeError, match="per-leg"):
+        run_composed_pipeline(None, str(tmp_path / "req"),
+                              str(tmp_path / "docs"), str(out2),
+                              doc_fused=False)
+    # nothing was created/cleared by the refusals
+    assert os.path.exists(str(legacy / "0"))
+    assert os.path.exists(str(fused / "0"))

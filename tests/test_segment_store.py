@@ -525,3 +525,35 @@ def test_probe_under_stale_listing_misses_at_most_one_trigger(
         [(98, BASE)], "doc_id long, text string"), 4)
     dups = {r.new_id: r.dup_of for r in nd.read_dups(spark).collect()}
     assert dups.get(98) == 1    # settled index serves the match again
+
+
+def test_legacy_all_unmarked_with_intent_refused(tmp_path):
+    """ADVICE r16 (low): a pre-stamp MARKER root whose ONLY segment
+    crashed mid-publish is all-unmarked — observationally identical
+    to a rename root — except the pending intent still names the
+    crashed segment.  Adopting it as rename would treat the partial
+    as committed (and rename recovery would finish consumed-source
+    deletes, losing rows), so claim_root refuses BOTH stores and
+    asks for manual inspection, non-destructively."""
+    root = str(tmp_path / "legsolo")
+    seg = os.path.join(root, "base", "segment=3")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "part-0.parquet"), "w") as f:
+        f.write("partial")
+    with open(os.path.join(root, "_compaction_manifest"), "w") as f:
+        json.dump({"segment": 3, "consumed": []}, f)
+    for store in (RenameSegmentStore(), MarkerSegmentStore()):
+        with pytest.raises(ValueError, match="pending intent"):
+            claim_root(store, root)
+    # nothing stamped, nothing deleted
+    assert not os.path.exists(os.path.join(root, "_store_protocol"))
+    assert os.path.exists(os.path.join(seg, "part-0.parquet"))
+    # an intent naming a DIFFERENT segment does not poison adoption:
+    # the unmarked segments are not explained by it, and an
+    # all-unmarked root with a stale foreign intent is still the
+    # rename shape
+    with open(os.path.join(root, "_compaction_manifest"), "w") as f:
+        json.dump({"segment": 99, "consumed": []}, f)
+    claim_root(RenameSegmentStore(), root)
+    with open(os.path.join(root, "_store_protocol")) as f:
+        assert f.read().strip() == "rename"

@@ -581,3 +581,115 @@ def test_view_over_retained_log_equals_batch(spark, tmp_path):
                         "trade_date", "batch_id").collect())
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(want) == 30
+
+
+def _mk_log(tmp_path, n_batches: int) -> str:
+    """A bare commit log of trivially-complete manifests."""
+    import json as _json
+
+    root = str(tmp_path / "trades")
+    txn = os.path.join(root, "_txn")
+    os.makedirs(txn, exist_ok=True)
+    for b in range(n_batches):
+        with open(os.path.join(txn, f"batch={b}.json"), "w") as f:
+            _json.dump({"batch_id": b, "files": []}, f)
+    return root
+
+
+def _hide_manifests(monkeypatch, hidden: set):
+    """Inject stale-negative HEAD on manifest keys: ids in ``hidden``
+    are durably on disk but invisible to BOTH discovery seams (the
+    os.path.exists probe and the manifest read), the way an
+    eventually-consistent object store serves 404 for a key another
+    writer just PUT.  Mutate ``hidden`` to settle visibility."""
+    import re
+
+    from currency_market_pulse_spark.sources import txn_log_source as tls
+
+    real_exists = os.path.exists
+    real_read = tls._read_manifest
+
+    def _hidden_path(p):
+        m = re.search(r"batch=(\d+)\.json$", str(p))
+        return m is not None and int(m.group(1)) in hidden
+
+    monkeypatch.setattr(
+        os.path, "exists",
+        lambda p: (not _hidden_path(p)) and real_exists(p))
+    monkeypatch.setattr(
+        tls, "_read_manifest",
+        lambda root, b: None if b in hidden else real_read(root, b))
+
+
+def test_stale_manifest_head_stalls_never_skips(tmp_path, monkeypatch):
+    """Consistency-contract direction 1 (VERDICT r16 directive 6): a
+    committed manifest whose HEAD is stale-negative makes the view
+    UNDER-read — the contiguous walk halts at the invisible id and a
+    later-visible successor is never admitted over it — and the view
+    converges to the full committed set once visibility settles.  A
+    skipped batch (gap in served data) is structurally impossible."""
+    root = _mk_log(tmp_path, 5)
+    reader = _ManifestStreamReader({"path": root})
+    assert reader.latestOffset() == {"batch": 4}
+
+    # two more commits land; batch=5's manifest HEAD is stale while
+    # batch=6's already settled (listings are not ordered)
+    import json as _json
+    for b in (5, 6):
+        with open(os.path.join(root, "_txn", f"batch={b}.json"),
+                  "w") as f:
+            _json.dump({"batch_id": b, "files": []}, f)
+    hidden = {5}
+    _hide_manifests(monkeypatch, hidden)
+    # the walk stops at the stale id: offset holds at 4, NOT 6
+    assert reader.latestOffset() == {"batch": 4}
+    assert reader.latestOffset() == {"batch": 4}  # stable while stale
+    # visibility settles -> the next trigger serves 5 AND 6, in order
+    hidden.clear()
+    assert reader.latestOffset() == {"batch": 6}
+
+
+def test_fresh_discovery_under_stale_head_misses_at_most_window(
+        tmp_path, monkeypatch):
+    """Consistency-contract direction 2: a FRESH reader whose tip
+    probe lands inside the staleness window discovers a lower tip —
+    it serves only committed batches (never an uncommitted or
+    half-visible one) and misses the newest commit for at most the
+    staleness window, converging on the next trigger."""
+    root = _mk_log(tmp_path, 10)
+    hidden = {9}
+    _hide_manifests(monkeypatch, hidden)
+    reader = _ManifestStreamReader({"path": root})
+    # tip probe under staleness: 8 — a committed batch, one short
+    assert reader.latestOffset() == {"batch": 8}
+    hidden.clear()
+    # settled: the standing walk picks up the missed commit
+    assert reader.latestOffset() == {"batch": 9}
+
+
+def test_retention_sweep_skips_unparseable_names(tmp_path):
+    """ADVICE r16 (low): a stray file matching the manifest/checkpoint
+    prefix+suffix but not the numeric shape (editor backup, manual
+    "batch=5 (1).json" copy) must not raise out of the sink's commit
+    path — the sweep skips it and still enforces the bound on real
+    entries."""
+    root = str(tmp_path / "stray")
+    _fabricate_log(root, 20, files_per_batch=1)
+    txn = os.path.join(root, "_txn")
+    with open(os.path.join(txn, "batch=5 (1).json"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(txn, "checkpoint=old.parquet"), "w") as f:
+        f.write("x")
+    sink = TxnParquetTradesSink(root, checkpoint_every=4,
+                                retain_manifests=4,
+                                retain_checkpoints=2)
+    for b in range(20):
+        sink._maybe_checkpoint(b)    # raises before the fix
+    names = set(os.listdir(txn))
+    # strays untouched (not parseable => not provably re-derivable)
+    assert "batch=5 (1).json" in names
+    assert "checkpoint=old.parquet" in names
+    # the real bound still holds: pointer 19, floor 15 -> 16..19 live
+    assert ([n for n in sorted(names) if n.startswith("batch=")
+             and n != "batch=5 (1).json"]
+            == [f"batch={b}.json" for b in range(16, 20)])

@@ -253,6 +253,13 @@ def main() -> None:
                          "shard roots probed concurrently (dup-for-dup "
                          "equal to 1; the beyond-single-JVM capacity "
                          "lever, neardup_stream.py)")
+    ap.add_argument("--txn-retain-manifests", type=int, default=256,
+                    help="txn commit-log retention: manifests below "
+                         "the checkpoint floor minus N are deleted "
+                         "(0 keeps every manifest forever).  The run "
+                         "samples the live _txn/ file count every "
+                         "drain into txn_file_count_series so a soak "
+                         "can assert the log stays bounded.")
     ap.add_argument("--min-neardup-docs-per-sec", type=float,
                     default=0.0,
                     help="capacity gate (VERDICT r13 directive 5): "
@@ -422,6 +429,7 @@ def main() -> None:
         neardup_max_segments=args.neardup_max_segments,
         neardup_shards=args.neardup_shards,
         txn_publication=args.txn_publication,
+        txn_retain_manifests=(args.txn_retain_manifests or None),
         gateway_buckets=args.gateway_buckets,
         expected_rows_per_trigger=args.rows_per_batch,
         neardup_store=args.neardup_store,
@@ -436,10 +444,22 @@ def main() -> None:
     # at the end would truncate a soak run's early history
     acc: dict[str, dict] = {name: {} for name in query_names}
 
+    txn_series: list[dict] = []
+
     def _drain():
         for name, q in zip(query_names, pipe.queries):
             for p in _progress(q):
                 acc[name][p["batchId"]] = p
+        # soak evidence for manifest retention (VERDICT r16 dir. 3):
+        # the live _txn/ file count must stay bounded while the view
+        # serves — one listdir per drain (~5 s) is free at this scale
+        try:
+            n_txn = len(os.listdir(
+                os.path.join(pipe.trades_path, "_txn")))
+        except OSError:
+            n_txn = 0
+        txn_series.append({"t": round(time.time() - t0, 1),
+                           "txn_files": n_txn})
     try:
         while time.time() - t0 < args.duration:
             time.sleep(min(5.0, max(0.1, args.duration
@@ -605,6 +625,7 @@ def main() -> None:
             "neardup_compact_every": args.neardup_compact_every,
             "neardup_shards": args.neardup_shards,
             "txn_publication": args.txn_publication,
+            "txn_retain_manifests": args.txn_retain_manifests,
             "neardup_max_segments": args.neardup_max_segments,
             "neardup_store": args.neardup_store,
             "doc_fused": not args.doc_independent,
@@ -634,6 +655,16 @@ def main() -> None:
                                 if saturating is not None else None),
         },
     }
+    if txn_series:
+        artifact["txn_file_count_series"] = {
+            "samples": txn_series,
+            "max_files": max(s["txn_files"] for s in txn_series),
+            "last_files": txn_series[-1]["txn_files"],
+            "note": ("live _txn/ listing size every drain; with "
+                     "retention on this must plateau at "
+                     "O(checkpoint interval + retain), not grow "
+                     "one file per committed batch"),
+        }
     if doc_legs is not None:
         artifact["doc_legs"] = doc_legs
     if burst is not None:
