@@ -112,19 +112,31 @@ def connected_components_star(pairs: DataFrame,
 
 def connected_components(pairs: DataFrame,
                          src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         pairs_canonical: bool = False) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    component = minimum node id reachable through the pair graph."""
+    component = minimum node id reachable through the pair graph.
+
+    ``pairs_canonical=True`` declares that the input pair relation is
+    already DISTINCT and carries each undirected edge in exactly one
+    orientation (e.g. a groupBy(id_a, id_b) output with id_a < id_b) —
+    then the symmetric union below cannot produce duplicates and the
+    ``distinct()`` exchange is skipped (r17, guide §2.4 "a distinct on
+    data that is already unique").  The flag is a pure plan-shape hint:
+    min-label propagation is insensitive to duplicate edges (min over
+    duplicates == min), so even a wrong hint cannot change the result,
+    only the size of the persisted edge relation."""
     # hash-partition the cached edges by the per-round join key: the
     # cached partitioning satisfies the join's distribution requirement,
     # so every iteration shuffles only the (much smaller) labels side —
     # one extra exchange now buys one fewer exchange of the full edge
     # relation per round.
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct()
-             .repartition("v")
-             .persist())
+    sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .unionAll(pairs.select(F.col(dst).alias("u"),
+                                  F.col(src).alias("v"))))
+    if not pairs_canonical:
+        sym = sym.distinct()
+    edges = sym.repartition("v").persist()
     # round-0 fusion: with every label initially = its node id, the
     # first round's neighbor-min is just min over neighbor IDS — one
     # aggregate on the symmetric edge relation, no join, no checkpoint.

@@ -233,7 +233,20 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
     par = train.sparkSession.sparkContext.defaultParallelism
     tr = (_doc_shingles(train.repartition(par), n, id_col, text_col)
           .select(F.col(id_col).alias("train_doc_id"), "sh"))
-    ev_sh = _doc_shingles(eval_, n, id_col, text_col)
+    # r17 (guide §1.2/§2.4): the eval shingle relation feeds THREE
+    # consumers — the adaptive-m distinct count, the bloom bitmap
+    # aggregate, and the exact verify join — and was re-tokenized and
+    # re-shingled for each (3 full eval passes per invocation).  One
+    # lazy localCheckpoint materializes it once; the sizing count below
+    # is the materializing action (no extra job — the components.py
+    # lazy-checkpoint pattern).  Scale posture: the eval side is small
+    # by construction (benchmarks vs a web-scale train corpus), so the
+    # checkpointed relation is the small side of the design; when the
+    # eval side is itself huge, one materialized pass still beats
+    # three recomputed ones.  Plan diff: 3 identical shingle subtrees
+    # -> 1 checkpoint scan; per-invocation, nothing survives the query.
+    ev_sh = (_doc_shingles(eval_, n, id_col, text_col)
+             .localCheckpoint(eager=False))
     ev = ev_sh.select(F.col(id_col).alias("eval_doc_id"), "sh")
     if m is None:   # adaptive: one scalar count at filter-build time
         m = bloom_sized_bits(ev_sh.select("sh").distinct().count())

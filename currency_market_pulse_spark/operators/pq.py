@@ -195,29 +195,55 @@ def ivfpq_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
                      F.zip_with(F.col("_qv"), F.col("centroid"),
                                 lambda x, y: x.cast("double") - y)
                      .alias("_qres")))
-    adc = members
-    for s in range(m):
-        qd = (probe.select(
-                "query_id", "cell",
-                F.slice("_qres", s * sub_dim + 1, sub_dim).alias("_qs"))
-              .crossJoin(F.broadcast(
-                  codebooks[s].select(F.col("cell").alias(f"c{s}"),
-                                      "centroid")))
-              .select("query_id", "cell", f"c{s}",
-                      F.round(_sq_dist(F.col("_qs"), F.col("centroid")), 6)
-                       .alias(f"_d{s}")))
-        keys = ["cell", f"c{s}"] if s == 0 else ["query_id", "cell", f"c{s}"]
-        adc = adc.join(F.broadcast(qd), keys)
-    total = F.col("_d0")
+    # r17 (guide §2.4/§3): ADC as ONE broadcast distance-table lookup
+    # instead of m per-subspace broadcast joins.  The old shape built m
+    # separate broadcast relations, each re-evaluating the probe
+    # subtree (m broadcast-build jobs, m BroadcastHashJoins over the
+    # members relation — 4x the plan for the same arithmetic).  This is
+    # also the textbook IVF-PQ search shape: per (query, probed cell),
+    # ONE m*k-entry lookup table of subspace distances, broadcast once;
+    # each member row then scores with m map lookups — the members
+    # relation (the corpus-sized side) is traversed by exactly one
+    # join.  Bit-identical: each per-subspace distance is the same
+    # round(_sq_dist(slice, centroid), 6) as before, and the final sum
+    # adds them in the same s = 0..m-1 order.
+    cb_all = codebooks[0].select(
+        F.lit(0).alias("_s"), F.col("cell").alias("_code"), "centroid")
     for s in range(1, m):
-        total = total + F.col(f"_d{s}")
+        cb_all = cb_all.unionAll(codebooks[s].select(
+            F.lit(s).alias("_s"), F.col("cell").alias("_code"),
+            "centroid"))
+    qslices = probe.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("_s"),
+                     F.slice("_qres", s * sub_dim + 1, sub_dim)
+                      .alias("_qs"))
+            for s in range(m)])).alias("_sub")
+    ).select("query_id", "cell", F.col("_sub._s").alias("_s"),
+             F.col("_sub._qs").alias("_qs"))
+    qtab = (qslices.join(F.broadcast(cb_all), "_s")
+            .select("query_id", "cell",
+                    (F.col("_s") * k + F.col("_code")).cast("int")
+                     .alias("_key"),
+                    F.round(_sq_dist(F.col("_qs"), F.col("centroid")), 6)
+                     .alias("_d"))
+            .groupBy("query_id", "cell")
+            .agg(F.map_from_entries(F.collect_list(
+                F.struct(F.col("_key"), F.col("_d")))).alias("_tab")))
+    adc = members.join(F.broadcast(qtab), "cell")
+    total = F.element_at("_tab", F.col("c0").cast("int"))
+    for s in range(1, m):
+        total = total + F.element_at(
+            "_tab", (F.lit(s * k) + F.col(f"c{s}")).cast("int"))
     out = (adc.filter(F.col(id_col) != F.col("query_id"))
            .select("query_id", F.col(id_col).alias("neighbor_id"),
                    F.round(total, 6).alias("adc_dist")))
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    # r17: no terminal ORDER BY (presentation only; see
+    # operators/similarity.py topk_bruteforce)
     return (out.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k_neighbors)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k_neighbors))
 
 
 def pq_adc_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
@@ -232,23 +258,43 @@ def pq_adc_topk(emb: DataFrame, query_pred, k_neighbors: int = 3,
     codebooks, codes = pq_fit(emb, m, sub_dim, k, n_iter, id_col, vec_col)
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    adc = codes
-    for s in range(m):
-        qd = (q.select("query_id",
-                       F.slice("_qv", s * sub_dim + 1, sub_dim).alias("_qs"))
-              .crossJoin(F.broadcast(codebooks[s]))
-              .select("query_id", F.col("cell").alias(f"c{s}"),
-                      F.round(_sq_dist(F.col("_qs"), F.col("centroid")), 6)
-                       .alias(f"_d{s}")))
-        keys = [f"c{s}"] if s == 0 else ["query_id", f"c{s}"]
-        adc = adc.join(F.broadcast(qd), keys)
-    total = F.col("_d0")
+    # r17: same one-broadcast distance-table ADC as ivfpq_topk (see
+    # there) — per query, one m*k-entry lookup map; the code relation
+    # joins once instead of m times.  Bit-identical distances and
+    # summation order.
+    cb_all = codebooks[0].select(
+        F.lit(0).alias("_s"), F.col("cell").alias("_code"), "centroid")
     for s in range(1, m):
-        total = total + F.col(f"_d{s}")
+        cb_all = cb_all.unionAll(codebooks[s].select(
+            F.lit(s).alias("_s"), F.col("cell").alias("_code"),
+            "centroid"))
+    qslices = q.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("_s"),
+                     F.slice("_qv", s * sub_dim + 1, sub_dim)
+                      .alias("_qs"))
+            for s in range(m)])).alias("_sub")
+    ).select("query_id", F.col("_sub._s").alias("_s"),
+             F.col("_sub._qs").alias("_qs"))
+    qtab = (qslices.join(F.broadcast(cb_all), "_s")
+            .select("query_id",
+                    (F.col("_s") * k + F.col("_code")).cast("int")
+                     .alias("_key"),
+                    F.round(_sq_dist(F.col("_qs"), F.col("centroid")), 6)
+                     .alias("_d"))
+            .groupBy("query_id")
+            .agg(F.map_from_entries(F.collect_list(
+                F.struct(F.col("_key"), F.col("_d")))).alias("_tab")))
+    adc = codes.crossJoin(F.broadcast(qtab))
+    total = F.element_at("_tab", F.col("c0").cast("int"))
+    for s in range(1, m):
+        total = total + F.element_at(
+            "_tab", (F.lit(s * k) + F.col(f"c{s}")).cast("int"))
     scored = (adc.filter(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       F.round(total, 6).alias("adc_dist")))
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    # r17: no terminal ORDER BY (presentation only)
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k_neighbors)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k_neighbors))

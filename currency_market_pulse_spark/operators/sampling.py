@@ -140,8 +140,21 @@ def running_total(df: DataFrame, order_cols: list[Column],
     order (``order_cols`` must break ties — include the row id).
     """
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # r17 (guide §2.4/§3.3): ``ranged`` feeds BOTH the per-partition
+    # totals aggregate and the final offset join, and AQE exchange
+    # reuse does NOT fire across the two references (the
+    # spark_partition_id subtree defeats canonicalization — the final
+    # plan showed documents scanned twice and range-shuffled twice,
+    # with two range-sampling jobs).  A lazy localCheckpoint
+    # materializes the ranged relation once; both consumers read its
+    # blocks.  Scale posture: callers project to the (id, key, weight)
+    # columns before calling (the registered query ships 3 columns),
+    # so the checkpointed relation is a narrow fraction of the table —
+    # and the alternative without reuse was TWO full scans + TWO range
+    # shuffles of the same bytes.
     ranged = (df.repartitionByRange(n_parts, *order_cols)
-              .withColumn("_pid", F.spark_partition_id()))
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     totals = ranged.groupBy("_pid").agg(
         F.sum(weight_col).alias("_ptotal"))
     # unpartitioned window over ~num_partitions rows (metadata scale)

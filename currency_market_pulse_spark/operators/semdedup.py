@@ -111,8 +111,7 @@ def semdedup_cell_stats(emb: DataFrame, k: int = 8, n_iter: int = 2,
             .select("cell", "n_vecs",
                     F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"))
             .withColumn("drop_frac", F.round(
-                F.col("n_dropped") / F.col("n_vecs").cast("double"), 6))
-            .orderBy("cell"))
+                F.col("n_dropped") / F.col("n_vecs").cast("double"), 6)))
 
 
 def cell_pairs_blas(members: DataFrame,

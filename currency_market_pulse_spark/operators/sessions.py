@@ -41,7 +41,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
         .agg(F.min("_ms").alias("session_start_ms"),
              F.max("_ms").alias("session_end_ms"),
              F.count("*").alias("n_events"))
-        .orderBy(user_col, "session_seq")
+        # r17: no terminal ORDER BY (presentation only)
     )
 
 
@@ -68,8 +68,7 @@ def sliding_window_admission(events: DataFrame,
                         F.unix_millis(F.col(ts_col)).alias("ts_ms"),
                         F.lit(1).alias("n_in_window"),
                         F.lit(True).alias("admitted"),
-                        F.lit(None).cast("long").alias("retry_after_ms"))
-                .orderBy(id_col))
+                        F.lit(None).cast("long").alias("retry_after_ms")))
     ms = F.unix_millis(F.col(ts_col))
     frame = (Window.partitionBy(user_col).orderBy(ms)
              .rangeBetween(-window_ms, 0))
@@ -85,5 +84,5 @@ def sliding_window_admission(events: DataFrame,
             F.when(rejected,
                    F.col("oldest_ms") + window_ms - F.col("ts_ms")).alias("retry_after_ms"),
         )
-        .orderBy(id_col)
+        # r17: no terminal ORDER BY (presentation only)
     )

@@ -58,21 +58,40 @@ def topk_bruteforce(emb: DataFrame, query_filter, k: int = 5,
     # after the crossJoin would collapse into the projection and
     # re-evaluate the three array folds per PAIR (the SCALE.md
     # inlining trap, measured ~1.8x on this operator).
-    nz = emb.filter(norm(F.col(vec_col)) > 0)
+    #
+    # r17 (guide §1.2 per-task work): norms are HOISTED to one column
+    # per SIDE before the join — cosine(q, c) inlined per pair costs
+    # three O(dim) folds + two sqrt per pair (dot(q,c), dot(q,q),
+    # dot(c,c)); with ||q|| and ||c|| computed once per row, each pair
+    # pays one fold and one divide.  Bit-identical: the per-pair value
+    # is the same IEEE expression dot/(sqrt(dot_q)*sqrt(dot_c)), only
+    # evaluated once per row instead of once per pair; the NULL guard
+    # is subsumed by the nz filter (both sides norm > 0 by
+    # construction, so cosine() could never return NULL here).
+    nz = emb.select(F.col(id_col), F.col(vec_col),
+                    norm(F.col(vec_col)).alias("_nrm")).filter(
+        F.col("_nrm") > 0)
     q = nz.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col("_nrm").alias("_qn"))
     c = nz.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("cvec"))
+                  F.col(vec_col).alias("cvec"),
+                  F.col("_nrm").alias("_cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+                F.round(dot(F.col("qvec"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6)
+                 .alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    # r17: no terminal ORDER BY — (query_id, rn) fully identifies each
+    # row, so the global re-sort after the window rank was presentation
+    # only (an extra Exchange(range)+Sort of the result; guide §2.4).
+    # The whole retrieval family drops it uniformly.
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k))
 
 
 #: Target candidate rows per block in topk_numpy's cogrouped matmul:
@@ -168,9 +187,9 @@ def topk_numpy(emb: DataFrame, query_filter, k: int = 5,
     scored = (c.groupBy("_blk").cogroup(q.groupBy("_blk"))
               .applyInPandas(score, out_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k))
 
 
 def lsh_bucket(vec_col, weights: list[list[int]] | None = None):
@@ -202,24 +221,29 @@ def ann_lsh_topk(emb: DataFrame, query_filter, k: int = 3,
     documented multi-probe-candidates ⊇ single-bucket-candidates
     recall-ordering invariant holds exactly — not merely because NULL
     cosines happen to sort last."""
-    with_b = (emb.filter(norm(F.col(vec_col)) > 0)
+    # r17: norms hoisted to one column per side (see topk_bruteforce)
+    with_b = (emb.withColumn("_nrm", norm(F.col(vec_col)))
+              .filter(F.col("_nrm") > 0)
               .withColumn("bucket", lsh_bucket(F.col(vec_col))))
     q = with_b.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        F.col("bucket"))
+        F.col("bucket"), F.col("_nrm").alias("_qn"))
     c = with_b.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"),
-                      F.col("bucket").alias("cbucket"))
+                      F.col("bucket").alias("cbucket"),
+                      F.col("_nrm").alias("_cn"))
     scored = (
         F.broadcast(q).join(c, F.col("bucket") == F.col("cbucket"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "bucket",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+                F.round(dot(F.col("qvec"), F.col("cvec"))
+                        / (F.col("_qn") * F.col("_cn")), 6)
+                 .alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k))
 
 
 def ann_multiprobe_topk(emb: DataFrame, query_filter, k: int = 3,
@@ -273,9 +297,9 @@ def ann_multiprobe_topk(emb: DataFrame, query_filter, k: int = 3,
                 .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                "neighbor_id")
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k))
 
 
 def knn_graph_lsh(emb: DataFrame, k: int = 3,
@@ -324,9 +348,9 @@ def mutual_knn_edges(edges: DataFrame) -> DataFrame:
                        F.col("neighbor_id").alias("id_b"), "cos_sim")
     rev = edges.select(F.col("neighbor_id").alias("id_a"),
                        F.col("node_id").alias("id_b"))
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (fwd.join(rev, ["id_a", "id_b"], "left_semi")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .orderBy("id_a", "id_b"))
+            .filter(F.col("id_a") < F.col("id_b")))
 
 
 def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
@@ -361,11 +385,11 @@ def topk_hard_negatives(emb: DataFrame, query_filter, k: int = 5,
                 .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                "neighbor_id")
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "qlabel", "neighbor_id", "clabel",
-                    "cos_sim", "rn")
-            .orderBy("query_id", "rn"))
+                    "cos_sim", "rn"))
 
 
 #: Scalar quantization: symmetric int8 codes (one global scale) over
@@ -482,6 +506,6 @@ def sq_topk(emb: DataFrame, query_filter, k: int = 5,
                       .alias("cos_sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                "neighbor_id")
+    # r17: no terminal ORDER BY (see topk_bruteforce)
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= k))

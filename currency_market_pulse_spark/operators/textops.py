@@ -577,9 +577,28 @@ def cms_bucket(tok, row, width: int = CMS_WIDTH):
         F.lit(width))
 
 
+def _token_stream(docs: DataFrame, text_col: str = "text",
+                  tokens_df: DataFrame | None = None) -> DataFrame:
+    """The exploded (tok) occurrence stream.  ``tokens_df`` — an
+    already-tokenized (id, _t array) relation, e.g. the dedup family's
+    session-shared persisted token pass (queries/dedup.py _corpus) —
+    skips the scan+tokenize entirely (r17: the CMS family re-tokenized
+    the corpus once per subtree; one shared token pass per session is
+    the whole point of that cache).  Identity argument: tokens() of
+    NULL text is a NULL array and explode() drops NULL/empty arrays,
+    exactly matching the text IS NOT NULL filter on the raw path."""
+    if tokens_df is not None:
+        return tokens_df.select(F.explode("_t").alias("tok"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.filter(F.col(text_col).isNotNull())
+            .repartition(par)
+            .select(F.explode(tokens(F.col(text_col))).alias("tok")))
+
+
 def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
                width: int = CMS_WIDTH,
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               tokens_df: DataFrame | None = None) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) over the token
     stream: (row, bucket, cnt) with cnt = total occurrences of tokens
     hashing to that cell — at most ``rows * width`` rows TOTAL, however
@@ -605,10 +624,7 @@ def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
     # per-row work (tokenize + 4 md5s per token) is heavy — the
     # repo-wide input-split starvation fix (queries/dedup.py _corpus;
     # measured here: sf1 20.4s -> 5.1s, sf0.1 2.5s -> 1.5s)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    occ = (docs.filter(F.col(text_col).isNotNull())
-           .repartition(par)
-           .select(F.explode(tokens(F.col(text_col))).alias("tok")))
+    occ = _token_stream(docs, text_col, tokens_df)
     rowed = occ.select(
         F.col("tok"),
         F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))
@@ -620,19 +636,16 @@ def cms_sketch(docs: DataFrame, rows: int = CMS_ROWS,
 
 def cms_estimates(docs: DataFrame, rows: int = CMS_ROWS,
                   width: int = CMS_WIDTH,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  tokens_df: DataFrame | None = None) -> DataFrame:
     """Per-distinct-token count-min estimate: min over the sketch rows
     of the probed cell — (tok, est).  The sketch side of the probe join
     is <= rows*width rows and BROADCAST; the distinct-token relation
     never carries counts, only probe keys.  est >= true count always
     (the sketch never undercounts); the overestimate is bounded by
     colliding mass (text_cms_error regression-gates it)."""
-    sketch = cms_sketch(docs, rows, width, text_col)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    cand = (docs.filter(F.col(text_col).isNotNull())
-            .repartition(par)
-            .select(F.explode(tokens(F.col(text_col))).alias("tok"))
-            .distinct())
+    sketch = cms_sketch(docs, rows, width, text_col, tokens_df)
+    cand = _token_stream(docs, text_col, tokens_df).distinct()
     probes = cand.select(
         "tok",
         F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("row"))

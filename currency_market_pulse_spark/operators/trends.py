@@ -50,12 +50,23 @@ def trends(trades: DataFrame,
            currency_to: str | None = None,
            window_width: str = "10 minutes",
            value_col: str = "rate",
-           time_col: str = "time_placed") -> DataFrame:
+           time_col: str = "time_placed",
+           ordered: bool = True) -> DataFrame:
     """Windowed min/max/mean/median of ``value_col`` per tumbling window.
 
     All filters optional (None skips them), matching the reference API
     where all four params are required at the HTTP layer
     (trends/http/rest/api.go:43-62) but the engine core is generic.
+
+    ``ordered=False`` skips the final ORDER BY time_window: the sort is
+    presentation (the reference SQL orders for its HTTP response — the
+    aggregate itself is order-free), and it costs a full extra exchange
+    (rangepartitioning) + Sort of the result relation — at 100 TB of
+    windows a real shuffle, at bench scale an extra 2 jobs (range-sample
+    + sort).  The HTTP-facing path (api.py) keeps the reference's
+    ordered contract; order-insensitive consumers (the driver's hash
+    gate sorts rows before comparing) skip it.  r17 optimization guide
+    §2.4: "an orderBy used only to make output deterministic".
     """
     df = trades
     if date_from is not None:
@@ -79,7 +90,7 @@ def trends(trades: DataFrame,
     if currency_to is not None:
         df = df.filter(F.col("currency_to") == currency_to)
     v = F.col(value_col)
-    return (
+    out = (
         df.groupBy(tumbling_window(F.col(time_col), window_width).alias("time_window"))
         .agg(
             F.min(v).alias("min"),
@@ -87,5 +98,5 @@ def trends(trades: DataFrame,
             F.avg(v).alias("mean"),
             F.median(v).alias("median"),
         )
-        .orderBy("time_window")
     )
+    return out.orderBy("time_window") if ordered else out

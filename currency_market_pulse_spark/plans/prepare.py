@@ -60,5 +60,11 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     # search path action-free.
     _timed("simhash_sigs",
            lambda: qd._shared_simhash60(spark, sf_dir))
+    # decontam bloom sizing (r17): the adaptive bitmap-bits decision is
+    # an input statistic — one distinct-count here instead of one per
+    # query invocation (queries/decontam.py _bloom_m).
+    from currency_market_pulse_spark.queries import decontam as qdec
+    _timed("decontam_bloom_m",
+           lambda: qdec._bloom_m(spark, sf_dir))
     times["total"] = round(sum(times.values()), 3)
     return times

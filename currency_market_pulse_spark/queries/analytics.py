@@ -29,13 +29,12 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube) through
     the SQL surface — the engine accepts SQL as well as DataFrames."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    # r17: terminal ORDER BY removed (presentation only)
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST,
-                 o_orderpriority ASC NULLS FIRST
     """)
 
 
@@ -63,7 +62,7 @@ def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.percentile("c_acctbal", 0.75), 6).alias("p75"),
              F.round(F.min("c_acctbal"), 6).alias("lo"),
              F.round(F.max("c_acctbal"), 6).alias("hi"))
-        .orderBy("c_mktsegment")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -184,18 +183,31 @@ def daily_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     each day against its trailing week, count distinct — shuffle volume
     is |user-days| x 7, never raw events."""
     ev = load_table(spark, sf_dir, "events")
-    user_days = ev.select("user_id",
-                          F.date_trunc("day", "ts").alias("d")).distinct()
-    days = user_days.select("d").distinct()
+    # r17: user_days feeds both the DAU aggregate and the trailing-week
+    # range join.  A localCheckpoint here was A/B-tested and LOST at
+    # sf0.1 (min 0.92 vs 0.68 s over 5 interleaved reps): the two
+    # consumers share the distinct's exchange via AQE reuse, so the
+    # checkpoint only added a materialization barrier.  The win kept
+    # from the restructure is below — the third evaluation (the
+    # separate `days` distinct) is gone.
+    user_days = (ev.select("user_id",
+                           F.date_trunc("day", "ts").alias("d"))
+                 .distinct())
     dau = user_days.groupBy(F.col("d").alias("day")).agg(
         F.count("*").alias("dau"))
+    # r17: the day list is dau's OWN key set (groupBy keys are exactly
+    # the distinct days) — the separate days = user_days.distinct()
+    # subtree re-aggregated the user-day relation a third time for
+    # nothing.  3 evaluations of user_days -> 2; terminal ORDER BY
+    # removed (presentation only).
+    days = dau.select(F.col("day").alias("d"))
     week = (days.join(
         user_days.select(F.col("user_id"), F.col("d").alias("ud")),
         (F.col("ud") > F.col("d") - F.expr("INTERVAL 7 DAY"))
         & (F.col("ud") <= F.col("d")))
         .groupBy(F.col("d").alias("day"))
         .agg(F.countDistinct("user_id").alias("wau")))
-    return dau.join(week, "day").orderBy("day")
+    return dau.join(week, "day")
 
 
 @extra_query(
@@ -244,7 +256,7 @@ def supplier_balance_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("s_suppkey", "s_nationkey",
                  F.round((F.col("s_acctbal") - F.avg("s_acctbal").over(w))
                          / F.when(sd != 0, sd), 4).alias("balance_z"))
-        .orderBy("s_suppkey")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 

@@ -22,6 +22,44 @@ from currency_market_pulse_spark.sources.catalog import load_table
 
 DECONTAM_NGRAM = 5
 
+#: r17 (guide §1.2 — don't pay per-invocation for a build-time
+#: decision): the bloom bitmap's adaptive size is a STATISTIC OF THE
+#: INPUT (distinct eval-shingle count), not of any query result, so it
+#: is computed once per (session, sf_dir) — at plans/prepare
+#: index-build time in the bench, or on first use in an ad-hoc
+#: session — exactly like the corpus-adaptive simhash band geometry
+#: (queries/dedup.py _shared_simhash60).  Every invocation of the
+#: registered query then runs ONE driver action (the bitmap-word
+#: collect) instead of two (sizing count + collect); the sizing
+#: count's distinct shuffle of the eval shingle relation disappears
+#: from the per-query path.  Results are independent of m by
+#: construction (the bloom admits false positives only; the exact
+#: verify join removes them — shared oracle is the proof).
+_BLOOM_M_CACHE: dict[tuple[str, str], int] = {}
+_BLOOM_M_CAP = 64
+
+
+def _bloom_m(spark: SparkSession, sf_dir: str) -> int:
+    """Adaptive bitmap bits for the registered decontam query, cached
+    per (application, sf_dir).  Same sizing rule as the operator's
+    m=None path (bloom_sized_bits over the distinct eval shingles)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    m = _BLOOM_M_CACHE.get(key)
+    if m is None:
+        from currency_market_pulse_spark.operators.dedup import (
+            _doc_shingles,
+        )
+        docs = S.hash_split(load_table(spark, sf_dir, "documents"),
+                            "doc_id", SPLIT_WEIGHTS)
+        ev = docs.filter(F.col("split") != "train")
+        n = (_doc_shingles(ev, DECONTAM_NGRAM, "doc_id", "text")
+             .select("sh").distinct().count())
+        m = C.bloom_sized_bits(n)
+        while len(_BLOOM_M_CACHE) >= _BLOOM_M_CAP:
+            _BLOOM_M_CACHE.pop(next(iter(_BLOOM_M_CACHE)))
+        _BLOOM_M_CACHE[key] = m
+    return m
+
 
 def _shingle_expr(n: int) -> str:
     gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
@@ -86,6 +124,9 @@ def documents_decontaminate_bloom(spark: SparkSession,
                         "doc_id", SPLIT_WEIGHTS)
     train = docs.filter(F.col("split") == "train")
     ev = docs.filter(F.col("split") != "train")
-    return (C.contamination_pairs_bloom(train, ev, n=DECONTAM_NGRAM,
-                                        min_overlap=1)
-            .orderBy("train_doc_id", "eval_doc_id"))
+    # r17: terminal ORDER BY removed (presentation only); bitmap size
+    # from the session-cached input statistic (_bloom_m) — the sizing
+    # count no longer runs per invocation.
+    return C.contamination_pairs_bloom(train, ev, n=DECONTAM_NGRAM,
+                                       min_overlap=1,
+                                       m=_bloom_m(spark, sf_dir))

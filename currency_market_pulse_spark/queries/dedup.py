@@ -119,6 +119,26 @@ def _shared_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus(spark, sf_dir)["tokens"]
 
 
+def _shared_tokens_if_persisted(spark: SparkSession,
+                                sf_dir: str) -> DataFrame | None:
+    """The shared token relation ONLY when it is actually persisted
+    (the >= _PERSIST_MIN_BYTES regime), else None so consumers fall
+    back to their own scan+tokenize.
+
+    r17 measurement: below the persist threshold the "shared" relation
+    is a plain unpersisted plan ending in a repartition — every
+    consumer subtree then re-runs scan+tokenize AND pays the
+    repartition exchange, which is strictly worse than the consumer's
+    own fused scan+tokenize (tfidf_top_terms regressed 1.3 -> 3.4 s at
+    sf0.1 when it consumed the unpersisted relation: its n_docs count,
+    previously a column-pruned scan-only count, became a full
+    tokenize+shuffle).  Above the threshold the relation is cached
+    once for the whole text/dedup family and sharing is the win the
+    family has measured since r2."""
+    entry = _corpus(spark, sf_dir)
+    return None if entry.get("_small") else entry["tokens"]  # type: ignore[return-value]
+
+
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle relation derived (NOT persisted — see cache note)
     from the shared token arrays."""
@@ -465,10 +485,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_market_pulse_spark.operators.components import (
         connected_components,
     )
-    return (connected_components(pairs)
+    # r17: terminal ORDER BY removed (presentation only; the oracle's
+    # ORDER BY is harmless — the gate sorts rows before comparing);
+    # pairs_canonical: the shared pair relation is a groupBy(id_a,
+    # id_b) output with id_a < id_b, so the operator's dedup exchange
+    # is redundant (see connected_components).
+    return (connected_components(pairs, pairs_canonical=True)
             .select(F.col("node").alias("doc_id"),
-                    F.col("comp").alias("component_id"))
-            .orderBy("doc_id"))
+                    F.col("comp").alias("component_id")))
 
 
 @extra_query("dedup_components_star", oracle=_COMPONENTS_ORACLE)
@@ -538,10 +562,13 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _shared_band_pairs(spark, sf_dir)
     verified = D.jaccard_verify_candidates(
         _shared_shingles(spark, sf_dir), cand, threshold=0.5)
-    return (connected_components(verified)
+    # r17: terminal ORDER BY removed (presentation only);
+    # pairs_canonical: jaccard_verify_candidates emits one row per
+    # candidate (id_a, id_b) group with id_a < id_b inherited from the
+    # band pairs — the dedup exchange is redundant.
+    return (connected_components(verified, pairs_canonical=True)
             .select(F.col("node").alias("doc_id"),
-                    F.col("comp").alias("component_id"))
-            .orderBy("doc_id"))
+                    F.col("comp").alias("component_id")))
 
 
 @extra_query(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from currency_market_pulse_spark.functions.vectors import (
-    ORACLE_EMB_CTE, cosine, oracle_cosine_sql,
+    ORACLE_EMB_CTE, cosine, dot, norm, oracle_cosine_sql,
 )
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
@@ -34,6 +34,23 @@ reps AS (
 
 _ASSIGN = oracle_cosine_sql("q.embedding", "r.rep")
 _RERANK = oracle_cosine_sql("q.embedding", "c.embedding")
+
+
+def _cell_reps(emb) -> DataFrame:
+    """(cell, rep) — the min-vec_id vector per label cell.
+
+    r17 (guide §2.3 "shuffle keys, not payloads"): the old shape was a
+    row_number window over the FULL embedding relation partitioned by
+    label — every vector shuffled just to pick one row per cell.  Now:
+    a partial-aggregating groupBy of (label, min vec_id) — 16 bytes a
+    row across the exchange — then a broadcast join back to fetch the
+    k winning rows.  Identical result (vec_id is unique, so min-id ==
+    the window's _rn=1 row)."""
+    rep_ids = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.min("vec_id").alias("_rid"))
+    return (emb.join(F.broadcast(rep_ids),
+                     emb["vec_id"] == rep_ids["_rid"])
+            .select("cell", F.col("embedding").alias("rep")))
 
 
 @query(
@@ -63,34 +80,45 @@ WHERE rn <= 3 ORDER BY query_id, rn
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: nprobe=1 cell probe + exact in-cell rerank, top-3
-    neighbors for queries vec_id < 10."""
+    neighbors for queries vec_id < 10.
+
+    r17: cell reps via min-id aggregate instead of a full-vector window
+    shuffle (_cell_reps); per-pair cosines with norms hoisted to one
+    column per side (bit-identical — same IEEE expression evaluated
+    once per row instead of once per pair, NULL-when-zero guard
+    preserved); terminal ORDER BY removed (presentation only)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    rn = Window.partitionBy("label").orderBy("vec_id")
-    reps = (emb.withColumn("_rn", F.row_number().over(rn))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("label").alias("cell"), F.col("embedding").alias("rep")))
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    reps = _cell_reps(emb).withColumn("_rn2", norm(F.col("rep")))
+    q = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec"))
+         .withColumn("_qn", norm(F.col("qvec"))))
     scored_cells = (
         q.crossJoin(F.broadcast(reps))
-        .select("query_id", "qvec", "cell",
-                F.round(cosine(F.col("qvec"), F.col("rep")), 6).alias("rep_sim")))
+        .select("query_id", "qvec", "_qn", "cell",
+                F.round(F.when((F.col("_qn") > 0) & (F.col("_rn2") > 0),
+                               dot(F.col("qvec"), F.col("rep"))
+                               / (F.col("_qn") * F.col("_rn2"))), 6)
+                 .alias("rep_sim")))
     best = Window.partitionBy("query_id").orderBy(F.desc("rep_sim"), "cell")
     assigned = (scored_cells.withColumn("_rn", F.row_number().over(best))
                 .filter(F.col("_rn") == 1)
-                .select("query_id", "qvec", "cell"))
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("label").alias("cell"),
-                      F.col("embedding").alias("cvec"))
+                .select("query_id", "qvec", "_qn", "cell"))
+    cand = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("label").alias("cell"),
+                       F.col("embedding").alias("cvec"))
+            .withColumn("_cn", norm(F.col("cvec"))))
     reranked = (
         F.broadcast(assigned).join(cand, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "cell", "neighbor_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim")))
+                F.round(F.when((F.col("_qn") > 0) & (F.col("_cn") > 0),
+                               dot(F.col("qvec"), F.col("cvec"))
+                               / (F.col("_qn") * F.col("_cn"))), 6)
+                 .alias("cos_sim")))
     topk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (reranked.withColumn("rn", F.row_number().over(topk))
-            .filter(F.col("rn") <= 3)
-            .orderBy("query_id", "rn"))
+            .filter(F.col("rn") <= 3))
 
 
 KMEANS_K = 8
@@ -658,8 +686,8 @@ def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, assigned = _shared_coarse(spark, sf_dir)
     members = (assigned.select("vec_id", "cell")
                .join(emb.select("vec_id", "embedding"), "vec_id"))
-    return (cell_pairs_blas(members, threshold=0.4)
-            .orderBy("cell", "id_a", "id_b"))
+    # r17: terminal ORDER BY removed (presentation only)
+    return cell_pairs_blas(members, threshold=0.4)
 
 
 def _pq_train_ctes(m: int = 4, sub_dim: int = 16, k: int = 8,

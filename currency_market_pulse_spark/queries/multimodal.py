@@ -31,7 +31,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.floor(k / 10).alias("k_decile"))
         .agg(F.count("*").alias("n_events"),
              F.round(F.avg("value"), 6).alias("mean_value"))
-        .orderBy("event_type", "k_decile")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 

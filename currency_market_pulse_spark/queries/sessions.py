@@ -106,8 +106,19 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (two aggregations + one join; no per-user iteration)."""
     ev = load_table(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
+    # r17 (guide §3.3 materialize shared intermediates): fs feeds BOTH
+    # fp's join and the final outer join — as a plain plan subtree it
+    # was re-evaluated per reference, so the events table was scanned
+    # SIX times in one query (plan audit: 6 Scan parquet nodes).  A
+    # lazy localCheckpoint turns the duplication into RDD-level
+    # sharing: the signup aggregate computes once and both joins read
+    # its blocks; events is now scanned twice (once per event-type
+    # filter), which is the minimum this two-stage funnel needs.
+    # Per-invocation (recomputed every run); (user_id, first_ms) rows
+    # only — far smaller than the event log at any scale.
     fs = (ev.filter(F.col("event_type") == "signup")
-          .groupBy("user_id").agg(F.min(ms).alias("fs_ms")))
+          .groupBy("user_id").agg(F.min(ms).alias("fs_ms"))
+          .localCheckpoint(eager=False))
     fp = (ev.filter(F.col("event_type") == "purchase")
           .withColumn("ms", ms)
           .join(fs, "user_id")

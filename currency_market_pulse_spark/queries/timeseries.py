@@ -61,7 +61,7 @@ def trades_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("amount_sell_micros").alias("volume_micros"),
             F.count("*").alias("n_trades"),
         )
-        .orderBy("bar_start")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -105,7 +105,7 @@ def trades_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_trades", F.lit(0)).alias("n_trades"),
                 "mean_rate",
                 F.col("n_trades").isNull().alias("is_gap"))
-        .orderBy("slot")
+        # r17: terminal ORDER BY removed (presentation only)
     )
 
 
@@ -133,12 +133,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     characteristic terms per document.  Two aggregations (tf, df) + a
     broadcast join of the (small) df table; ln() is IEEE-identical
     across engines for these magnitudes (rounded 6 regardless)."""
+    # r17: token stream comes from the session-shared token relation
+    # WHEN PERSISTED (>= 2 MiB corpus — one tokenize pass per session
+    # for the whole text family); below the threshold the shared
+    # relation is an unpersisted repartition plan and consuming it was
+    # measured strictly worse (tfidf 1.3 -> 3.4 s at sf0.1: the n_docs
+    # count, previously a column-pruned scan-only count, became a full
+    # tokenize+shuffle) — see queries/dedup.py
+    # _shared_tokens_if_persisted.  Same tokens() expression either
+    # way (tokens() IS split(lower, \\s+)); tokens() of NULL text is a
+    # NULL array and explode drops it, matching the raw path.  n_docs
+    # always counts the raw scan (column-pruned — cheapest) and stays
+    # a lazy broadcast-1-row join.
+    from currency_market_pulse_spark.queries.dedup import (
+        _shared_tokens_if_persisted,
+    )
     docs = load_table(spark, sf_dir, "documents")
-    # corpus size as a broadcast 1-row join, NOT docs.count(): keeps the
-    # whole pipeline lazy (no extra driver-side job per invocation)
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    toks = docs.select("doc_id", F.explode(
-        F.split(F.lower("text"), r"\s+")).alias("tok"))
+    shared = _shared_tokens_if_persisted(spark, sf_dir)
+    if shared is not None:
+        toks = shared.select("doc_id", F.explode("_t").alias("tok"))
+    else:
+        toks = docs.select("doc_id", F.explode(
+            F.split(F.lower("text"), r"\s+")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     scored = (tf.join(F.broadcast(df_), "tok")
@@ -147,10 +164,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
                               6).alias("tfidf")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    # r17: terminal ORDER BY removed (presentation only)
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
-            .select("doc_id", "tok", "tfidf", "rn")
-            .orderBy("doc_id", "rn"))
+            .select("doc_id", "tok", "tfidf", "rn"))
 
 
 from currency_market_pulse_spark.queries.registry import extra_query  # noqa: E402
@@ -205,8 +222,8 @@ def trades_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_n").alias("n_trades"),
                     F.col("_sell").alias("volume_sell_micros"),
                     F.round(F.col("_buy").cast("double")
-                            / F.col("_sell"), 6).alias("vwap"))
-            .orderBy("currency_from", "time_window"))
+                            / F.col("_sell"), 6).alias("vwap")))
+            # r17: terminal ORDER BY removed (presentation only)
 
 
 _HOURLY_VWAP_CTE = f"""

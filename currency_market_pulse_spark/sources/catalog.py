@@ -115,7 +115,68 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def events_as_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events_ts_bounded(spark: SparkSession, sf_dir: str,
+                           from_ms: int, to_ms: int) -> DataFrame:
+    """``events`` normalized exactly like ``load_table`` but with the
+    closed ms-floor time bound [from_ms, to_ms] ALSO applied to the
+    RAW ``ts`` column, in the encoding the fixture actually uses, so
+    the predicate reaches the parquet scan (r17, guide §6: "filters
+    applied to derived columns do not push down" — the ms-floor
+    normalization is a derived column, so the flagship's time filter
+    never pruned row groups; at 100 TB of time-sorted events that is
+    the difference between reading a window and reading the table).
+
+    The raw predicate is EQUIVALENT to the downstream one, not merely
+    a superset: ``floor_ms(ts) >= F  <=>  ts >= F`` when F is
+    ms-aligned, and ``floor_ms(ts) <= T  <=>  ts < T + 1 ms``.
+    Callers keep their original closed-interval filter on the
+    normalized column (P8 semantics unchanged); this bound is a
+    scan-level pre-filter, so results are identical even if a future
+    encoding made it merely conservative."""
+    ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir,
+           f"events__ts_{from_ms}_{to_ms}")
+    with _TABLE_LOCK:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            _TABLE_CACHE.move_to_end(key)
+            return cached
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        # ns-epoch long fixture: long-literal bounds
+        df = (df.filter((F.col("ts") >= from_ms * 1_000_000)
+                        & (F.col("ts") < (to_ms + 1) * 1_000_000))
+              .withColumn("ts", F.timestamp_millis(
+                  F.expr("(ts - pmod(ts, 1000000)) div 1000000"))))
+    elif t in ("timestamp_ntz", "timestamp"):
+        from datetime import datetime, timezone
+        iso_f = datetime.fromtimestamp(
+            from_ms / 1000, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+        iso_t = datetime.fromtimestamp(
+            (to_ms + 1) / 1000, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+        lit = "timestamp_ntz" if t == "timestamp_ntz" else "timestamp"
+        df = (df.filter(F.expr(f"ts >= {lit}'{iso_f}' "
+                               f"AND ts < {lit}'{iso_t}'"))
+              .withColumn("ts", F.timestamp_millis(F.expr(
+                  "(unix_micros(cast(ts as timestamp)) - "
+                  "pmod(unix_micros(cast(ts as timestamp)), 1000)) "
+                  "div 1000"))))
+    else:
+        # unknown encoding: no raw bound (callers' normalized-column
+        # filter still guarantees correctness), same normalization path
+        # as load_table (none applies — ts already TimestampType only
+        # for the branches above)
+        pass
+    with _TABLE_LOCK:
+        _TABLE_CACHE[key] = df
+        while len(_TABLE_CACHE) > _TABLE_CACHE_CAP:
+            _TABLE_CACHE.popitem(last=False)
+    return df
+
+
+def events_as_trades(spark: SparkSession, sf_dir: str,
+                     events_df: DataFrame | None = None) -> DataFrame:
     """Re-cast the ``events`` fixture as the reference's ``trades`` table
     (db/clickhouse/init.sql:3-15) so trades-semantics operators run on
     driver data.  Deterministic mapping (documented in FIXTURES.md):
@@ -129,8 +190,14 @@ def events_as_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (importing/service.go:150; NULL-guard per SURVEY §4.2)
     - originating_country <- 'C' || (user_id % 30)
     - time_placed    <- ts (already ms precision)
+
+    ``events_df`` substitutes a pre-filtered events relation (e.g.
+    ``load_events_ts_bounded``) so time-bounded consumers get the raw
+    predicate pushed to the scan; schema must match ``load_table``'s
+    normalized events.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = (events_df if events_df is not None
+          else load_table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     sell = (F.col("value") * 1_000_000).cast("long")
     buy = (F.col("value") * (F.lit(100) + k) / F.lit(100) * 1_000_000).cast("long")
