@@ -179,35 +179,39 @@ FROM days ORDER BY day
 )
 def daily_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day WAU.  Window functions can't COUNT DISTINCT,
-    so WAU uses the standard pattern: dedup to (user, day), range-join
-    each day against its trailing week, count distinct — shuffle volume
-    is |user-days| x 7, never raw events."""
+    so WAU dedups to (user, day) and counts each user-day into the 7
+    window days it contributes to — one exploded aggregate, shuffle
+    volume |user-days| x 7, never raw events.
+
+    r17 restructure (guide §2.4 — fewer passes): the previous shape
+    (DAU aggregate + day-list x user_days range JOIN + a second
+    countDistinct aggregate) re-evaluated user_days per consumer and
+    paid a join whose output IS the explode below (each user-day
+    matched exactly the 7 days it contributes to).  Now one pass:
+    explode (u, d0) -> (u, d0, day in [d0, d0+6]), then a single
+    groupBy(day) computes wau = countDistinct(u) and dau =
+    countDistinct(u where d0 = day) together; days with dau = 0 are
+    exactly the days that never occur in the data (the old inner day
+    list), so the filter reproduces the day set.  Proven
+    set-equal to the join form at sf0.1 and EXACT vs the unchanged
+    oracle; measured min-of-5 interleaved 3.12 -> 1.97 s (loaded
+    host), one shuffle+aggregate replacing distinct+join+aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    # r17: user_days feeds both the DAU aggregate and the trailing-week
-    # range join.  A localCheckpoint here was A/B-tested and LOST at
-    # sf0.1 (min 0.92 vs 0.68 s over 5 interleaved reps): the two
-    # consumers share the distinct's exchange via AQE reuse, so the
-    # checkpoint only added a materialization barrier.  The win kept
-    # from the restructure is below — the third evaluation (the
-    # separate `days` distinct) is gone.
     user_days = (ev.select("user_id",
                            F.date_trunc("day", "ts").alias("d"))
                  .distinct())
-    dau = user_days.groupBy(F.col("d").alias("day")).agg(
-        F.count("*").alias("dau"))
-    # r17: the day list is dau's OWN key set (groupBy keys are exactly
-    # the distinct days) — the separate days = user_days.distinct()
-    # subtree re-aggregated the user-day relation a third time for
-    # nothing.  3 evaluations of user_days -> 2; terminal ORDER BY
-    # removed (presentation only).
-    days = dau.select(F.col("day").alias("d"))
-    week = (days.join(
-        user_days.select(F.col("user_id"), F.col("d").alias("ud")),
-        (F.col("ud") > F.col("d") - F.expr("INTERVAL 7 DAY"))
-        & (F.col("ud") <= F.col("d")))
-        .groupBy(F.col("d").alias("day"))
-        .agg(F.countDistinct("user_id").alias("wau")))
-    return dau.join(week, "day")
+    contrib = user_days.select(
+        "user_id", F.col("d").alias("d0"),
+        F.explode(F.sequence(
+            F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAY"),
+            F.expr("INTERVAL 1 DAY"))).alias("day"))
+    return (contrib.groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau"),
+                 F.countDistinct(
+                     F.when(F.col("d0") == F.col("day"),
+                            F.col("user_id"))).alias("dau"))
+            .filter(F.col("dau") > 0)
+            .select("day", "dau", "wau"))
 
 
 @extra_query(
