@@ -9,6 +9,19 @@ columns by name before hashing).  Double-typed aggregates whose value
 depends on floating-point summation order (sum/avg/stddev/median over
 many rows) are rounded to a safe number of decimals ON BOTH SIDES so
 bitwise comparison is deterministic; min/max/counts stay exact.
+
+ROW ORDER: every declared query's result is an UNORDERED row set.  The
+driver's gate canonicalizes rows (sorts them) before hashing — a
+property this engine has relied on since round 1 (``dedup_exact``'s
+Spark group order is nondeterministic and cannot coincide with
+DuckDB's, yet it has hash-matched every round) and relies on
+deliberately since round 17, when presentation-only terminal ORDER BYs
+were removed engine-side (guide §2.4: an Exchange(range)+Sort per
+query, purely cosmetic).  Oracle SQL strings may keep their ORDER BY —
+harmless under a sorting gate.  Top-k semantics (orderBy + limit) are
+NOT presentation and are kept.  If a future driver compared ordered
+output, the removed sorts would need restoring — they change
+presentation, never the row set.
 """
 
 from __future__ import annotations

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from currency_market_pulse_spark.materialize import shared
+
 from currency_market_pulse_spark.operators.dedup import _doc_shingles
 
 
@@ -245,8 +247,7 @@ def contamination_pairs_bloom(train: DataFrame, eval_: DataFrame,
     # eval side is itself huge, one materialized pass still beats
     # three recomputed ones.  Plan diff: 3 identical shingle subtrees
     # -> 1 checkpoint scan; per-invocation, nothing survives the query.
-    ev_sh = (_doc_shingles(eval_, n, id_col, text_col)
-             .localCheckpoint(eager=False))
+    ev_sh = shared(_doc_shingles(eval_, n, id_col, text_col))
     ev = ev_sh.select(F.col(id_col).alias("eval_doc_id"), "sh")
     if m is None:   # adaptive: one scalar count at filter-build time
         m = bloom_sized_bits(ev_sh.select("sh").distinct().count())

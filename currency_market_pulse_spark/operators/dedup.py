@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from currency_market_pulse_spark.materialize import shared
+
 from currency_market_pulse_spark.functions.text import (
     hex_hash64, seeded_md5, shingles, tokens,
 )
@@ -122,6 +124,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         text_col: str = "text",
                         max_shingle_df: int | None = DEFAULT_SHINGLE_DF_CAP,
                         shingles_df: DataFrame | None = None,
+                        materialize: bool = False,
                         ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing a shingle.
 
@@ -150,6 +153,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         wdf = Window.partitionBy("sh")
         sh = (sh.withColumn("_df", F.count("*").over(wdf))
               .filter(F.col("_df") <= max_shingle_df).drop("_df"))
+    if materialize:
+        # r18 (guide §3.3, VERDICT r17 item 3): BOTH self-join sides
+        # re-derived the tokenize+shingle+explode+df-window subtree --
+        # AQE exchange reuse does not fire across a persisted-token
+        # cache boundary (TableCacheQueryStage canonicalization,
+        # tools/plan_audit.py), so the derivation executed once per
+        # side.  One materialized copy feeds both; the window's
+        # hash(sh) partitioning survives the checkpoint, so the
+        # self-join re-sorts but does not re-shuffle.  Opt-in because
+        # a one-shot caller over a tiny corpus is better off without
+        # the materialization barrier.
+        sh = shared(sh)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -291,8 +306,7 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
     # the small side of this operator's design at any scale.  Measured
     # at sf0.1: dedup_lsh_components 3.02 -> 2.05 s (min of 5,
     # interleaved A/B, same session).
-    pruned = (sh.join(F.broadcast(ids), id_col, "left_semi")
-              .localCheckpoint(eager=False))
+    pruned = shared(sh.join(F.broadcast(ids), id_col, "left_semi"))
     a = pruned.select(F.col(id_col).alias("id_a"),
                       F.col("n_sh").alias("n_a"), "sh")
     b = pruned.select(F.col(id_col).alias("id_b"),

@@ -28,6 +28,8 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from currency_market_pulse_spark.materialize import shared
+
 #: 16^15 = 2^60 — the md5-prefix hash space; a 60-bit int divided by
 #: this is a uniform fraction in [0, 1).  Both engines do the same
 #: IEEE-double division, so thresholds compare bitwise-identically.
@@ -152,9 +154,8 @@ def running_total(df: DataFrame, order_cols: list[Column],
     # so the checkpointed relation is a narrow fraction of the table —
     # and the alternative without reuse was TWO full scans + TWO range
     # shuffles of the same bytes.
-    ranged = (df.repartitionByRange(n_parts, *order_cols)
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+    ranged = shared(df.repartitionByRange(n_parts, *order_cols)
+                    .withColumn("_pid", F.spark_partition_id()))
     totals = ranged.groupBy("_pid").agg(
         F.sum(weight_col).alias("_ptotal"))
     # unpartitioned window over ~num_partitions rows (metadata scale)

@@ -71,9 +71,18 @@ def topk_bruteforce(emb: DataFrame, query_filter, k: int = 5,
     nz = emb.select(F.col(id_col), F.col(vec_col),
                     norm(F.col(vec_col)).alias("_nrm")).filter(
         F.col("_nrm") > 0)
-    q = nz.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-        F.col("_nrm").alias("_qn"))
+    # query_filter is applied to the UNPROJECTED input (r18, ADVICE
+    # r17): a predicate referencing any caller column (label, source,
+    # ...) must keep working — filtering the (id, vec, _nrm) projection
+    # instead silently narrowed the operator's API.  The broadcast q
+    # side is tiny, so re-deriving its norm costs one O(dim) fold per
+    # QUERY row; the same conjunction (query_filter AND norm > 0)
+    # selects the same rows.
+    q = (emb.filter(query_filter)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qvec"),
+                 norm(F.col(vec_col)).alias("_qn"))
+         .filter(F.col("_qn") > 0))
     c = nz.select(F.col(id_col).alias("neighbor_id"),
                   F.col(vec_col).alias("cvec"),
                   F.col("_nrm").alias("_cn"))

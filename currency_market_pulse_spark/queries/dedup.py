@@ -12,6 +12,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from currency_market_pulse_spark.functions.text import tokens
+from currency_market_pulse_spark.materialize import shared
 from currency_market_pulse_spark.operators import dedup as D
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import load_table
@@ -150,9 +151,15 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _CORPUS_LOCK:
         df = entry.get("pairs")
         if df is None:
+            # materialize=True (r18, VERDICT r17 item 3): the capped
+            # shingle relation is derived ONCE and feeds both
+            # self-join sides — this is the index-BUILD path
+            # (prepare_indexes times it as jaccard_pairs), where the
+            # per-side re-derivation dominated the build cost.
             df = D.ngram_jaccard_pairs(
                 None, n=3, threshold=0.5,
                 shingles_df=D.shingles_from_tokens(entry["tokens"], n=3),
+                materialize=True,
             ).persist()
             entry["pairs"] = df
     return df
@@ -560,8 +567,15 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cand = _shared_band_pairs(spark, sf_dir)
-    verified = D.jaccard_verify_candidates(
-        _shared_shingles(spark, sf_dir), cand, threshold=0.5)
+    # r18 (VERDICT r17 item 4): connected_components consumes its pair
+    # relation TWICE (the symmetric union u->v / v->u), and `verified`
+    # is an unmaterialized three-join subtree — without materialization
+    # the whole verify pipeline executed once per union side inside the
+    # edge-relation build.  One materialized copy feeds both sides;
+    # dedup_components doesn't need this because its pair relation is
+    # the session-persisted _shared_jaccard_pairs.
+    verified = shared(D.jaccard_verify_candidates(
+        _shared_shingles(spark, sf_dir), cand, threshold=0.5))
     # r17: terminal ORDER BY removed (presentation only);
     # pairs_canonical: jaccard_verify_candidates emits one row per
     # candidate (id_a, id_b) group with id_a < id_b inherited from the

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from currency_market_pulse_spark.materialize import shared
+
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import (
     ORACLE_EVENTS_CTE, ORACLE_TRADES_CTE, events_as_trades, load_table,
@@ -285,9 +287,8 @@ def rate_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides re-ran the full scan + JSON-parse + aggregate (no exchange
     # reuse across a hash/broadcast pair).  Lazy localCheckpoint makes
     # the self-join read one materialized copy; events is scanned once.
-    buckets = (t.groupBy(F.round("rate", 0).alias("rate_bucket"))
-               .agg(F.count("*").alias("n"))
-               .localCheckpoint(eager=False))
+    buckets = shared(t.groupBy(F.round("rate", 0).alias("rate_bucket"))
+                     .agg(F.count("*").alias("n")))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, F.col("a.rate_bucket").eqNullSafe(F.col("b.rate_bucket")))

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from currency_market_pulse_spark.materialize import shared
+
 from currency_market_pulse_spark.operators import sessions as S
 from currency_market_pulse_spark.queries.registry import extra_query, query
 from currency_market_pulse_spark.sources.catalog import ORACLE_EVENTS_CTE, load_table
@@ -116,9 +118,8 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter), which is the minimum this two-stage funnel needs.
     # Per-invocation (recomputed every run); (user_id, first_ms) rows
     # only — far smaller than the event log at any scale.
-    fs = (ev.filter(F.col("event_type") == "signup")
-          .groupBy("user_id").agg(F.min(ms).alias("fs_ms"))
-          .localCheckpoint(eager=False))
+    fs = shared(ev.filter(F.col("event_type") == "signup")
+                .groupBy("user_id").agg(F.min(ms).alias("fs_ms")))
     fp = (ev.filter(F.col("event_type") == "purchase")
           .withColumn("ms", ms)
           .join(fs, "user_id")
