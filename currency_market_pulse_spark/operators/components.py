@@ -131,9 +131,18 @@ def connected_components(pairs: DataFrame,
     # so every iteration shuffles only the (much smaller) labels side —
     # one extra exchange now buys one fewer exchange of the full edge
     # relation per round.
-    sym = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .unionAll(pairs.select(F.col(dst).alias("u"),
-                                  F.col(src).alias("v"))))
+    #
+    # symmetrization via ONE explode, not unionAll of two selects
+    # (r18, guide §2.4): the union referenced ``pairs`` twice, and for
+    # an unmaterialized pair relation (the LSH pipeline's verified
+    # pairs) the WHOLE upstream subtree executed once per union side;
+    # the explode reads it once and emits both orientations from each
+    # row — identical multiset, half the evaluations.
+    sym = (pairs.select(F.explode(F.array(
+               F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+               F.struct(F.col(dst).alias("u"), F.col(src).alias("v"))))
+           .alias("_e"))
+           .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v")))
     if not pairs_canonical:
         sym = sym.distinct()
     edges = sym.repartition("v").persist()
@@ -143,10 +152,16 @@ def connected_components(pairs: DataFrame,
     # Seeding labels with least(node, min(neighbors)) is therefore the
     # state AFTER round 1 at the cost of round 0's aggregate alone:
     # one fewer full join+checkpoint+count pass over the edges both
-    # here and at corpus scale.  (Symmetrized edges ⇒ every node
-    # appears on the u side, so the groupBy covers the node set.)
-    labels = (edges.groupBy(F.col("u").alias("node"))
-              .agg(F.min("v").alias("_nmin"))
+    # here and at corpus scale.  Grouped on the V side (r18): the
+    # edges are hash-partitioned by v, so groupBy(v) reuses that
+    # exchange outright — with symmetric edges, min(u) over v == n is
+    # exactly min-neighbor of n (and every node appears as a v), and
+    # the label relation comes out partitioned by node, which is the
+    # distribution both the per-round join and the label-update join
+    # want.  groupBy(u) computed the same thing through one more
+    # full-width exchange.
+    labels = (edges.groupBy(F.col("v").alias("node"))
+              .agg(F.min("u").alias("_nmin"))
               .select("node",
                       F.least(F.col("node"), F.col("_nmin")).alias("comp")))
     for _ in range(max_iter):

@@ -95,17 +95,29 @@ BLOOM_HASHES = 3
 
 
 def _bloom_positions(sh, m: int, k: int) -> list:
-    """k bit positions from ONE md5 via Kirsch-Mitzenmacher double
-    hashing (h1 + i*h2 mod m, "Less Hashing, Same Performance", 2006):
-    the first cut seeded k independent md5s, which tripled the hash
+    """k bit positions via Kirsch-Mitzenmacher double hashing
+    (h1 + i*h2 mod m, "Less Hashing, Same Performance", 2006): the
+    first cut seeded k independent digests, which tripled the hash
     work in the hot probe path for no filter-quality gain — measured
-    4.4x slower than the exact join at sf1 before this fix.  h1/h2 are
-    the two 60-bit halves of one digest; h1 + (k-1)*h2 < 2^62 stays in
-    int64."""
-    h = F.md5(sh)
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    4.4x slower than the exact join at sf1 before this fix.  h1/h2
+    are seeded 60-bit xxhash64 values (see _bloom_h1h2);
+    h1 + (k-1)*h2 < 2^62 stays in int64."""
+    h1, h2 = _bloom_h1h2(sh)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
+def _bloom_h1h2(sh) -> tuple:
+    """The double-hash pair as 60-bit non-negative longs.  xxhash64
+    (r18, guide §1.2 per-task work): the bloom's hash family is pure
+    implementation — the oracle replays the EXACT join and the verify
+    join kills false positives, so results are hash-independent — and
+    the md5-hex-substring-conv chain cost one full digest plus two
+    60-bit hex parses per shingle on the hot probe path.  Two seeded
+    xxhash64 evaluations are single JVM intrinsics each.  The unsigned
+    shift keeps h1 + (k-1)*h2 < 2^62 (no int64 overflow, and the
+    numpy probe twin stays wrap-free in uint64 — bloom_prefilter)."""
+    return (F.shiftrightunsigned(F.xxhash64(sh), 4),
+            F.shiftrightunsigned(F.xxhash64(F.lit("bloom2"), sh), 4))
 
 
 def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
@@ -117,7 +129,9 @@ def eval_shingle_bloom(eval_: DataFrame, n: int = 5,
     relation — at most m/64 rows (8 KiB of filter state at the default
     2^16 bits) however many shingles the eval corpus holds.  Built with
     one explode (k positions per distinct shingle) and one ``bit_or``
-    hash aggregate; hashes are the portable seeded-md5 family.
+    hash aggregate; hashes are the seeded-xxhash64 pair of
+    _bloom_h1h2 (implementation detail — the oracle replays the exact
+    join, so filter hashes need no cross-engine twin).
 
     This is the scale hatch for the broadcast decontamination join:
     the exact path broadcasts the full eval shingle relation (16-byte
@@ -168,7 +182,7 @@ def bloom_prefilter(shingle_df: DataFrame, bloom: DataFrame | list,
                     k: int = BLOOM_HASHES) -> DataFrame:
     """Rows of ``shingle_df`` whose ``sh`` MAY be in the bloom set.
 
-    Probe shape: md5 + the h1/h2 split happen ONCE per row JVM-side
+    Probe shape: the two xxhash64 evaluations happen ONCE per row JVM-side
     (codegen), then an Arrow-vectorized pandas UDF tests the k
     Kirsch-Mitzenmacher positions against an ``sc.broadcast`` numpy
     bitmap — numpy shift/mask over the whole batch, no per-row Python.
@@ -206,9 +220,7 @@ def bloom_prefilter(shingle_df: DataFrame, bloom: DataFrame | list,
             keep &= (w[word] & bit) != 0
         return pd.Series(keep)
 
-    h = F.md5(F.col("sh"))
-    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    h1, h2 = _bloom_h1h2(F.col("sh"))
     return (shingle_df
             .withColumn("_h1", h1).withColumn("_h2", h2)
             .filter(probe(F.col("_h1"), F.col("_h2")))

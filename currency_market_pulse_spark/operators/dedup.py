@@ -293,9 +293,12 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
     where the un-pruned shuffle join was correct anyway — drop the
     prune, not the operator."""
     sh = shingles_df
-    ids = (candidates
-           .select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-           .distinct())
+    # no .distinct() on the id set (r18, guide §2.4): the left-semi
+    # join dedups by construction, so the distinct bought nothing but
+    # one hash exchange + its AQE stage-job per invocation; the
+    # broadcast merely carries each id up to twice.
+    ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col))
     # r17 (guide §3.3 materialize shared intermediates): ``pruned``
     # feeds BOTH join sides (a on id_a, b on (id_b, sh)) — different
     # keys, so no exchange reuse — and each reference re-derived the
@@ -311,8 +314,15 @@ def jaccard_verify_candidates(shingles_df: DataFrame,
                       F.col("n_sh").alias("n_a"), "sh")
     b = pruned.select(F.col(id_col).alias("id_b"),
                       F.col("n_sh").alias("n_b"), "sh")
+    # broadcast(candidates) for the fan-out join (r18, guide §3.1):
+    # the candidate relation is broadcast-scale BY THIS OPERATOR'S
+    # CONTRACT (the id-set broadcast above already assumes it — see
+    # the prune note), so hinting it skips the exchange of BOTH first-
+    # join sides: `a` streams through a BroadcastHashJoin instead of
+    # shuffling on id_a.  Only the second join (on id_b, sh) and the
+    # pair aggregate shuffle, and they carry candidate-bounded rows.
     return (
-        candidates.join(a, "id_a").join(b, ["id_b", "sh"])
+        F.broadcast(candidates).join(a, "id_a").join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn("jaccard", F.round(
@@ -793,9 +803,20 @@ def _substring_window_owners(docs: DataFrame,
     key = (F.col(id_col).cast("long") * F.lit(1_000_000_000)
            + F.col("pos")).alias("_k")
     wins = wins.select(id_col, "pos", "_h", key)
-    grp = wins.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"),
-                                 F.min("_k").alias("_owner"))
-    return wins.join(grp, "_h")
+    # owner stats via a WINDOW over _h, not groupBy + join-back (r18,
+    # guide §2.4): the join form referenced ``wins`` twice, and the
+    # expensive subtree ABOVE the reused repartition exchange — the
+    # position explode and the ~len md5 evaluations per doc — executed
+    # once per side (plan-verified: two Generate+md5 chains in
+    # plans/r17/text_substring_dedup_after.txt).  The window computes
+    # the identical per-_h (count, min) on ONE pass: one exchange on
+    # _h, no join, windows hashed exactly once.  Rows are len/modp of
+    # the corpus (mod-p filtered), so the window sort is over the
+    # sketch, not the text.
+    wh = Window.partitionBy("_h")
+    return (wins
+            .withColumn("_c", F.count(F.lit(1)).over(wh))
+            .withColumn("_owner", F.min("_k").over(wh)))
 
 
 def substring_span_stats(docs: DataFrame, span_chars: int = SPAN_CHARS,
@@ -1045,9 +1066,17 @@ def substring_span_stats_rolling(docs: DataFrame,
             .mapInPandas(kernel, out_schema))
     key = (F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")).alias("_k")
     wins = wins.select("doc_id", "pos", "fp", key)
-    grp = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"),
-                                 F.min("_k").alias("_owner"))
-    joined = wins.join(grp, "fp")
+    # window-over-fp owner stats, same rationale as the md5 twin (r18):
+    # the groupBy+join form ran the WHOLE MapInPandas kernel once per
+    # join side (plan-verified: two MapInPandas nodes in
+    # plans/r17/text_substring_removal_rolling_after.txt) — every doc
+    # crossed the Python boundary and was rolling-hashed twice.  One
+    # window pass computes the identical (_c, _owner); the kernel and
+    # the Arrow transfer run exactly once.
+    wfp = Window.partitionBy("fp")
+    joined = (wins
+              .withColumn("_c", F.count(F.lit(1)).over(wfp))
+              .withColumn("_owner", F.min("_k").over(wfp)))
     if _return_owners:
         return joined
     dup = F.col("_c") >= 2

@@ -23,14 +23,25 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-document quality signals: token counts, type-token ratio,
     mean token length, stopword ratio, char count."""
-    t = tokens(F.col(text_col))
+    # STAGED token array (r18, guide §1.2 per-task work): referencing
+    # tokens(text) directly in every output column re-inlines the
+    # regex split per expression — and Spark's subexpression
+    # elimination does not fire across expressions containing lambda
+    # functions (filter/transform), so the split executed once per
+    # derived column instead of once per row.  One projection
+    # materializes the array; every feature then reads the bound
+    # column.  (Same staging discipline as operators/dedup.py
+    # shingles_from_tokens, measured there at 30x.)
+    staged = docs.select(F.col(id_col), F.col(text_col),
+                         tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
     n_tok = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
     sum_len = F.aggregate(F.transform(t, lambda x: F.length(x)),
                           F.lit(0), lambda acc, v: acc + v)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(en_stop, x)))
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -47,18 +58,34 @@ def langid_scores(docs: DataFrame, id_col: str = "doc_id",
     """Stopword-hit language ID: count hits against each language's
     stopword list; predict the argmax (first language in STOPWORDS
     order wins ties; 'und' when all zero)."""
-    t = tokens(F.col(text_col))
-    hit_cols = {}
+    # TWO-stage projection (r18, guide §1.2): stage 1 binds the token
+    # array (one regex split per row) AND the per-language hit counts;
+    # stage 2 derives best/pred/is_match from the BOUND hit columns.
+    # Before, `t` and the hit expressions were re-inlined into every
+    # reference (greatest over 5 hits, then a 5-arm CASE each
+    # re-referencing hits and best, then the is_match equality re-
+    # inlining pred) — lambda-bearing expressions defeat Spark's
+    # subexpression elimination, so the split and the stoplist scans
+    # executed tens of times per row.
+    langs = list(STOPWORDS)
+    staged = docs.select(F.col(id_col), F.col(label_col),
+                         tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
+    hit_exprs = {}
     for lang, words in STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
-        hit_cols[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
-    langs = list(STOPWORDS)
+        hit_exprs[lang] = F.size(
+            F.filter(t, lambda x: F.array_contains(arr, x)))
+    hits = staged.select(
+        F.col(id_col), F.col(label_col),
+        *[hit_exprs[lg].alias(f"hits_{lg}") for lg in langs])
+    hit_cols = {lg: F.col(f"hits_{lg}") for lg in langs}
     best = F.greatest(*[hit_cols[lg] for lg in langs])
     pred = F.lit("und")
     for lg in reversed(langs):  # earlier langs override on tie
         pred = F.when(hit_cols[lg] == best, F.lit(lg)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return docs.select(
+    return hits.select(
         F.col(id_col),
         *[hit_cols[lg].alias(f"hits_{lg}") for lg in langs],
         pred.alias("predicted_lang"),

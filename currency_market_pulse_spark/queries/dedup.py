@@ -151,15 +151,21 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _CORPUS_LOCK:
         df = entry.get("pairs")
         if df is None:
-            # materialize=True (r18, VERDICT r17 item 3): the capped
-            # shingle relation is derived ONCE and feeds both
-            # self-join sides — this is the index-BUILD path
-            # (prepare_indexes times it as jaccard_pairs), where the
-            # per-side re-derivation dominated the build cost.
+            # materialize (r18, VERDICT r17 item 3) — SMALL regime
+            # only: below _PERSIST_MIN_BYTES the build is driver/
+            # scheduling-bound and one materialized copy of the capped
+            # shingle relation beats re-deriving it per self-join side
+            # (interleaved A/B at sf0.1, min of 5: 1.67 -> 1.35 s,
+            # -19%).  ABOVE the threshold the derivation is parallel
+            # executor compute and recomputation wins — the barrier +
+            # block I/O cost more (sf1 interleaved A/Bs: recompute
+            # 3.56 s vs localCheckpoint 4.78 vs persist 4.28,
+            # min-vs-min) — so the at-scale path keeps the two-sided
+            # derivation, exactly like the C5 token-sharing split.
             df = D.ngram_jaccard_pairs(
                 None, n=3, threshold=0.5,
                 shingles_df=D.shingles_from_tokens(entry["tokens"], n=3),
-                materialize=True,
+                materialize=bool(entry.get("_small")),
             ).persist()
             entry["pairs"] = df
     return df
@@ -567,15 +573,12 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cand = _shared_band_pairs(spark, sf_dir)
-    # r18 (VERDICT r17 item 4): connected_components consumes its pair
-    # relation TWICE (the symmetric union u->v / v->u), and `verified`
-    # is an unmaterialized three-join subtree — without materialization
-    # the whole verify pipeline executed once per union side inside the
-    # edge-relation build.  One materialized copy feeds both sides;
-    # dedup_components doesn't need this because its pair relation is
-    # the session-persisted _shared_jaccard_pairs.
-    verified = shared(D.jaccard_verify_candidates(
-        _shared_shingles(spark, sf_dir), cand, threshold=0.5))
+    # r18 (VERDICT r17 item 4): connected_components now symmetrizes
+    # via a single explode (components.py), so the verify subtree is
+    # referenced — and executed — exactly once; no materialization of
+    # the verified pairs is needed.
+    verified = D.jaccard_verify_candidates(
+        _shared_shingles(spark, sf_dir), cand, threshold=0.5)
     # r17: terminal ORDER BY removed (presentation only);
     # pairs_canonical: jaccard_verify_candidates emits one row per
     # candidate (id_a, id_b) group with id_a < id_b inherited from the
