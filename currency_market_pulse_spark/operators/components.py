@@ -164,7 +164,9 @@ def connected_components(pairs: DataFrame,
               .agg(F.min("u").alias("_nmin"))
               .select("node",
                       F.least(F.col("node"), F.col("_nmin")).alias("comp")))
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -172,19 +174,26 @@ def connected_components(pairs: DataFrame,
             .agg(F.min("comp").alias("nmin")))
         # labels feeds the plan twice per round, so without truncation
         # the logical plan DOUBLES every iteration; localCheckpoint cuts
-        # the lineage to a leaf.  LAZY (eager=False): the convergence
-        # count below is the round's single action — it materializes the
-        # checkpoint blocks AND counts in one job, instead of an eager
-        # materialization job followed by a count job (2 jobs/round ->
-        # 1; scheduling dominates at small graph sizes).
+        # the lineage to a leaf.  ONE action per round (r18, VERDICT
+        # item 4): the convergence signal rides the CHECKPOINT action
+        # as an observed metric — Dataset.localCheckpoint(eager=True)
+        # runs through withAction, so Observation fires on the same
+        # job that materializes the blocks.  The previous shape (lazy
+        # checkpoint + filter(changed).count()) paid a second
+        # 2-stage aggregate query per round purely to read one number
+        # the materialization pass had already seen.
+        obs = Observation(f"cc_round_{it}")
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node",
-                    F.least(F.col("comp"), F.coalesce("nmin", F.col("comp")))
+                    F.least(F.col("comp"),
+                            F.coalesce("nmin", F.col("comp")))
                      .alias("comp"),
                     (F.col("nmin") < F.col("comp")).alias("changed"))
-        ).localCheckpoint(eager=False)
-        n_changed = new_labels.filter(F.col("changed")).count()
+            .observe(obs, F.sum(F.col("changed").cast("long"))
+                     .alias("n_changed"))
+        ).localCheckpoint(eager=True)
+        n_changed = obs.get["n_changed"] or 0
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
