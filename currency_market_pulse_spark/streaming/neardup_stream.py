@@ -122,7 +122,9 @@ import json
 import os
 import shutil
 import time
+from collections import defaultdict
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.utils import AnalysisException
@@ -146,10 +148,99 @@ _HASHES_DATA = "doc_id bigint, h string"
 _DUPS_SCHEMA = ("new_id bigint, dup_of bigint, jaccard double, "
                 "batch_id bigint")
 
+# ---- driver-side verify math (r18, VERDICT r17 item 6) --------------
+#
+# The dict-path probe already collects the micro-batch's band AND
+# shingle relations to the driver (they are written back as index
+# tails via pyarrow).  The batch-internal LSH verify therefore needs
+# ZERO further Spark jobs — candidate pairs and exact jaccard are a
+# few dict operations over data already in hand — and the cross-corpus
+# verify needs exactly TWO light jobs (probe the touched band buckets;
+# fetch the candidates' standing shingle rows) instead of the previous
+# candidate-id collect + multi-exchange verify-join plan.  The math
+# below is the bit-exact twin of the JVM verify (pinned by
+# tests/test_neardup_stream.py::test_collect_cap_path_matches against
+# the all-Spark distributed path, and by the probe bench's dup-log
+# byte-equality compare).
+
+_Q6 = Decimal("0.000001")
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(col, 6)`` on DOUBLE, exactly: Java rounds
+    BigDecimal.valueOf(x) — the SHORTEST decimal that round-trips,
+    which is also what Python's repr() produces — with HALF_UP."""
+    return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def _py_band_pairs(doc_vals: list, band_vals: list,
+                   sig_vals: list) -> set:
+    """pairs_from_bands over collected band rows: equal
+    (band, band_sig) groups, all (a < b) pairs, dedup'd across bands —
+    the same pair set the JVM self-join emits."""
+    groups: dict = defaultdict(set)
+    for d, b, s in zip(doc_vals, band_vals, sig_vals):
+        groups[(b, s)].add(d)
+    pairs: set = set()
+    for ids in groups.values():
+        if len(ids) < 2:
+            continue
+        ordered = sorted(ids)
+        for i, a in enumerate(ordered):
+            for b in ordered[i + 1:]:
+                pairs.add((a, b))
+    return pairs
+
+
+def _py_shingle_map(tbl) -> dict:
+    """{doc_id: (n_sh, set-of-shingles)} from a collected
+    (doc_id, n_sh, sh) Arrow table.  ``sh`` rows are distinct per doc
+    by construction (shingles_from_tokens explodes array_distinct);
+    the NULL row an empty doc carries (explode_outer) is skipped —
+    the JVM verify's equi-join never matches NULL either."""
+    out: dict = {}
+    for d, n, s in zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("n_sh").to_pylist(),
+                       tbl.column("sh").to_pylist()):
+        ent = out.get(d)
+        if ent is None:
+            ent = out[d] = (n, set())
+        if s is not None:
+            ent[1].add(s)
+    return out
+
+
+def _py_jaccard_hits(pairs, a_map: dict, b_map: dict,
+                     threshold: float) -> list:
+    """[(id_a, id_b, jaccard)] for every pair whose exact jaccard —
+    |A∩B| / (n_a + n_b - |A∩B|), rounded like the JVM — passes the
+    threshold.  Pairs with zero common shingles emit nothing, exactly
+    like the verify join (no matching rows => no group)."""
+    out = []
+    for ia, ib in pairs:
+        ea, eb = a_map.get(ia), b_map.get(ib)
+        if ea is None or eb is None:
+            continue
+        sa, sb = ea[1], eb[1]
+        n_common = len(sa & sb) if len(sa) <= len(sb) else len(sb & sa)
+        if not n_common:
+            continue
+        j = _round6_half_up(n_common / (ea[0] + eb[0] - n_common))
+        if j >= threshold:
+            out.append((ia, ib, j))
+    return out
+
 #: candidate sets larger than this are not collected to the driver —
 #: the verify read then falls back to bucket pruning + the semi-join
 #: prune alone (still exact, just no pushed doc_id IN filter).
 _CAND_COLLECT_CAP = 100_000
+
+#: driver-side cross-verify regime bound (r18): up to this many
+#: DISTINCT candidate corpus docs, the probe fetches their standing
+#: shingle rows to the driver and verifies in Python (two light jobs);
+#: above it, the all-Spark verify plan runs instead — the shingle
+#: volume of >5k docs is real data the driver should not hold.
+_STD_FETCH_CAP = 5_000
 
 _TMPSEG = "_compacting_segment"
 _SEGMETA = "_meta.json"
@@ -1109,17 +1200,38 @@ class StreamingNearDup:
             t = self._mark("shingles_collect", t)
 
             if n_rows:
-                internal = (D.jaccard_verify_candidates(
-                    sh, D.pairs_from_bands(bands),
-                    threshold=self.threshold)
-                    .select(F.col("id_b").alias("new_id"),
-                            F.col("id_a").alias("dup_of"), "jaccard"))
+                # batch-internal verify entirely DRIVER-side (r18,
+                # VERDICT r17 item 6): band rows and shingle rows are
+                # both already collected (they ARE the index tails),
+                # so the LSH pair generation + exact jaccard are dict
+                # math — the previous jaccard_verify_candidates plan
+                # (an id broadcast, a checkpointed prune, two joins
+                # and an aggregate PER TRIGGER) is gone from the hot
+                # path.  Bit-equality with the JVM verify is pinned by
+                # test_collect_cap_path_matches (the distributed twin
+                # keeps the all-Spark plan) and the probe bench's
+                # dup-log compare.
+                sh_map = _py_shingle_map(sh_tbl)
+                internal_pairs = _py_band_pairs(
+                    doc_vals, b_tbl.column("band").to_pylist(),
+                    b_tbl.column("band_sig").to_pylist())
+                hits_py.extend(
+                    (b, a, j) for a, b, j in _py_jaccard_hits(
+                        internal_pairs, sh_map, sh_map,
+                        self.threshold))
+                t = self._mark("py_internal_verify", t)
 
                 def probe_shard(k: int):
-                    """Candidates + verify against shard k's standing
-                    index; returns collected hit tuples."""
+                    """Cross-corpus hits for shard k: ONE job probes
+                    the touched band buckets against the broadcast
+                    batch bands and collects candidate PAIRS; one more
+                    fetches the candidates' standing shingle rows for
+                    the driver-side jaccard.  Above _STD_FETCH_CAP
+                    distinct corpus docs, the all-Spark verify plan
+                    runs instead (unchanged semantics)."""
                     if not touched[k]:
                         return []
+                    tk = time.time()
                     idx_bands = self._read_index(
                         spark, b_roots[k], _BANDS_DATA, "sig_bucket",
                         batch_id, buckets=sorted(touched[k]))
@@ -1127,56 +1239,84 @@ class StreamingNearDup:
                         return []
                     bands_k = (bands.filter(shard_expr == F.lit(k))
                                if S > 1 else bands)
-                    cand = D.cross_corpus_candidates(
-                        F.broadcast(bands_k), idx_bands).persist()
-                    cands.append(cand)
-                    cand_ids = self._collect_cand_ids(cand)
-                    if not cand_ids:
+                    probe = bands_k.select(
+                        F.col("doc_id").alias("new_id"),
+                        "band", "band_sig")
+                    p_tbl = (idx_bands
+                             .join(F.broadcast(probe),
+                                   ["band", "band_sig"])
+                             .select("new_id",
+                                     F.col("doc_id").alias("corpus_id"))
+                             .toArrow())
+                    cand_pairs = set(zip(
+                        p_tbl.column("new_id").to_pylist(),
+                        p_tbl.column("corpus_id").to_pylist()))
+                    if S == 1:
+                        tk = self._mark("cand_pairs_collect", tk)
+                    if not cand_pairs:
                         return []
-                    vdf = self._verify_cross(
-                        spark, sh, cand, cand_ids, batch_id,
-                        shingles_root=s_roots[k])
-                    return [(r.new_id, r.dup_of, r.jaccard)
-                            for r in vdf.collect()]
+                    cand_ids = sorted({c for _, c in cand_pairs})
+                    if len(cand_ids) > _STD_FETCH_CAP:
+                        # volume hatch: the candidates' shingles are
+                        # too much data for the driver — run the
+                        # original Spark-side verify (cand relation
+                        # rebuilt exactly as before)
+                        cand = D.cross_corpus_candidates(
+                            F.broadcast(bands_k), idx_bands).persist()
+                        cands.append(cand)
+                        vdf = self._verify_cross(
+                            spark, sh, cand,
+                            cand_ids[:_CAND_COLLECT_CAP + 1],
+                            batch_id, shingles_root=s_roots[k])
+                        return [(r.new_id, r.dup_of, r.jaccard)
+                                for r in vdf.collect()]
+                    # bucket-pruned standing shingle fetch; the id
+                    # restriction rides a broadcast semi-join against
+                    # the (re-derived, JVM-side) probe output rather
+                    # than an isin literal list — thousands of codegen
+                    # literals were measured at seconds of plan
+                    # compile (r15 note above)
+                    ns_s = (self._base_bucket_counts(s_roots[k])
+                            or [self.n_buckets])
+                    idx_sh = self._read_index(
+                        spark, s_roots[k], _SHINGLES_DATA, "id_bucket",
+                        batch_id,
+                        buckets=sorted({i % n for i in cand_ids
+                                        for n in ns_s}))
+                    if idx_sh is None:
+                        return []
+                    cand_rel = (idx_bands
+                                .join(F.broadcast(probe),
+                                      ["band", "band_sig"])
+                                .select(F.col("doc_id")
+                                        .alias("corpus_id")))
+                    std_tbl = (idx_sh
+                               .join(F.broadcast(cand_rel),
+                                     idx_sh["doc_id"]
+                                     == cand_rel["corpus_id"],
+                                     "left_semi")
+                               .select("doc_id", "n_sh", "sh")
+                               .toArrow())
+                    if S == 1:
+                        tk = self._mark("std_shingle_fetch", tk)
+                    hits = _py_jaccard_hits(
+                        cand_pairs, sh_map, _py_shingle_map(std_tbl),
+                        self.threshold)
+                    if S == 1:
+                        self._mark("py_cross_verify", tk)
+                    return hits
 
                 if S == 1:
-                    # fused single-shard flow: internal + cross verify
-                    # union into ONE collect (the measured r15 path)
-                    verify = [internal]
-                    if touched[0]:
-                        idx_bands = self._read_index(
-                            spark, b_roots[0], _BANDS_DATA,
-                            "sig_bucket", batch_id,
-                            buckets=sorted(touched[0]))
-                        if idx_bands is not None:
-                            cand = D.cross_corpus_candidates(
-                                F.broadcast(bands), idx_bands).persist()
-                            cands.append(cand)
-                            cand_ids = self._collect_cand_ids(cand)
-                            t = self._mark("cand_collect", t)
-                            if cand_ids:
-                                verify.append(self._verify_cross(
-                                    spark, sh, cand, cand_ids,
-                                    batch_id,
-                                    shingles_root=s_roots[0]))
-                    vu = verify[0]
-                    for v in verify[1:]:
-                        vu = vu.unionAll(v)
-                    hits_py.extend((r.new_id, r.dup_of, r.jaccard)
-                                   for r in vu.collect())
-                    t = self._mark("verify_collect", t)
+                    hits_py.extend(probe_shard(0))
+                    t = time.time()  # probe stages self-mark via tk
                 else:
                     # concurrent per-shard probes (each thread runs
                     # its own small jobs; they interleave on the
-                    # cluster) + the batch-internal verify alongside
+                    # cluster)
                     from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(max_workers=S + 1) as ex:
-                        fut_int = ex.submit(
-                            lambda: [(r.new_id, r.dup_of, r.jaccard)
-                                     for r in internal.collect()])
+                    with ThreadPoolExecutor(max_workers=S) as ex:
                         futs = [ex.submit(probe_shard, k)
                                 for k in range(S)]
-                        hits_py.extend(fut_int.result())
                         for f in futs:
                             hits_py.extend(f.result())
                     t = self._mark("shard_probes", t)

@@ -49,7 +49,7 @@ def compare(dir_a: str, dir_b: str) -> int:
     rows = []
     for d in (dir_a, dir_b):
         path = os.path.join(d, "out", "dups")
-        t = ds.dataset(path).to_table().to_pylist()
+        t = ds.dataset(path, partitioning="hive").to_table().to_pylist()
         rows.append(sorted((r["batch_id"], r["new_id"], r["dup_of"],
                             r["jaccard"]) for r in t))
     if rows[0] == rows[1]:
