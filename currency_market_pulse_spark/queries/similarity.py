@@ -9,7 +9,9 @@ from currency_market_pulse_spark.functions.vectors import (
 )
 from currency_market_pulse_spark.operators import similarity as S
 from currency_market_pulse_spark.queries.registry import extra_query, query
-from currency_market_pulse_spark.sources.catalog import load_table
+from currency_market_pulse_spark.sources.catalog import (
+    load_table, spread_small_scan,
+)
 
 _COS = ("list_dot_product(q.embedding, c.embedding) / "
         "(sqrt(list_dot_product(q.embedding, q.embedding)) * "
@@ -34,7 +36,11 @@ WHERE rn <= 5 ORDER BY query_id, rn
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for queries vec_id < 10 (broadcast
     queries x full candidate scan, JVM-side scoring)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r18: the candidate side of the broadcast scoring join is the raw
+    # scan - 2 splits at sf1, so every dot product ran on 2 cores;
+    # spread first (no-op at scale - catalog.py)
+    emb = spread_small_scan(spark, sf_dir, "embeddings",
+                            load_table(spark, sf_dir, "embeddings"))
     return S.topk_bruteforce(emb, F.col("vec_id") < 10, k=5)
 
 

@@ -7,7 +7,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from currency_market_pulse_spark.functions.text import STOPWORDS
 from currency_market_pulse_spark.operators import textops as X
 from currency_market_pulse_spark.queries.registry import extra_query, query
-from currency_market_pulse_spark.sources.catalog import load_table
+from currency_market_pulse_spark.sources.catalog import (
+    load_table, spread_small_scan,
+)
 
 _TOKS = (r"toks AS (SELECT doc_id, text, lang, "
          r"string_split_regex(lower(text), '\s+') AS t FROM documents)")
@@ -36,7 +38,11 @@ FROM toks
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: token counts, type-token ratio, mean
     token length, stopword ratio."""
-    return X.quality_features(load_table(spark, sf_dir, "documents"))
+    # r18: spread the under-parallelized small-corpus scan before
+    # the heavy per-row expressions (no-op at scale - catalog.py)
+    return X.quality_features(spread_small_scan(
+        spark, sf_dir, "documents",
+        load_table(spark, sf_dir, "documents")))
 
 
 def _langid_oracle() -> str:
@@ -62,7 +68,11 @@ FROM h
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit n-gram language ID (argmax over per-language hit
     counts, deterministic tie order)."""
-    return X.langid_scores(load_table(spark, sf_dir, "documents"))
+    # r18: spread the under-parallelized small-corpus scan before
+    # the heavy per-row expressions (no-op at scale - catalog.py)
+    return X.langid_scores(spread_small_scan(
+        spark, sf_dir, "documents",
+        load_table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -77,7 +87,11 @@ FROM documents
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counting."""
-    return X.token_counts(load_table(spark, sf_dir, "documents"))
+    # r18: spread the under-parallelized small-corpus scan before
+    # the heavy per-row expressions (no-op at scale - catalog.py)
+    return X.token_counts(spread_small_scan(
+        spark, sf_dir, "documents",
+        load_table(spark, sf_dir, "documents")))
 
 
 @query(
@@ -97,7 +111,11 @@ FROM toks
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact md5 + min-shingle-hash (winnowing
     style)."""
-    return X.fingerprints(load_table(spark, sf_dir, "documents"))
+    # r18: spread the under-parallelized small-corpus scan before
+    # the heavy per-row expressions (no-op at scale - catalog.py)
+    return X.fingerprints(spread_small_scan(
+        spark, sf_dir, "documents",
+        load_table(spark, sf_dir, "documents")))
 
 
 _REPETITION_ORACLE = f"""

@@ -11,7 +11,7 @@ from currency_market_pulse_spark.operators.trends import trends
 from currency_market_pulse_spark.queries.registry import query
 from currency_market_pulse_spark.sources.catalog import (
     ORACLE_TRADES_CTE, events_as_trades, load_events_ts_bounded,
-    load_table,
+    load_table, spread_small_scan,
 )
 
 # Closed interval [from, to] — both bounds inclusive, mirroring
@@ -79,7 +79,16 @@ def trades_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ingest-normalization projection chain (P3-P5): micros
     truncation, rate derivation with NULL div-by-zero guard, ms-precision
     event time — one output row per event."""
-    return events_as_trades(spark, sf_dir)
+    # r18: per-row parse output with no aggregation to shrink it —
+    # spread the under-parallelized events scan before parsing
+    # (interleaved sf1 A/B 1.35 -> 0.88 s; no-op at scale; the
+    # aggregating trades queries measured the opposite and stay
+    # unspread - see events_as_trades note)
+    return events_as_trades(
+        spark, sf_dir,
+        events_df=spread_small_scan(
+            spark, sf_dir, "events",
+            load_table(spark, sf_dir, "events")))
 
 
 @query(

@@ -115,6 +115,53 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file())
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+def spread_small_scan(spark: SparkSession, sf_dir: str, name: str,
+                      df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism — APPLIED ONLY when
+    the table's on-disk size leaves the scan under-parallelized.
+
+    Spark packs files into splits of
+    ``min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism))``
+    so any table under ``openCostInBytes x defaultParallelism``
+    (4 MiB x cores by default) scans into FEWER splits than cores —
+    sf1's 6 MB documents table is 2 splits, and every md5/regex/JSON
+    byte derived from it then runs on 2 of 32 cores (guide §2.5 "input
+    skew: repartition immediately after the read", §6 input split
+    size).  Compressed text/JSON is small ON DISK but its per-row
+    derived work is heavy, so callers with expensive per-row
+    expressions opt in via this helper; the exchange moves only the
+    scanned columns of a by-definition-small table.
+
+    SCALE-ADAPTIVE by construction: above the threshold the scan
+    already yields >= parallelism splits and this is a NO-OP — at
+    100 TB no shuffle is added (the r17 C5 conditional-regime
+    discipline, derived from the same stat the corpus cache uses)."""
+    if spark.conf.get("spark.currency_market_pulse.spreadSmallScan",
+                      "true") != "true":
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        open_cost = int(spark.conf.get(
+            "spark.sql.files.openCostInBytes", "4194304"))
+    except ValueError:
+        open_cost = 4 * 1024 * 1024
+    size = _table_bytes(sf_dir, name)
+    if size is None or size >= open_cost * par:
+        return df
+    return df.repartition(par)
+
+
 def load_events_ts_bounded(spark: SparkSession, sf_dir: str,
                            from_ms: int, to_ms: int) -> DataFrame:
     """``events`` normalized exactly like ``load_table`` but with the
@@ -198,6 +245,13 @@ def events_as_trades(spark: SparkSession, sf_dir: str,
     """
     ev = (events_df if events_df is not None
           else load_table(spark, sf_dir, "events"))
+    # r18 note: spread_small_scan was A/B'd here and REJECTED for the
+    # aggregating trades consumers (vwap/ohlc/hourly/gapfill/trends
+    # regressed 0.62-0.84x at sf1 — their scan-stage partial
+    # aggregation already shrinks the data before any exchange, so the
+    # added round-robin shuffle of raw events outweighs the few-core
+    # parse).  trades_normalize (per-row output, parse-dominated,
+    # 1.53x) opts in at its own call site via ``events_df``.
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     sell = (F.col("value") * 1_000_000).cast("long")
     buy = (F.col("value") * (F.lit(100) + k) / F.lit(100) * 1_000_000).cast("long")
