@@ -158,7 +158,12 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced-cost variant (recall vs sim_topk_bruteforce is asserted in
     tests).  Deterministic, so oracle-exact: the fixed-literal
     hyperplane buckets + in-bucket cosine + rank replay in DuckDB."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r18: spread the 2-split-at-sf1 embeddings scan before the
+    # per-row hyperplane projections (interleaved A/B: 3.07 -> 2.37 s
+    # sf1, 1.24 -> 1.03 sf0.1; no-op at scale).  sim_ivf/ivfpq and
+    # dedup_embedding_cells measured mixed/regressed and stay plain.
+    emb = spread_small_scan(spark, sf_dir, "embeddings",
+                            load_table(spark, sf_dir, "embeddings"))
     return S.ann_lsh_topk(emb, F.col("vec_id") < 10, k=3)
 
 
