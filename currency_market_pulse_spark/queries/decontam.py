@@ -120,6 +120,10 @@ def documents_decontaminate_bloom(spark: SparkSession,
     bloom wins exactly when the eval shingle relation outgrows
     broadcast (its bitmap is ~1.5% the size of the raw md5 keys),
     which is the regime it exists for."""
+    # r18: spread_small_scan A/B'd here and REJECTED - mixed across
+    # scales (sf1 1.05x, sf0.1 0.79x): the cost is the checkpointed
+    # eval relation + probe + verify-join shuffles, which already
+    # re-spread the data; the extra scan exchange only taxes sf0.1.
     docs = S.hash_split(load_table(spark, sf_dir, "documents"),
                         "doc_id", SPLIT_WEIGHTS)
     train = docs.filter(F.col("split") == "train")
