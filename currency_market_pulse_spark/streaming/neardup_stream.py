@@ -180,6 +180,10 @@ def _py_band_pairs(doc_vals: list, band_vals: list,
     the same pair set the JVM self-join emits."""
     groups: dict = defaultdict(set)
     for d, b, s in zip(doc_vals, band_vals, sig_vals):
+        if s is None:
+            # a NULL band_sig (a doc with no shingles) never matches
+            # in the JVM equi-join; a dict key would wrongly group them
+            continue
         groups[(b, s)].add(d)
     pairs: set = set()
     for ids in groups.values():
